@@ -13,6 +13,14 @@ import subprocess
 
 import pytest
 
+# The axon TPU plugin force-overrides jax_platforms at import time, so the
+# env var alone is not enough — pin the CPU backend explicitly.
+try:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+except ImportError:
+    pass
+
 REFERENCE_TOOLS = pathlib.Path(
     "/root/reference/witch_msa/tools/magus/tools")
 EXAMPLES = pathlib.Path("/root/reference/examples/data")

@@ -1,0 +1,35 @@
+"""WITCH-TPU: a TPU-native re-implementation of WITCH (WeIghTed Consensus
+Hmm alignment; reference: c5shen/WITCH). Profile-HMM construction, Forward
+scoring, posterior-OA alignment, and the weighted merge all run as batched
+JAX/XLA array programs instead of the reference's subprocess farm."""
+
+__version__ = "0.1.0"
+
+
+def witch_runner(argv=None):
+    import os
+    import sys
+    import time
+
+    # The axon plugin overrides JAX_PLATFORMS; honor an explicit choice.
+    platform = os.environ.get("WITCH_TPU_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+
+    from .cli import init_parser
+    from .config import Configs, build_configs
+    from .pipeline import main_alignment_process
+
+    parser = init_parser()
+    cmdline_args = sys.argv[1:] if argv is None else argv
+    build_configs(parser, cmdline_args)
+    Configs.log("WITCH-TPU is running with: {}".format(
+        " ".join(cmdline_args)))
+    s1 = time.time()
+    out = main_alignment_process()
+    s2 = time.time()
+    Configs.log("WITCH-TPU finished in {} seconds...".format(s2 - s1))
+    print("\nAll done! WITCH-TPU finished in {:.1f} seconds...".format(
+        s2 - s1))
+    return out

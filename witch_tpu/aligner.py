@@ -1,0 +1,184 @@
+"""Per-query alignment stage: adaptive HMM selection -> posterior-OA
+alignment -> weighted merge DP (the reference's alignSubQueriesNew flow,
+witch_msa/gcmm/aligner.py:350-538).
+
+Two execution paths with identical results:
+  * host: float64 numpy Forward/Backward per pair (validated against the
+    hmmalign binary) — used for tests and small runs
+  * device: batched odds-domain posterior decoding on TPU
+    (witch_tpu.hmm.align.posterior_pp_pairs), OA fill/trace on host
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ProcessPoolExecutor
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .ensemble import Ensemble
+from .hmm.profile import Profile, configure
+from .ops.merge_dp import align_query_row
+from .weighting import adaptive_top_hmms
+
+
+def select_pairs(qnames: Sequence[str], weights: Dict[str, tuple],
+                 use_weight: bool = True):
+    """Adaptive top-HMM selection per query -> list of (qname, [(idx, w)]).
+    Queries without weights are returned in `ignored`."""
+    selections = {}
+    ignored = []
+    for qname in qnames:
+        w = weights.get(qname, tuple())
+        if not w:
+            ignored.append(qname)
+            continue
+        selections[qname] = adaptive_top_hmms(w, use_weight=use_weight)
+    return selections, ignored
+
+
+class HostAligner:
+    """float64 numpy per-pair alignment (reference-exact)."""
+
+    def __init__(self, ens: Ensemble):
+        self.ens = ens
+        self._profiles: Dict[int, Profile] = {}
+
+    def profile(self, idx: int) -> Profile:
+        if idx not in self._profiles:
+            self._profiles[idx] = configure(self.ens.cores[idx],
+                                            multihit=False)
+        return self._profiles[idx]
+
+    def aligned_columns(self, idx: int, codes: np.ndarray) -> np.ndarray:
+        from .hmm.align_ref import aligned_columns
+        return aligned_columns(self.profile(idx), codes)
+
+
+class DeviceAligner:
+    """Batched device posterior decoding + host OA traceback."""
+
+    def __init__(self, ens: Ensemble, pair_chunk: int = 32):
+        self.ens = ens
+        self.pair_chunk = pair_chunk
+        self._profiles: Dict[int, Profile] = {}
+        self._banks = None
+        self._bank_row: Dict[int, Tuple[int, int]] = {}
+
+    def profile(self, idx: int) -> Profile:
+        if idx not in self._profiles:
+            self._profiles[idx] = configure(self.ens.cores[idx],
+                                            multihit=False)
+        return self._profiles[idx]
+
+    def _ensure_banks(self, used: List[int]):
+        from .hmm.bank import build_banks
+        if self._banks is None:
+            indices = sorted(used)
+            cores = [self.ens.cores[i] for i in indices]
+            self._banks = build_banks(cores, indices=indices,
+                                      multihit=False)
+            for bi, b in enumerate(self._banks):
+                for r, idx in enumerate(b.hmm_indices):
+                    self._bank_row[int(idx)] = (bi, r)
+
+    def aligned_columns_batch(self, pairs: List[Tuple[int, np.ndarray]]
+                              ) -> List[np.ndarray]:
+        """pairs: (hmm_idx, query codes). Returns aligned columns list."""
+        import jax.numpy as jnp
+        from .hmm.align import posterior_pp_pairs, aligned_columns_from_pp
+
+        self._ensure_banks([i for i, _ in pairs])
+        out: List[Optional[np.ndarray]] = [None] * len(pairs)
+        # group by bucket
+        by_bucket: Dict[int, List[int]] = {}
+        for p, (idx, codes) in enumerate(pairs):
+            bi, _ = self._bank_row[idx]
+            by_bucket.setdefault(bi, []).append(p)
+        for bi, plist in by_bucket.items():
+            b = self._banks[bi]
+            Lmax = max(len(pairs[p][1]) for p in plist)
+            for s in range(0, len(plist), self.pair_chunk):
+                chunk = plist[s:s + self.pair_chunk]
+                P = len(chunk)
+                rows = np.array([self._bank_row[pairs[p][0]][1]
+                                 for p in chunk])
+                codes = np.zeros((P, Lmax), np.int32)
+                lens = np.zeros(P, np.int32)
+                for t, p in enumerate(chunk):
+                    c = pairs[p][1]
+                    codes[t, :len(c)] = c
+                    lens[t] = len(c)
+                args = [jnp.asarray(a[rows]) for a in
+                        (b.em_odds, b.t_mm, b.t_mi, b.t_md, b.t_im,
+                         b.t_ii, b.t_dm, b.t_dd, b.bm)]
+                ppM, ppI, ppN, ppJ, ppC = posterior_pp_pairs(
+                    *args, jnp.asarray(codes), jnp.asarray(lens),
+                    multihit=False)
+                ppM = np.asarray(ppM)
+                ppI = np.asarray(ppI)
+                ppN = np.asarray(ppN)
+                ppJ = np.asarray(ppJ)
+                ppC = np.asarray(ppC)
+                for t, p in enumerate(chunk):
+                    idx = pairs[p][0]
+                    qlen = int(lens[t])
+                    out[p] = aligned_columns_from_pp(
+                        self.profile(idx), ppM[t], ppI[t], ppN[t],
+                        ppJ[t], ppC[t], qlen)
+        return out  # type: ignore
+
+
+def align_all_queries(ens: Ensemble, qnames, qseqs, qcodes,
+                      weights: Dict[str, tuple], backbone_length: int,
+                      use_weight: bool = True, backend: str = "auto",
+                      n_workers: int = 1, done: Optional[Dict[str, str]] = None,
+                      checkpoint_cb=None):
+    """Returns (rows [(name, row)], ignored names)."""
+    done = done or {}
+    selections, ignored = select_pairs(qnames, weights, use_weight)
+
+    rows: List[Tuple[str, str]] = []
+    todo_names = []
+    for qname in qnames:
+        if qname in done:
+            rows.append((qname, done[qname]))
+        elif qname in selections:
+            todo_names.append(qname)
+    name_to_i = {n: i for i, n in enumerate(qnames)}
+
+    if backend == "host":
+        aligner = HostAligner(ens)
+        cols_of = {}
+        for qname in todo_names:
+            qi = name_to_i[qname]
+            for idx, w in selections[qname]:
+                cols_of[(qname, idx)] = aligner.aligned_columns(
+                    idx, qcodes[qi])
+    else:
+        aligner = DeviceAligner(ens)
+        pair_list = []
+        keys = []
+        for qname in todo_names:
+            qi = name_to_i[qname]
+            for idx, w in selections[qname]:
+                pair_list.append((idx, qcodes[qi]))
+                keys.append((qname, idx))
+        cols = aligner.aligned_columns_batch(pair_list)
+        cols_of = dict(zip(keys, cols))
+
+    for qname in todo_names:
+        qi = name_to_i[qname]
+        per_hmm = []
+        for idx, w in selections[qname]:
+            per_hmm.append((cols_of[(qname, idx)],
+                            ens.retained_columns[idx],
+                            ens.nongaps_per_column[idx], float(w)))
+        row = align_query_row(qseqs[qi], backbone_length, per_hmm)
+        if not row:
+            ignored.append(qname)
+            continue
+        rows.append((qname, row))
+        if checkpoint_cb:
+            checkpoint_cb(qname, row)
+    return rows, ignored

@@ -1,0 +1,116 @@
+"""Dense eHMM bank: the ensemble of profile HMMs as padded device arrays.
+
+This is the TPU-native replacement for the reference's directory of .hmm
+files (witch_msa/gcmm/algorithm.py decomposition outputs): all subset
+profiles live in [H, M_max+1, ...] arrays, bucketed by state count so the
+Forward/align kernels waste little padding compute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence
+
+import numpy as np
+
+from .build import CoreHMM
+from .profile import Profile, configure
+
+
+@dataclasses.dataclass
+class ProfileBank:
+    """Padded, odds-domain profile parameters for a set of HMMs.
+
+    All arrays are float32, natural-odds domain (probability ratios), laid
+    out state-major for kernel consumption. Index 0 of the state axis is
+    the virtual node 0; valid match states are 1..M_h.
+
+    em_odds: [H, M_max+1, num_codes]  match emission odds e(k,x)/bg(x)
+             (zero beyond M_h so padded states never gain mass)
+    t_*:     [H, M_max+1]             transition probabilities
+    bm:      [H, M_max+1]             entry probabilities B->M_k
+    M:       [H]                      true state counts
+    nseq:    [H]                      NSEQ per HMM (weighting sizes)
+    """
+    em_odds: np.ndarray
+    t_mm: np.ndarray
+    t_mi: np.ndarray
+    t_md: np.ndarray
+    t_im: np.ndarray
+    t_ii: np.ndarray
+    t_dm: np.ndarray
+    t_dd: np.ndarray
+    bm: np.ndarray
+    M: np.ndarray
+    nseq: np.ndarray
+    hmm_indices: np.ndarray   # original ensemble indices of rows
+    multihit: bool = True
+
+    @property
+    def H(self):
+        return self.em_odds.shape[0]
+
+    @property
+    def M_max(self):
+        return self.em_odds.shape[1] - 1
+
+
+def _pad_pow2ish(m: int, minimum: int = 64) -> int:
+    """Round up to the bucket boundary: power-of-two-ish sizes."""
+    size = minimum
+    while size < m:
+        size *= 2
+    return size
+
+
+def bank_from_profiles(profiles: Sequence[Profile],
+                       nseqs: Sequence[int],
+                       indices: Sequence[int],
+                       m_pad: int) -> ProfileBank:
+    H = len(profiles)
+    num_codes = profiles[0].msc.shape[1]
+    em = np.zeros((H, m_pad + 1, num_codes), dtype=np.float32)
+    t = {n: np.zeros((H, m_pad + 1), dtype=np.float32)
+         for n in ("mm", "mi", "md", "im", "ii", "dm", "dd", "bm")}
+    Ms = np.zeros(H, dtype=np.int32)
+    for h, p in enumerate(profiles):
+        M = p.M
+        Ms[h] = M
+        with np.errstate(over="ignore"):
+            em[h, :M + 1] = np.exp(p.msc).astype(np.float32)
+        em[h, 0] = 0.0
+        for name, arr in (("mm", p.t_mm), ("mi", p.t_mi), ("md", p.t_md),
+                          ("im", p.t_im), ("ii", p.t_ii), ("dm", p.t_dm),
+                          ("dd", p.t_dd), ("bm", p.bm)):
+            t[name][h, :M + 1] = np.exp(arr).astype(np.float32)
+    return ProfileBank(
+        em_odds=np.nan_to_num(em, posinf=0.0),
+        t_mm=t["mm"], t_mi=t["mi"], t_md=t["md"], t_im=t["im"],
+        t_ii=t["ii"], t_dm=t["dm"], t_dd=t["dd"], bm=t["bm"],
+        M=Ms, nseq=np.asarray(nseqs, dtype=np.int32),
+        hmm_indices=np.asarray(indices, dtype=np.int32),
+        multihit=profiles[0].multihit if profiles else True)
+
+
+def build_banks(cores: List[CoreHMM], indices: Sequence[int] = None,
+                multihit: bool = True, min_bucket: int = 64
+                ) -> List[ProfileBank]:
+    """Configure profiles and group them into size buckets.
+
+    Returns a list of ProfileBanks, one per M bucket, each padded to the
+    bucket boundary. `indices` preserves ensemble numbering.
+    """
+    if indices is None:
+        indices = list(range(len(cores)))
+    buckets = {}
+    for idx, core in zip(indices, cores):
+        b = _pad_pow2ish(core.M, min_bucket)
+        buckets.setdefault(b, []).append((idx, core))
+    out = []
+    for m_pad in sorted(buckets):
+        group = buckets[m_pad]
+        profiles = [configure(c, multihit=multihit) for _, c in group]
+        nseqs = [c.nseq for _, c in group]
+        idxs = [i for i, _ in group]
+        out.append(bank_from_profiles(profiles, nseqs, idxs, m_pad))
+    return out

@@ -1,0 +1,267 @@
+"""Main WITCH-TPU pipeline (the reference's mainAlignmentProcess,
+witch_msa/gcmm/gcmm.py:93-267, re-designed as array programs).
+
+Stages:
+  1. obtain backbone alignment/tree (or reuse a decomposition directory)
+  2. decompose -> build the eHMM bank on host, quantized to .hmm precision
+  3. score all queries vs all HMMs in one batched Forward pass (device)
+  4. rank scores / compute adjusted-bitscore weights
+  5. per query: adaptive top-k HMMs -> posterior-OA alignment -> weighted
+     merge DP -> aligned row
+  6. transitive merge into the backbone; write outputs
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .config import Configs
+from .core.alignment import PackedAlignment
+from .core.alphabet import ALPHABETS, infer_datatype
+from .ensemble import (Ensemble, build_ensemble, read_ensemble_dir,
+                       write_decomposition, write_search_results)
+from .hmm.bank import build_banks
+from .hmm.calibrate import (forward_lambda, random_calibration_seqs,
+                            tau_from_scores, CAL_TAILP)
+from .hmm.forward import OMEGA, score_bank
+from .io.fasta import read_fasta, write_fasta
+from .merger import merge_rows, remove_insertion_columns
+from .weighting import calculate_weights, read_weights, write_weights
+
+BIAS_FLOOR_BITS = float(np.log2(1.0 + OMEGA))
+
+
+def _encode_queries(path: str, alphabet):
+    names, seqs, codes = [], [], []
+    renamed = {}
+    for i, (name, seq) in enumerate(read_fasta(path)):
+        seq = seq.upper()
+        if "/" in name:
+            new = "renamed_query_{}".format(i)
+            renamed[name] = new
+            name = new
+        names.append(name)
+        seqs.append(seq)
+        codes.append(alphabet.encode(seq))
+    return names, seqs, codes, renamed
+
+
+def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
+                   q_chunk: int = 128):
+    """Forward-score every query against every ensemble HMM.
+
+    Returns (scores [Q, H_total] rounded to 0.1 bit as the reference
+    parses them, valid [Q, H], index list). valid=False where the
+    pre-score is below the model's calibrated forward tau (the hmmsearch
+    reporting behavior WITCH inherits).
+    """
+    indices = ens.indices
+    cores = [ens.cores[i] for i in indices]
+    banks = build_banks(cores, indices=indices)
+    col_of = {idx: j for j, idx in enumerate(indices)}
+
+    Q = len(qcodes)
+    Lmax = max((len(c) for c in qcodes), default=1)
+    codes = np.zeros((Q, Lmax), np.int32)
+    lens = np.zeros(Q, np.int32)
+    for i, c in enumerate(qcodes):
+        codes[i, :len(c)] = c
+        lens[i] = len(c)
+
+    # calibration seqs share the padding layout
+    K = ens.backbone.alphabet.K
+    cal = random_calibration_seqs(K)
+    cal_codes = np.zeros((cal.shape[0], Lmax), np.int32)
+    cal_codes[:, :cal.shape[1]] = cal
+    cal_lens = np.full(cal.shape[0], cal.shape[1], np.int32)
+
+    H = len(indices)
+    pre = np.zeros((Q, H), np.float64)
+    tau = np.zeros(H, np.float64)
+    for b in banks:
+        bits = score_bank(b, codes, lens, q_chunk=q_chunk)
+        sim = score_bank(b, cal_codes, cal_lens, q_chunk=q_chunk)
+        for j, idx in enumerate(b.hmm_indices):
+            col = col_of[int(idx)]
+            pre[:, col] = bits[:, j]
+            lam = forward_lambda(ens.cores[int(idx)])
+            tau[col] = tau_from_scores(sim[:, j], lam)
+    valid = pre >= tau[None, :]
+    reported = np.round(pre - BIAS_FLOOR_BITS, 1)
+    return reported, valid, indices, tau
+
+
+def rank_and_weight(scores: np.ndarray, valid: np.ndarray,
+                    indices: List[int], sizes: Dict[int, int],
+                    qnames: List[str]) -> Dict[str, tuple]:
+    """Ranked bitscores -> per-query weight tuples (reference
+    rankBitscores + writeWeights)."""
+    out = {}
+    size_arr = np.array([sizes[i] for i in indices], dtype=np.float64)
+    for q, name in enumerate(qnames):
+        v = np.flatnonzero(valid[q])
+        if v.size == 0:
+            continue
+        order = v[np.argsort(-scores[q, v], kind="stable")]
+        idxs = [indices[j] for j in order]
+        if Configs.use_weight:
+            out[name] = calculate_weights(
+                idxs, scores[q, order], size_arr[order], Configs.num_hmms)
+        else:
+            k = min(Configs.num_hmms, len(order))
+            out[name] = tuple((idxs[t], float(scores[q, order[t]]))
+                              for t in range(k))
+    return out
+
+
+def align_queries(ens: Ensemble, qnames, qseqs, qcodes,
+                  weights: Dict[str, tuple], backbone_length: int,
+                  checkpoint_path: Optional[str] = None,
+                  done: Optional[Dict[str, str]] = None,
+                  n_workers: int = 1, backend: str = "auto"):
+    """Per-query adaptive alignment + merge (reference alignSubQueriesNew).
+
+    Returns (rows list[(name, row)], ignored names).
+    """
+    from .aligner import align_all_queries
+
+    def checkpoint_cb(qname, row):
+        if checkpoint_path:
+            with gzip.open(checkpoint_path, "ab") as f:
+                f.write("{}\t{}\n".format(qname, row).encode("utf-8"))
+
+    return align_all_queries(ens, qnames, qseqs, qcodes, weights,
+                             backbone_length,
+                             use_weight=Configs.use_weight,
+                             backend=backend, n_workers=n_workers,
+                             done=done, checkpoint_cb=checkpoint_cb)
+
+
+def read_checkpoint(path: str) -> Dict[str, str]:
+    out = {}
+    if os.path.exists(path) and os.stat(path).st_size > 0:
+        with gzip.open(path, "rb") as f:
+            for line in f.read().decode("utf-8").split("\n"):
+                if not line:
+                    continue
+                taxon = "\t".join(line.split("\t")[:-1])
+                out[taxon] = line.split("\t")[-1]
+    return out
+
+
+def main_alignment_process(args=None):
+    t_start = time.time()
+    molecule = Configs.molecule
+    if molecule is None:
+        src = Configs.backbone_path or Configs.query_path
+        molecule = infer_datatype(read_fasta(src, remove_gaps=True))
+        Configs.log("Inferred molecule type: {}".format(molecule))
+    alphabet = ALPHABETS[molecule]
+
+    if not Configs.hmmdir:
+        Configs.hmmdir = os.path.join(Configs.outdir, "tree_decomp", "root")
+
+    assert Configs.backbone_path and os.path.exists(Configs.backbone_path), \
+        "backbone alignment missing (scenario A backbone estimation comes " \
+        "with the backbone module)"
+    assert Configs.query_path and os.path.exists(Configs.query_path), \
+        "query sequences missing"
+
+    backbone = PackedAlignment.from_fasta(Configs.backbone_path,
+                                          molecule=molecule)
+    backbone_length = backbone.n_cols
+
+    s = time.time()
+    have_dir = os.path.isdir(Configs.hmmdir) and any(
+        d.startswith("A_0_") for d in os.listdir(Configs.hmmdir))
+    if have_dir:
+        Configs.log("Found existing HMM directory: %s" % Configs.hmmdir)
+        ens = read_ensemble_dir(Configs.hmmdir, backbone, molecule)
+    else:
+        assert Configs.backbone_tree_path and \
+            os.path.exists(Configs.backbone_tree_path), \
+            "backbone tree missing (tree estimation comes with the " \
+            "backbone module)"
+        ens = build_ensemble(backbone, Configs.backbone_tree_path,
+                             Configs.alignment_size,
+                             Configs.alignment_upper_bound,
+                             molecule, n_workers=Configs.num_cpus)
+        if Configs.keep_decomposition:
+            write_decomposition(ens, Configs.hmmdir)
+    Configs.runtime("Time to obtain eHMM ensemble (s): %f"
+                    % (time.time() - s))
+    Configs.log("Ensemble of %d HMMs" % len(ens.cores))
+
+    # uppercased working backbone
+    tmp_bb_dir = os.path.join(Configs.outdir, "tree_decomp", "backbone")
+    os.makedirs(tmp_bb_dir, exist_ok=True)
+    tmp_backbone_path = os.path.join(tmp_bb_dir, "backbone.aln.fasta")
+    backbone.write(tmp_backbone_path)
+
+    # queries
+    qnames, qseqs, qcodes, renamed = _encode_queries(Configs.query_path,
+                                                     alphabet)
+    Configs.log("Loaded %d queries" % len(qnames))
+
+    # weights (reuse weights.txt if present)
+    weight_path = os.path.join(Configs.outdir, "weights.txt")
+    if os.path.exists(weight_path):
+        Configs.log("Found existing weights: %s" % weight_path)
+        weights = read_weights(weight_path)
+    else:
+        s = time.time()
+        scores, valid, indices, tau = compute_scores(ens, qcodes)
+        Configs.runtime("Time for all-vs-all Forward scoring (s): %f"
+                        % (time.time() - s))
+        s = time.time()
+        weights = rank_and_weight(scores, valid, indices, ens.sizes(),
+                                  qnames)
+        Configs.runtime("Time to obtain weights (s): %f" % (time.time() - s))
+        if Configs.save_weight:
+            write_weights(weights, weight_path)
+
+    # per-query alignment
+    checkpoint_path = os.path.join(Configs.outdir,
+                                   "checkpoint_alignments.txt.gz")
+    done = read_checkpoint(checkpoint_path)
+    s = time.time()
+    rows, ignored = align_queries(ens, qnames, qseqs, qcodes, weights,
+                                  backbone_length,
+                                  checkpoint_path=checkpoint_path,
+                                  done=done, n_workers=Configs.num_cpus)
+    Configs.runtime("Time for per-query alignment (s): %f"
+                    % (time.time() - s))
+
+    # merge + outputs
+    s = time.time()
+    bb_records = list(backbone.to_records())
+    merged, ins_mask = merge_rows(bb_records, rows)
+    back = {v: k for k, v in renamed.items()}
+    merged = [(back.get(n, n), r) for n, r in merged]
+    write_fasta(merged, Configs.output_path)
+    suffix = Configs.output_path.split(".")[-1]
+    if suffix in ("fa", "fasta"):
+        masked_path = (".".join(Configs.output_path.split(".")[:-1])
+                       + ".masked." + suffix)
+    else:
+        masked_path = Configs.output_path + ".masked.fasta"
+    write_fasta(remove_insertion_columns(merged, ins_mask), masked_path)
+    Configs.runtime("Time to merge all outputs (s): %f" % (time.time() - s))
+
+    if ignored:
+        ignored_path = os.path.join(Configs.outdir, "ignored_queries.fasta")
+        seq_of = dict(zip(qnames, qseqs))
+        with open(ignored_path, "w") as f:
+            for n in ignored:
+                f.write(">{}\n{}\n".format(back.get(n, n), seq_of[n]))
+        Configs.log("Wrote %d ignored queries to %s"
+                    % (len(ignored), ignored_path))
+
+    Configs.runtime("Total runtime (s): %f" % (time.time() - t_start))
+    Configs.log("WITCH-TPU finished; output: %s" % Configs.output_path)
+    return Configs.output_path
