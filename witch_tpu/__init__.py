@@ -16,6 +16,15 @@ def witch_runner(argv=None):
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
+    try:
+        import jax
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("WITCH_TPU_JAX_CACHE",
+                           os.path.join(os.path.dirname(__file__), "..",
+                                        ".jax_cache")))
+    except Exception:
+        pass
 
     from .cli import init_parser
     from .config import Configs, build_configs

@@ -77,7 +77,7 @@ class DeviceAligner:
             indices = sorted(used)
             cores = [self.ens.cores[i] for i in indices]
             self._banks = build_banks(cores, indices=indices,
-                                      multihit=False)
+                                      multihit=False, uniform=True)
             for bi, b in enumerate(self._banks):
                 for r, idx in enumerate(b.hmm_indices):
                     self._bank_row[int(idx)] = (bi, r)
@@ -90,25 +90,29 @@ class DeviceAligner:
 
         self._ensure_banks([i for i, _ in pairs])
         out: List[Optional[np.ndarray]] = [None] * len(pairs)
-        # group by bucket
+        # group by bucket; use one global Lmax and a fixed chunk size so
+        # each bucket compiles exactly one kernel shape
+        Lmax = max(len(c) for _, c in pairs)
         by_bucket: Dict[int, List[int]] = {}
         for p, (idx, codes) in enumerate(pairs):
             bi, _ = self._bank_row[idx]
             by_bucket.setdefault(bi, []).append(p)
         for bi, plist in by_bucket.items():
             b = self._banks[bi]
-            Lmax = max(len(pairs[p][1]) for p in plist)
             for s in range(0, len(plist), self.pair_chunk):
                 chunk = plist[s:s + self.pair_chunk]
-                P = len(chunk)
+                P = self.pair_chunk if len(plist) > self.pair_chunk                     else len(chunk)
                 rows = np.array([self._bank_row[pairs[p][0]][1]
-                                 for p in chunk])
+                                 for p in chunk] +
+                                [self._bank_row[pairs[chunk[0]][0]][1]]
+                                * (P - len(chunk)))
                 codes = np.zeros((P, Lmax), np.int32)
                 lens = np.zeros(P, np.int32)
                 for t, p in enumerate(chunk):
                     c = pairs[p][1]
                     codes[t, :len(c)] = c
                     lens[t] = len(c)
+                lens[len(chunk):] = 1
                 args = [jnp.asarray(a[rows]) for a in
                         (b.em_odds, b.t_mm, b.t_mi, b.t_md, b.t_im,
                          b.t_ii, b.t_dm, b.t_dd, b.bm)]

@@ -43,54 +43,63 @@ def posterior_decode(prof: Profile, codes: np.ndarray):
                 C=np.nan_to_num(pp_C), fwd=fwd, bck=bck)
 
 
+FLT_MIN = 1.17549435e-38   # HMMER's TSCDELTA for disallowed transitions
+
+
 def oa_fill(prof: Profile, pp):
-    """Optimal-accuracy DP fill (HMMER TSCDELTA semantics: values >= 0,
-    disallowed transitions multiply by 0)."""
+    """Optimal-accuracy DP fill (HMMER semantics: row 0 M/I/D start at
+    -inf; disallowed transitions multiply by FLT_MIN rather than 0, so
+    unreachable -inf states stay -inf and never win a max)."""
     M = prof.M
     ppM, ppI = pp["M"], pp["I"]
     ppN, ppJ, ppC = pp["N"], pp["J"], pp["C"]
     L = ppM.shape[0] - 1
+    NEG = -np.inf
 
     def delta(v):
-        return (v > -np.inf).astype(np.float64)
+        return np.where(v > -np.inf, 1.0, FLT_MIN)
 
     d_mm, d_im, d_dm = delta(prof.t_mm), delta(prof.t_im), delta(prof.t_dm)
     d_mi, d_ii = delta(prof.t_mi), delta(prof.t_ii)
     d_md, d_dd = delta(prof.t_md), delta(prof.t_dd)
     d_bm = delta(prof.bm)
 
-    Mx = np.zeros((L + 1, M + 1))
-    Ix = np.zeros((L + 1, M + 1))
-    Dx = np.zeros((L + 1, M + 1))
+    Mx = np.full((L + 1, M + 1), NEG)
+    Ix = np.full((L + 1, M + 1), NEG)
+    Dx = np.full((L + 1, M + 1), NEG)
     N = np.zeros(L + 1)
     B = np.zeros(L + 1)
-    E = np.zeros(L + 1)
-    J = np.zeros(L + 1)
-    C = np.zeros(L + 1)
-    # row 0: B reachable (value 0), others 0 as well (TSCDELTA floor)
+    E = np.full(L + 1, NEG)
+    J = np.full(L + 1, NEG)
+    C = np.full(L + 1, NEG)
+    N[0] = 0.0
+    B[0] = 0.0
 
     e_loop_ok = prof.multihit
     for i in range(1, L + 1):
         prevM, prevI, prevD = Mx[i - 1], Ix[i - 1], Dx[i - 1]
         cand = np.maximum(
-            np.maximum(np.concatenate(([0.0], d_mm[:-1] * prevM[:-1])),
-                       np.concatenate(([0.0], d_im[:-1] * prevI[:-1]))),
-            np.maximum(np.concatenate(([0.0], d_dm[:-1] * prevD[:-1])),
+            np.maximum(np.concatenate(([NEG], d_mm[:-1] * prevM[:-1])),
+                       np.concatenate(([NEG], d_im[:-1] * prevI[:-1]))),
+            np.maximum(np.concatenate(([NEG], d_dm[:-1] * prevD[:-1])),
                        d_bm * B[i - 1]))
         Mx[i] = ppM[i] + cand
-        Mx[i, 0] = 0.0
+        Mx[i, 0] = NEG
         Ix[i] = ppI[i] + np.maximum(d_mi * prevM, d_ii * prevI)
-        Ix[i, 0] = 0.0
+        Ix[i, 0] = NEG
+        Ix[i, M] = NEG
         # delete chain: Dx[i,k] = max(d_md[k-1]*Mx[i,k-1], d_dd[k-1]*Dx[i,k-1])
         # interior deltas are 1 -> running max of Mx[i,1:M]
         if M >= 2:
             Dx[i, 2:] = np.maximum.accumulate(
                 (d_md[1:M] * Mx[i, 1:M]))
-        E[i] = max(Mx[i, 1:].max(initial=0.0), Dx[i, 1:].max(initial=0.0))
-        J[i] = max(J[i - 1] + ppJ[i], E[i] if e_loop_ok else 0.0)
-        C[i] = max(C[i - 1] + ppC[i], E[i])
+        E[i] = max(Mx[i, 1:].max(initial=NEG), Dx[i, 1:].max(initial=NEG))
+        jloop = (J[i - 1] + ppJ[i]) if i > 0 else NEG
+        J[i] = max(jloop, E[i] if e_loop_ok else NEG)
+        C[i] = max(C[i - 1] + ppC[i] if np.isfinite(C[i - 1]) else NEG,
+                   E[i])
         N[i] = N[i - 1] + ppN[i]
-        B[i] = max(N[i], J[i] if e_loop_ok else 0.0)
+        B[i] = max(N[i], J[i] if e_loop_ok else NEG)
     return dict(M=Mx, I=Ix, D=Dx, N=N, B=B, E=E, J=J, C=C)
 
 
@@ -103,7 +112,7 @@ def oa_trace(prof: Profile, pp, mx):
     L = Mx.shape[0] - 1
 
     def delta(v):
-        return 1.0 if v > -np.inf else 0.0
+        return 1.0 if v > -np.inf else FLT_MIN
 
     path = []
     i = L
@@ -118,21 +127,23 @@ def oa_trace(prof: Profile, pp, mx):
                 "OA traceback did not terminate (i=%d state=%s k=%d); "
                 "degenerate posterior?" % (i, state, k))
         if state == "C":
-            loop = C[i - 1] + ppC[i] if i > 0 else -1.0
+            loop = (C[i - 1] + ppC[i]
+                    if i > 0 and np.isfinite(C[i - 1]) else -np.inf)
             if loop >= E[i]:
                 path.append(("C", 0, i))
                 i -= 1
             else:
                 state = "E"
         elif state == "J":
-            loop = J[i - 1] + ppJ[i] if i > 0 else -1.0
+            loop = (J[i - 1] + ppJ[i]
+                    if i > 0 and np.isfinite(J[i - 1]) else -np.inf)
             if loop >= E[i]:
                 path.append(("J", 0, i))
                 i -= 1
             else:
                 state = "E"
         elif state == "E":
-            best = 0.0
+            best = -np.inf
             smax, kmax = "M", 1
             for kk in range(1, M + 1):
                 if Mx[i, kk] > best:

@@ -93,17 +93,26 @@ def bank_from_profiles(profiles: Sequence[Profile],
 
 
 def build_banks(cores: List[CoreHMM], indices: Sequence[int] = None,
-                multihit: bool = True, min_bucket: int = 64
-                ) -> List[ProfileBank]:
+                multihit: bool = True, min_bucket: int = 64,
+                uniform: bool = False) -> List[ProfileBank]:
     """Configure profiles and group them into size buckets.
 
     Returns a list of ProfileBanks, one per M bucket, each padded to the
     bucket boundary. `indices` preserves ensemble numbering.
+
+    uniform=True pads everything into ONE bank (a single kernel shape —
+    preferred on TPU where compilation is far more expensive than the
+    padding FLOPs it wastes).
     """
     if indices is None:
         indices = list(range(len(cores)))
     buckets = {}
-    for idx, core in zip(indices, cores):
+    if uniform and cores:
+        mmax = max(core.M for core in cores)
+        b = -(-mmax // 128) * 128
+        buckets[b] = list(zip(indices, cores))
+        # fall through to the common path below
+    for idx, core in ([] if uniform else zip(indices, cores)):
         b = _pad_pow2ish(core.M, min_bucket)
         buckets.setdefault(b, []).append((idx, core))
     out = []

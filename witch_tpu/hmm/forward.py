@@ -120,8 +120,17 @@ def score_bank(bank: ProfileBank, codes: np.ndarray, qlens: np.ndarray,
             bank.t_ii, bank.t_dm, bank.t_dd, bank.bm)
     dev_args = [jnp.asarray(a) for a in args]
     out = []
-    for s in range(0, codes.shape[0], q_chunk):
-        c = jnp.asarray(codes[s:s + q_chunk].astype(np.int32))
-        l = jnp.asarray(qlens[s:s + q_chunk].astype(np.int32))
-        out.append(np.asarray(forward_bits_bank(*dev_args, c, l)))
+    Q = codes.shape[0]
+    for s in range(0, Q, q_chunk):
+        n = min(q_chunk, Q - s)
+        # pad the final chunk to the fixed chunk shape: one kernel compile
+        c = np.ones((min(q_chunk, Q), codes.shape[1]), np.int32) \
+            if Q > q_chunk else codes[s:s + n].astype(np.int32)
+        if Q > q_chunk:
+            c[:n] = codes[s:s + n]
+        l = np.ones(c.shape[0], np.int32)
+        l[:n] = qlens[s:s + n]
+        bits = np.asarray(forward_bits_bank(
+            *dev_args, jnp.asarray(c), jnp.asarray(l)))
+        out.append(bits[:n])
     return np.concatenate(out, axis=0)

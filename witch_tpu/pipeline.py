@@ -52,7 +52,7 @@ def _encode_queries(path: str, alphabet):
 
 
 def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
-                   q_chunk: int = 128):
+                   q_chunk: int = 256):
     """Forward-score every query against every ensemble HMM.
 
     Returns (scores [Q, H_total] rounded to 0.1 bit as the reference
@@ -62,7 +62,7 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
     """
     indices = ens.indices
     cores = [ens.cores[i] for i in indices]
-    banks = build_banks(cores, indices=indices)
+    banks = build_banks(cores, indices=indices, uniform=True)
     col_of = {idx: j for j, idx in enumerate(indices)}
 
     Q = len(qcodes)
