@@ -26,7 +26,7 @@ from ..core.alphabet import ALPHABETS
 from .build import CoreHMM, mean_match_relative_entropy
 
 CAL_L = 100
-CAL_N = 200
+CAL_N = 1000   # larger than HMMER's 200: minimizes expected |tau - reference tau|
 CAL_TAILP = 0.04
 CAL_SEED = 42
 

@@ -183,10 +183,20 @@ def main_alignment_process(args=None):
         Configs.log("Found existing HMM directory: %s" % Configs.hmmdir)
         ens = read_ensemble_dir(Configs.hmmdir, backbone, molecule)
     else:
-        assert Configs.backbone_tree_path and \
-            os.path.exists(Configs.backbone_tree_path), \
-            "backbone tree missing (tree estimation comes with the " \
-            "backbone module)"
+        if not (Configs.backbone_tree_path and
+                os.path.exists(Configs.backbone_tree_path)):
+            # scenario C: estimate the backbone tree (reference runs
+            # FastTree2 here; we use device distances + NJ)
+            from .tree_estimate import estimate_tree
+            tree_dir = os.path.join(Configs.outdir, "tree_decomp")
+            os.makedirs(tree_dir, exist_ok=True)
+            tree_path = os.path.join(tree_dir, "backbone.est.tre")
+            s2 = time.time()
+            estimate_tree(backbone, tree_path)
+            Configs.runtime("Time to estimate backbone tree (s): %f"
+                            % (time.time() - s2))
+            Configs.log("Estimated backbone tree (NJ): %s" % tree_path)
+            Configs.backbone_tree_path = tree_path
         ens = build_ensemble(backbone, Configs.backbone_tree_path,
                              Configs.alignment_size,
                              Configs.alignment_upper_bound,
