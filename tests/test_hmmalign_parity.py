@@ -60,3 +60,33 @@ def test_oa_alignment_matches_binary(hmmalign_bin, example_data, tmp_path):
                               tmp_path)
         mine = aligned_columns(prof, DNA.encode(seq.upper()))
         assert np.array_equal(ref, mine), name
+
+
+def test_native_oa_matches_numpy(example_data, tmp_path):
+    """The C++ OA kernel must agree with the numpy reference exactly."""
+    import numpy as np
+    from witch_tpu.hmm.align_ref import (posterior_decode, oa_fill,
+                                         oa_trace, oa_columns_from_pp)
+    pytest = __import__("pytest")
+    try:
+        from witch_tpu.native import _oa  # noqa: F401
+    except ImportError:
+        pytest.skip("native extension not built")
+    bb = PackedAlignment.from_fasta(
+        str(example_data / "backbone.aln.fasta.gz"), molecule="dna")
+    sub = bb.sub_alignment(bb.names[:25])
+    sub2, _ = sub.delete_all_gap_columns()
+    core = quantize_like_text(build_hmm(sub2.codes, sub2.alphabet, "dna"))
+    prof = configure(core, multihit=False)
+    queries = list(read_fasta(str(example_data / "unaligned_frag.fasta")))
+    for name, seq in queries[10:14]:
+        codes = DNA.encode(seq.upper())
+        pp = posterior_decode(prof, codes)
+        nat = oa_columns_from_pp(prof, pp)
+        mx = oa_fill(prof, pp)
+        path = oa_trace(prof, pp, mx)
+        ref = np.full(len(codes), -1, dtype=np.int64)
+        for st, k, i in path:
+            if st == "M" and i > 0:
+                ref[i - 1] = k - 1
+        assert np.array_equal(nat, ref), name

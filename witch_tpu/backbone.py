@@ -1,0 +1,217 @@
+"""Backbone selection / alignment / tree (scenario A/B support).
+
+Reference behavior (witch_msa/gcmm/backbone.py): pick up to 1000 full-length
+sequences within +-25% of the median length as the backbone, align them with
+MAGUS, and estimate a FastTree2 tree; the rest become queries.
+
+TPU-native re-design: backbone alignment is produced by iterative profile-HMM
+refinement — seed a profile from a median-length sequence, batch-align all
+backbone sequences to it with the posterior-OA kernel, overlay the per-seq
+alignments into an MSA, rebuild the profile (entropy-weighted), and iterate.
+The tree comes from device pairwise distances + NJ (tree_estimate).
+
+This replaces MAGUS/FastTree behaviorally, not bit-for-bit: scenario A
+outputs are therefore method-equivalent rather than bit-identical to the
+reference (which is itself nondeterministic here: it samples the backbone
+with an unseeded RNG, backbone.py:117-118).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .core.alignment import PackedAlignment
+from .core.alphabet import ALPHABETS, Alphabet, infer_datatype
+from .hmm.build import build_hmm, quantize_like_text
+from .io.fasta import read_fasta, write_fasta
+
+
+def select_backbone(records: Sequence[Tuple[str, str]],
+                    backbone_size: int = 1000,
+                    threshold: float = 0.25,
+                    seed: int = 0):
+    """Split records into (backbone, queries) by the reference's rule:
+    full-length = within +-threshold of median ungapped length; sample
+    up to backbone_size of those (seeded here, unseeded in the reference).
+    """
+    lengths = np.array([len(s) for _, s in records])
+    med = np.median(lengths)
+    full = [i for i in range(len(records))
+            if (1 - threshold) * med <= lengths[i] <= (1 + threshold) * med]
+    rng = np.random.default_rng(seed)
+    if len(full) > backbone_size:
+        full = sorted(rng.choice(len(full), backbone_size, replace=False)
+                      .tolist())
+        full = [full[i] for i in range(len(full))]
+    full_set = set(full)
+    backbone = [records[i] for i in full]
+    queries = [records[i] for i in range(len(records))
+               if i not in full_set]
+    return backbone, queries
+
+
+def _msa_from_alignments(seqs: List[str], cols: List[np.ndarray],
+                         M: int, alphabet: Alphabet) -> PackedAlignment:
+    """Overlay per-sequence (aligned_columns) results into one MSA.
+
+    cols[i][r] = 0-based match column of residue r, or -1 (insertion).
+    Insertion runs attach before their next match column (M for trailing).
+    """
+    n = len(seqs)
+    runs_len = np.zeros(M + 1, dtype=np.int64)
+    parsed = []
+    for s, ac in zip(seqs, cols):
+        match_chars = {}
+        runs: Dict[int, List[str]] = {}
+        pending: List[str] = []
+        for r, ch in enumerate(s):
+            c = ac[r]
+            if c >= 0:
+                if pending:
+                    runs.setdefault(int(c), []).extend(pending)
+                    pending = []
+                match_chars[int(c)] = ch
+            else:
+                pending.append(ch)
+        if pending:
+            runs.setdefault(M, []).extend(pending)
+        runs = {g: "".join(v) for g, v in runs.items()}
+        for g, v in runs.items():
+            runs_len[g] = max(runs_len[g], len(v))
+        parsed.append((match_chars, runs))
+
+    total = M + int(runs_len.sum())
+    col_pos = np.zeros(M, dtype=np.int64)
+    run_pos = np.zeros(M + 1, dtype=np.int64)
+    pos = 0
+    for g in range(M + 1):
+        run_pos[g] = pos
+        pos += int(runs_len[g])
+        if g < M:
+            col_pos[g] = pos
+            pos += 1
+    names = ["s%d" % i for i in range(n)]
+    rows = []
+    for match_chars, runs in parsed:
+        out = np.full(total, "-", dtype="U1")
+        for c, ch in match_chars.items():
+            out[col_pos[c]] = ch
+        for g, v in runs.items():
+            start = run_pos[g]
+            out[start:start + len(v)] = list(v)
+        rows.append("".join(out))
+    aln = PackedAlignment.from_records(list(zip(names, rows)),
+                                       alphabet=alphabet)
+    aln2, _ = aln.delete_all_gap_columns()
+    return aln2
+
+
+def align_backbone(names: List[str], seqs: List[str], molecule: str,
+                   n_iters: int = 2, use_device: bool = True,
+                   log=None) -> PackedAlignment:
+    """Iterative HMM-refinement multiple alignment of the backbone."""
+    alphabet = ALPHABETS[molecule]
+    seqs = [s.upper() for s in seqs]
+    codes = [alphabet.encode(s) for s in seqs]
+    # seed: median-length sequence as a single-row alignment
+    lens = np.array([len(s) for s in seqs])
+    seed_i = int(np.argsort(lens)[len(lens) // 2])
+    cur = PackedAlignment.from_records(
+        [(names[seed_i], seqs[seed_i])], alphabet=alphabet)
+
+    for it in range(n_iters):
+        core = quantize_like_text(
+            build_hmm(cur.codes, alphabet, molecule, name="bb_iter%d" % it))
+        cols = _align_all(core, codes, use_device)
+        cur = _msa_from_alignments(seqs, cols, core.M, alphabet)
+        if log:
+            log("backbone iteration %d: %d cols" % (it, cur.n_cols))
+    return PackedAlignment(names, cur.codes, alphabet)
+
+
+def _align_all(core, codes: List[np.ndarray], use_device: bool):
+    if use_device:
+        try:
+            return _align_all_device(core, codes)
+        except Exception:
+            pass
+    from .hmm.align_ref import aligned_columns
+    from .hmm.profile import configure
+    prof = configure(core, multihit=False)
+    return [aligned_columns(prof, c) for c in codes]
+
+
+def _align_all_device(core, codes: List[np.ndarray]):
+    import jax.numpy as jnp
+    from .hmm.bank import build_banks
+    from .hmm.align import posterior_pp_pairs, aligned_columns_from_pp
+    from .hmm.profile import configure
+
+    bank = build_banks([core], indices=[0], multihit=False, uniform=True)[0]
+    prof = configure(core, multihit=False)
+    Lmax = max(len(c) for c in codes)
+    chunk = max(1, int(2e8 / (4 * (Lmax + 1) * (bank.M_max + 1) * 2)))
+    out = []
+    args0 = (bank.em_odds, bank.t_mm, bank.t_mi, bank.t_md, bank.t_im,
+             bank.t_ii, bank.t_dm, bank.t_dd, bank.bm)
+    for s in range(0, len(codes), chunk):
+        batch = codes[s:s + chunk]
+        P = len(batch)
+        cmat = np.zeros((P, Lmax), np.int32)
+        lens = np.zeros(P, np.int32)
+        for t, c in enumerate(batch):
+            cmat[t, :len(c)] = c
+            lens[t] = len(c)
+        args = [jnp.asarray(np.repeat(a, P, axis=0)) for a in args0]
+        ppM, ppI, ppN, ppJ, ppC = posterior_pp_pairs(
+            *args, jnp.asarray(cmat), jnp.asarray(lens), multihit=False)
+        ppM = np.asarray(ppM); ppI = np.asarray(ppI)
+        ppN = np.asarray(ppN); ppJ = np.asarray(ppJ); ppC = np.asarray(ppC)
+        for t in range(P):
+            out.append(aligned_columns_from_pp(
+                prof, ppM[t], ppI[t], ppN[t], ppJ[t], ppC[t],
+                int(lens[t])))
+    return out
+
+
+class BackboneJob:
+    """Scenario A/B orchestration (reference BackboneJob equivalent)."""
+
+    def __init__(self, input_path: str, outdir: str,
+                 molecule: Optional[str] = None,
+                 backbone_size: int = 1000, seed: int = 0, log=None):
+        self.input_path = input_path
+        self.outdir = outdir
+        self.molecule = molecule
+        self.backbone_size = backbone_size
+        self.seed = seed
+        self.log = log or (lambda *_: None)
+
+    def run(self):
+        """Returns (backbone_aln_path, query_path, tree_path)."""
+        import os
+        records = [(n, s.upper()) for n, s in read_fasta(self.input_path)]
+        if self.molecule is None:
+            self.molecule = infer_datatype(records)
+        os.makedirs(self.outdir, exist_ok=True)
+        bb_path = os.path.join(self.outdir, "backbone.aln.fasta")
+        q_path = os.path.join(self.outdir, "queries.fasta")
+        tree_path = os.path.join(self.outdir, "backbone.tre")
+        if os.path.exists(bb_path) and os.path.exists(q_path) and \
+                os.path.exists(tree_path):
+            self.log("Reusing existing backbone artifacts")
+            return bb_path, q_path, tree_path
+        backbone, queries = select_backbone(records, self.backbone_size,
+                                            seed=self.seed)
+        self.log("Backbone: %d seqs; queries: %d"
+                 % (len(backbone), len(queries)))
+        aln = align_backbone([n for n, _ in backbone],
+                             [s for _, s in backbone],
+                             self.molecule, log=self.log)
+        aln.write(bb_path)
+        write_fasta(queries, q_path)
+        from .tree_estimate import estimate_tree
+        estimate_tree(aln, tree_path)
+        return bb_path, q_path, tree_path

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .align_ref import oa_fill, oa_trace
+from .align_ref import oa_columns_from_pp
 from .bank import ProfileBank
 from .profile import Profile
 
@@ -184,10 +184,4 @@ def aligned_columns_from_pp(prof: Profile, pp_M, pp_I, pp_N, pp_J, pp_C,
               N=np.asarray(pp_N[:qlen + 1], dtype=np.float64),
               J=np.asarray(pp_J[:qlen + 1], dtype=np.float64),
               C=np.asarray(pp_C[:qlen + 1], dtype=np.float64))
-    mx = oa_fill(prof, pp)
-    path = oa_trace(prof, pp, mx)
-    out = np.full(qlen, -1, dtype=np.int64)
-    for state, k, i in path:
-        if state == "M" and i > 0:
-            out[i - 1] = k - 1
-    return out
+    return oa_columns_from_pp(prof, pp)

