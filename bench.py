@@ -46,8 +46,8 @@ def main():
             bb.codes[rows][:, ret], bb.alphabet, "dna", name="A_0_%d" % i))
         cores.append(core)
         true_states += core.M
-    bank = build_banks(cores, indices=list(range(len(cores))),
-                       uniform=True)[0]
+    banks = build_banks(cores, indices=list(range(len(cores))),
+                        uniform=True, n_buckets=2)
 
     qcodes = [DNA.encode(s.upper())
               for _, s in read_fasta(data + "/unaligned_frag.fasta")]
@@ -59,7 +59,7 @@ def main():
         codes[i, :len(c)] = c
         lens[i] = len(c)
 
-    H = bank.H
+    H = sum(b.H for b in banks)
     total_pairs = Q * H
     true_cells = int(lens.sum()) * true_states
 
@@ -67,34 +67,47 @@ def main():
     if on_tpu:
         from witch_tpu.ops.pallas_forward import (bank_to_pallas_arrays,
                                                   pallas_forward_nats)
-        emT, trans = bank_to_pallas_arrays(bank)
         QT = 128
         Qpad = -(-Q // QT) * QT
         Lpad = -(-Lmax // 128) * 128
-        cp = np.zeros((Qpad, Lpad), np.int32)
+        cp = np.full((Qpad, Lpad), 4, np.int32)    # gap-coded padding
         cp[:Q, :Lmax] = codes
+        tailm = np.arange(Lmax)[None, :] >= lens[:, None]
+        cp[:Q, :Lmax][tailm] = 4
         lp = np.ones(Qpad, np.int32)
         lp[:Q] = lens
-        emTj = jnp.asarray(emT)
-        transj = jnp.asarray(trans)
         lpj = jnp.asarray(lp)
-        f = jax.jit(lambda c: pallas_forward_nats(emTj, transj, c, lpj,
-                                                  QT=QT).sum())
         cpj = jnp.asarray(cp)
+        devbanks = []
+        padded_cells = 0
+        for b in banks:
+            emT, trans = bank_to_pallas_arrays(b)
+            devbanks.append((jnp.asarray(emT), jnp.asarray(trans)))
+            padded_cells += Qpad * Lpad * (emT.shape[2])  * b.H
+
+        def run(c):
+            tot = jnp.float32(0.0)
+            for emTj, transj in devbanks:
+                tot += pallas_forward_nats(emTj, transj, c, lpj,
+                                           QT=QT).sum()
+            return tot
+        f = jax.jit(run)
         _ = np.asarray(f(cpj))                     # compile + warm
         reps = 3
         t0 = time.time()
         for _ in range(reps):
             _ = np.asarray(f(cpj))
         dt = (time.time() - t0) / reps
-        padded_cells = Qpad * Lpad * H * (bank.M_max + 1)
     else:
         from witch_tpu.hmm.forward import score_bank
-        _ = score_bank(bank, codes, lens, backend="xla")
+        for b in banks:
+            _ = score_bank(b, codes, lens, backend="xla")
         t0 = time.time()
-        _ = score_bank(bank, codes, lens, backend="xla")
+        padded_cells = 0
+        for b in banks:
+            _ = score_bank(b, codes, lens, backend="xla")
+            padded_cells += Q * Lmax * b.H * (b.M_max + 1)
         dt = time.time() - t0
-        padded_cells = Q * Lmax * H * (bank.M_max + 1)
 
     pairs_per_s = total_pairs / dt
     baseline_pairs_per_s = 70500 / (236.2 / 4)

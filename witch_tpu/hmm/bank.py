@@ -92,9 +92,30 @@ def bank_from_profiles(profiles: Sequence[Profile],
         multihit=profiles[0].multihit if profiles else True)
 
 
+def choose_bucket_edges(sizes, n_buckets: int = 2, align: int = 128):
+    """Pick padded-size bucket boundaries minimizing total padded states."""
+    import itertools
+    sizes = sorted(sizes)
+    cands = sorted({-(-m // align) * align for m in sizes})
+    top = cands[-1]
+    best = (None, float("inf"))
+    for combo in itertools.combinations(cands[:-1], n_buckets - 1):
+        edges = list(combo) + [top]
+        tot = 0
+        prev = 0
+        for e in edges:
+            n = sum(1 for m in sizes if prev < m <= e)
+            tot += n * e
+            prev = e
+        if tot < best[1]:
+            best = (edges, tot)
+    return best[0] or [top]
+
+
 def build_banks(cores: List[CoreHMM], indices: Sequence[int] = None,
                 multihit: bool = True, min_bucket: int = 64,
-                uniform: bool = False) -> List[ProfileBank]:
+                uniform: bool = False, n_buckets: int = 1
+                ) -> List[ProfileBank]:
     """Configure profiles and group them into size buckets.
 
     Returns a list of ProfileBanks, one per M bucket, each padded to the
@@ -108,10 +129,16 @@ def build_banks(cores: List[CoreHMM], indices: Sequence[int] = None,
         indices = list(range(len(cores)))
     buckets = {}
     if uniform and cores:
-        mmax = max(core.M for core in cores)
-        b = -(-mmax // 128) * 128
-        buckets[b] = list(zip(indices, cores))
-        # fall through to the common path below
+        if n_buckets <= 1:
+            mmax = max(core.M for core in cores)
+            edges = [-(-mmax // 128) * 128]
+        else:
+            edges = choose_bucket_edges([c.M for c in cores], n_buckets)
+        for idx, core in zip(indices, cores):
+            for e in edges:
+                if core.M <= e:
+                    buckets.setdefault(e, []).append((idx, core))
+                    break
     for idx, core in ([] if uniform else zip(indices, cores)):
         b = _pad_pow2ish(core.M, min_bucket)
         buckets.setdefault(b, []).append((idx, core))

@@ -27,8 +27,8 @@ from jax.experimental.pallas import tpu as pltpu
 SCALE_FLOOR = 1e-30
 
 
-def _forward_kernel(codes_ref, qlens_ref, emT_ref, trans_ref, out_ref,
-                    *, L, Mp, QT, NQT, n_dbl):
+def _forward_kernel(codes_ref, qlens_ref, emT_hi_ref, emT_lo_ref,
+                    trans_ref, out_ref, *, L, Mp, QT, NQT, n_dbl):
     t_mm = trans_ref[0, 0:1, :]
     t_mi = trans_ref[0, 1:2, :]
     t_md = trans_ref[0, 2:3, :]
@@ -67,16 +67,22 @@ def _forward_kernel(codes_ref, qlens_ref, emT_ref, trans_ref, out_ref,
                 [jnp.ones((QT, 1), jnp.float32), pmove,
                  jnp.zeros((QT, 6), jnp.float32)], axis=1)
 
-            def step_one(i, x_row):
+            def step_one(x_row):
                 # x_row [1, QT]: this residue for the tile's queries (lanes);
                 # one-hot built transposed [code, query] — no transpose needed
                 onehotT = (jax.lax.broadcasted_iota(
-                    jnp.int32, (128, QT), 0) == x_row).astype(jnp.float32)
-                e = jax.lax.dot_general(
-                    onehotT, emT_ref[0],
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)       # [QT, Mp]
+                    jnp.int32, (128, QT), 0) == x_row).astype(jnp.bfloat16)
+                # exact emission select via two bf16 matmuls: the one-hot
+                # side is exact in bf16, and emT is pre-split hi+lo so the
+                # f32 values are reconstructed exactly (3x cheaper than a
+                # 6-pass f32 HIGHEST matmul)
+                dn = (((0,), (0,)), ((), ()))
+                e = (jax.lax.dot_general(
+                        onehotT, emT_hi_ref[0], dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(
+                        onehotT, emT_lo_ref[0], dimension_numbers=dn,
+                        preferred_element_type=jnp.float32))  # [QT, Mp]
                 Mv, Iv, Dv = scM[...], scI[...], scD[...]
                 S = scS[...]
                 N = S[:, 0:1]
@@ -102,17 +108,15 @@ def _forward_kernel(codes_ref, qlens_ref, emT_ref, trans_ref, out_ref,
                     jnp.max(Mrow, axis=1, keepdims=True),
                     jnp.maximum(Cn, jnp.maximum(Nn, SCALE_FLOOR)))
                 inv = 1.0 / scale
-                keep = (i < qlens).astype(jnp.float32)
-                nk = 1.0 - keep
-                scM[...] = Mrow * inv * keep + Mv * nk
-                scI[...] = Irow * inv * keep + Iv * nk
-                scD[...] = D * inv * keep + Dv * nk
+                # no per-row length masking: padding residues use a
+                # zero-emission code, so M/I/D die and C only picks up
+                # ploop factors, corrected analytically by the caller
+                scM[...] = Mrow * inv
+                scI[...] = Irow * inv
+                scD[...] = D * inv
                 news = jnp.concatenate(
-                    [Nn * inv * keep + N * nk,
-                     Bn * inv * keep + B * nk,
-                     Jn * inv * keep + J * nk,
-                     Cn * inv * keep + C * nk,
-                     logs + jnp.log(scale) * keep,
+                    [Nn * inv, Bn * inv, Jn * inv, Cn * inv,
+                     logs + jnp.log(scale),
                      jnp.zeros((QT, 3), jnp.float32)], axis=1)
                 scS[...] = news
                 return ()
@@ -122,7 +126,7 @@ def _forward_kernel(codes_ref, qlens_ref, emT_ref, trans_ref, out_ref,
                 base = pl.multiple_of(blk * 8, 8)
                 rows = codes_ref[pl.ds(base, 8), pl.ds(qstart, QT)]
                 for j in range(8):
-                    step_one(base + j, rows[j:j + 1, :])
+                    step_one(rows[j:j + 1, :])
                 return ()
 
             jax.lax.fori_loop(0, L // 8, step_block, (), unroll=False)
@@ -144,9 +148,11 @@ def _forward_kernel(codes_ref, qlens_ref, emT_ref, trans_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=("QT", "interpret"))
 def pallas_forward_nats(emT, trans, codes, qlens, QT=128, interpret=False):
-    """Forward scores (nats): emT [H,128,Mp], trans [H,8,Mp],
+    """Forward scores (nats): emT [H,128,Mp] float32, trans [H,8,Mp],
     codes [Q, L] int32 (Q multiple of QT), qlens [Q]. Returns [Q, H]."""
     H, _, Mp = emT.shape
+    emT_hi = emT.astype(jnp.bfloat16)
+    emT_lo = (emT - emT_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     Q, L = codes.shape
     NQT = Q // QT
     n_dbl = max(1, int(np.ceil(np.log2(max(2, Mp)))))
@@ -161,6 +167,8 @@ def pallas_forward_nats(emT, trans, codes, qlens, QT=128, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128, Mp), lambda h: (h, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128, Mp), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, Mp), lambda h: (h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -170,7 +178,7 @@ def pallas_forward_nats(emT, trans, codes, qlens, QT=128, interpret=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(codes.T, qlens[:, None], emT, trans)
+    )(codes.T, qlens[:, None], emT_hi, emT_lo, trans)
     return out.reshape(H, Q).T
 
 
@@ -190,20 +198,35 @@ def bank_to_pallas_arrays(bank):
 
 
 def pallas_forward_bits(bank, codes: np.ndarray, qlens: np.ndarray,
-                        QT: int = 128, interpret: bool = False) -> np.ndarray:
-    """Null1-corrected pre-score bits [Q, H] via the Pallas kernel."""
+                        QT: int = 128, interpret: bool = False,
+                        pad_code: int = None) -> np.ndarray:
+    """Null1-corrected pre-score bits [Q, H] via the Pallas kernel.
+
+    Padding residues use the gap code (zero emission odds in every model);
+    their spurious C-state ploop factors are removed analytically."""
     emT, trans = bank_to_pallas_arrays(bank)
+    if pad_code is None:
+        # gap column: all-zero emission odds in every model
+        gaps = np.where((np.abs(emT).sum(axis=(0, 2)) == 0))[0]
+        pad_code = int(gaps[0]) if len(gaps) else 4
     Q, L = codes.shape
     Qpad = -(-Q // QT) * QT
     Lpad = -(-L // 128) * 128
-    cp = np.zeros((Qpad, Lpad), np.int32)
+    cp = np.full((Qpad, Lpad), pad_code, np.int32)
     cp[:Q, :L] = codes
+    # positions beyond each query's own length must be gap-coded too
+    tail = np.arange(L)[None, :] >= qlens[:, None]
+    cp[:Q, :L][tail] = pad_code
     lp = np.ones(Qpad, np.int32)
     lp[:Q] = qlens
     nats = np.asarray(pallas_forward_nats(
         jnp.asarray(emT), jnp.asarray(trans), jnp.asarray(cp),
         jnp.asarray(lp), QT=QT, interpret=interpret))[:Q]
     L_f = qlens.astype(np.float64)
+    # remove the padding rows' C-loop decay: C picked up (Lpad - qlen)
+    # extra ploop factors
+    ploop = 1.0 - 3.0 / (L_f + 3.0)
+    nats = nats - ((Lpad - L_f) * np.log(ploop))[:, None]
     p1 = L_f / (L_f + 1.0)
     null1 = (L_f * np.log(p1) + np.log(1.0 - p1)) / np.log(2.0)
     return nats / np.log(2.0) - null1[:, None]

@@ -62,7 +62,8 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
     """
     indices = ens.indices
     cores = [ens.cores[i] for i in indices]
-    banks = build_banks(cores, indices=indices, uniform=True)
+    banks = build_banks(cores, indices=indices, uniform=True,
+                        n_buckets=2)
     col_of = {idx: j for j, idx in enumerate(indices)}
 
     Q = len(qcodes)
