@@ -116,3 +116,56 @@ def test_real_backbone_subset(hmmbuild_bin, example_data, tmp_path):
     fasta = tmp_path / "sub.fasta"
     sub2.write(str(fasta))
     _assert_parity(fasta, hmmbuild_bin, tmp_path)
+
+
+def _assert_parity_mol(fasta, hmmbuild_bin, tmp_path, mol, flag, atol):
+    out = tmp_path / "ref_mol.hmm"
+    subprocess.run(
+        [hmmbuild_bin, "--cpu", "1", flag, "--ere", "0.59",
+         "--symfrac", "0.0", "--informat", "afa", "-o", "/dev/null",
+         str(out), str(fasta)], check=True, capture_output=True)
+    ref = read_hmm(str(out))
+    aln = PackedAlignment.from_fasta(str(fasta), molecule=mol)
+    mine = build_hmm(aln.codes, aln.alphabet, mol)
+    assert abs(ref.effn - mine.effn) < 1e-4
+    np.testing.assert_allclose(mine.match_emissions[1:],
+                               ref.match_emissions[1:], atol=atol)
+    np.testing.assert_allclose(mine.trans, ref.trans, atol=1e-5)
+    np.testing.assert_allclose(mine.insert_emissions, ref.insert_emissions,
+                               atol=1e-5)
+
+
+def test_amino_parity(hmmbuild_bin, tmp_path):
+    rng = np.random.default_rng(3)
+    AA = np.array(list("ACDEFGHIKLMNPQRSTVWY"))
+    base = AA[rng.integers(0, 20, 120)]
+    rows = []
+    for _ in range(30):
+        s = base.copy()
+        mut = rng.random(120) < 0.25
+        s[mut] = AA[rng.integers(0, 20, mut.sum())]
+        gap = rng.random(120) < 0.08
+        s = np.where(gap, "-", s)
+        rows.append("".join(s))
+    fasta = tmp_path / "aa.fasta"
+    _write(fasta, rows)
+    # emissions limited by the fitted Blocks9 accuracy (~5e-5)
+    _assert_parity_mol(fasta, hmmbuild_bin, tmp_path, "amino", "--amino",
+                       1e-4)
+
+
+def test_rna_parity(hmmbuild_bin, tmp_path):
+    rng = np.random.default_rng(4)
+    RNA = np.array(list("ACGU"))
+    base = RNA[rng.integers(0, 4, 150)]
+    rows = []
+    for _ in range(25):
+        s = base.copy()
+        mut = rng.random(150) < 0.2
+        s[mut] = RNA[rng.integers(0, 4, mut.sum())]
+        gap = rng.random(150) < 0.1
+        s = np.where(gap, "-", s)
+        rows.append("".join(s))
+    fasta = tmp_path / "rna.fasta"
+    _write(fasta, rows)
+    _assert_parity_mol(fasta, hmmbuild_bin, tmp_path, "rna", "--rna", 1e-5)

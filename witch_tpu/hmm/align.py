@@ -66,13 +66,14 @@ def _posterior_one(em_odds, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd, bm,
                Jn * inv, Cn * inv, ls + jnp.log(scale))
         keep = i < qlen
         out = tuple(jnp.where(keep, n, c) for n, c in zip(new, carry))
-        return out, out
+        return out, out + (jnp.where(keep, E * inv, 0.0),)
 
     z = jnp.zeros((Mp1,), jnp.float32)
     init = (z, z, z, jnp.float32(1.0), pmove, jnp.float32(0.0),
             jnp.float32(0.0), jnp.float32(0.0))
     (fM_f, fI_f, fD_f, fN_f, fB_f, fJ_f, fC_f, fs_f), ys = jax.lax.scan(
         fstep, init, (codes, jnp.arange(Lmax)))
+    fE = jnp.concatenate([jnp.zeros((1,), jnp.float32), ys[8]])
     fM = jnp.concatenate([init[0][None], ys[0]])      # [L+1, Mp1]
     fI = jnp.concatenate([init[1][None], ys[1]])
     fD = jnp.concatenate([init[2][None], ys[2]])
@@ -115,7 +116,9 @@ def _posterior_one(em_odds, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd, bm,
                Cv * inv, ls + jnp.log(scale))
         # freeze rows at/after qlen: they correspond to padding
         out = tuple(jnp.where(is_last, c, n) for n, c in zip(new, carry))
-        return out, out
+        extras = (jnp.where(is_last, 0.0, Bv * inv),
+                  jnp.where(is_last, 0.0, Ev * inv))
+        return out, out + extras
 
     # init at row L=qlen: C=move, E=C*e_move, D/M rows via chain with
     # Mnext=0. Implement by starting carry "beyond" the end with C=move
@@ -139,6 +142,8 @@ def _posterior_one(em_odds, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd, bm,
     bJ = jnp.concatenate([bys[4], jnp.float32(0.0)[None]])
     bC = jnp.concatenate([bys[5], jnp.float32(pmove)[None]])
     bs = jnp.concatenate([bys[6], jnp.float32(0.0)[None]])
+    bB = jnp.concatenate([bys[7], jnp.float32(0.0)[None]])
+    bE = jnp.concatenate([bys[8], (pmove * e_move)[None]])
     # NOTE: rows between qlen and Lmax hold frozen init values; the host
     # consumer slices to qlen.
 
@@ -160,7 +165,11 @@ def _posterior_one(em_odds, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd, bm,
                             fJ[:-1] * ploop * bJ[1:] * fac1])
     pp_C = jnp.concatenate([jnp.zeros((1,), jnp.float32),
                             fC[:-1] * ploop * bC[1:] * fac1])
-    return pp_M, pp_I, pp_N, pp_J, pp_C
+    # B/E state posteriors (state occupancy at row i)
+    factor1 = jnp.exp(logf + logb - logZ)
+    pp_B = fB * bB * factor1
+    pp_E = fE * bE * factor1
+    return pp_M, pp_I, pp_N, pp_J, pp_C, pp_B, pp_E
 
 
 @functools.partial(jax.jit, static_argnames=("multihit",))
@@ -171,7 +180,7 @@ def posterior_pp_pairs(em_odds, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd,
     f = jax.vmap(_posterior_one,
                  in_axes=(0,) * 9 + (0, 0, None))
     return f(em_odds, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd, bm,
-             codes, qlens, multihit)
+             codes, qlens, multihit)[:5]
 
 
 def aligned_columns_from_pp(prof: Profile, pp_M, pp_I, pp_N, pp_J, pp_C,

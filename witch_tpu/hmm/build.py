@@ -23,7 +23,8 @@ from typing import List, Optional
 import numpy as np
 
 from ..core.alphabet import Alphabet
-from .priors import (MixtureDirichlet, TransitionPrior, get_emission_prior,
+from .priors import (MixtureDirichlet, TransitionPrior, get_background,
+                     get_emission_prior, get_insert_emissions,
                      get_transition_prior, uniform_background)
 
 # transition column order, matching the HMM text format row
@@ -214,12 +215,14 @@ def collect_counts_fast(codes: np.ndarray, alphabet: Alphabet,
 
 def estimate_parameters(ecounts: np.ndarray, tcounts: np.ndarray,
                         eprior: MixtureDirichlet, tprior: TransitionPrior,
-                        K: int) -> CoreHMM:
+                        K: int, ins_em: np.ndarray = None) -> CoreHMM:
     """Posterior-mean parameter estimation from (possibly scaled) counts."""
     M = ecounts.shape[0] - 1
     mat = np.zeros((M + 1, K))
     mat[1:] = eprior.posterior_mean(ecounts[1:])
-    ins = np.tile(uniform_background(K), (M + 1, 1))
+    if ins_em is None:
+        ins_em = uniform_background(K)
+    ins = np.tile(ins_em, (M + 1, 1))
 
     trans = np.zeros((M + 1, 7))
     # match transitions, nodes 0..M-1 (node M handled specially)
@@ -256,12 +259,14 @@ def entropy_target(M: int, ere: float, esigma: float = 45.0) -> float:
 
 def entropy_weight(ecounts: np.ndarray, tcounts: np.ndarray, nseq: int,
                    etarget: float, eprior: MixtureDirichlet, K: int,
-                   tol: float = 1e-3, max_iter: int = 100) -> float:
+                   tol: float = 1e-3, max_iter: int = 100,
+                   bg: np.ndarray = None) -> float:
     """Find neff such that MRE(counts * neff/nseq) == etarget (bisection).
 
     Returns nseq when the target is already met at full counts.
     """
-    bg = uniform_background(K)
+    if bg is None:
+        bg = uniform_background(K)
 
     def mre_at(neff: float) -> float:
         scale = neff / nseq
@@ -306,14 +311,18 @@ def build_hmm(codes: np.ndarray, alphabet: Alphabet, molecule: str,
     weights = pb_weights_fast(codes, K)
     ecounts, tcounts = collect_counts_fast(codes, alphabet, weights,
                                            fragthresh)
+    bg = get_background(molecule)
     effn = float(n)
     if use_eent:
         etarget = entropy_target(M, ere, esigma)
-        effn = entropy_weight(ecounts, tcounts, n, etarget, eprior, K)
+        effn = entropy_weight(ecounts, tcounts, n, etarget, eprior, K,
+                              bg=bg)
         scale = effn / n
         ecounts = ecounts * scale
         tcounts = tcounts * scale
-    mat, ins, trans = estimate_parameters(ecounts, tcounts, eprior, tprior, K)
+    mat, ins, trans = estimate_parameters(
+        ecounts, tcounts, eprior, tprior, K,
+        ins_em=get_insert_emissions(molecule))
 
     # consensus letters: strongest residue; uppercase if p > 0.5
     # (HMMER uses >= 0.5 for single-letter alphabets? calibrated in tests)

@@ -38,9 +38,12 @@ def forward_lambda(core: CoreHMM) -> float:
 
 
 def random_calibration_seqs(K: int, seed: int = CAL_SEED,
-                            n: int = CAL_N, L: int = CAL_L) -> np.ndarray:
+                            n: int = CAL_N, L: int = CAL_L,
+                            bg=None) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    return rng.integers(0, K, size=(n, L)).astype(np.int32)
+    if bg is None:
+        return rng.integers(0, K, size=(n, L)).astype(np.int32)
+    return rng.choice(K, size=(n, L), p=np.asarray(bg)).astype(np.int32)
 
 
 def tau_from_scores(sim_bits: np.ndarray, lam: float,

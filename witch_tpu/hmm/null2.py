@@ -1,0 +1,124 @@
+"""Batched null2 bias correction on device.
+
+Computes hmmsearch's biased-composition seqbias for a set of
+(query, HMM) pairs in two device passes with only [L]-sized transfers
+(the device->host link can be very slow):
+
+  pass 1: multihit posterior -> flank posteriors ppN/ppJ/ppC [P, L+1]
+  host:   mocc -> region detection -> mocc-trimmed envelope masks
+  pass 2: posterior recomputed on device; state-usage reduced over the
+          envelope mask into the null2 odds -> n2sum scalars [P]
+
+The isolated-domain rescoring of the binary is approximated by the
+whole-sequence posterior restricted to the trimmed envelope (residual
+deltas quantified in docs/CALIBRATION.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .align import _posterior_one
+from .domaindef import find_regions
+from .bank import ProfileBank
+
+TRIM_THETA = 0.5
+OMEGA = 1.0 / 256.0
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _flank_pairs(em_odds, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd, bm,
+                 codes, qlens):
+    def one(eo, a, b, c, d, e, f, g, h, cd, ql):
+        ppM, ppI, ppN, ppJ, ppC, ppB, ppE = _posterior_one(
+            eo, a, b, c, d, e, f, g, h, cd, ql, True)
+        return ppN + ppJ + ppC, ppB, ppE
+    return jax.vmap(one, in_axes=(0,) * 9 + (0, 0))(
+        em_odds, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd, bm,
+        codes, qlens)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _n2sum_pairs(em_odds, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd, bm,
+                 codes, qlens, env_mask):
+    """env_mask [P, Lmax+1] in {0,1}: rows inside the trimmed envelope."""
+    def one(eo, a, b, c, d, e, f, g, h, cd, ql, em):
+        ppM, ppI = _posterior_one(
+            eo, a, b, c, d, e, f, g, h, cd, ql, True)[:2]
+        useM = (ppM * em[:, None]).sum(axis=0)       # [Mp+1]
+        useI = (ppI * em[:, None]).sum(axis=0)
+        Ld = em.sum()
+        total = useM.sum() + useI.sum()
+        xocc = jnp.maximum(Ld - total, 0.0)
+        null2 = useM @ eo + useI.sum() + xocc        # [num_codes]
+        null2 = null2 / jnp.maximum(Ld, 1e-9)
+        n2 = jnp.log(jnp.maximum(null2, 1e-30))
+        return (n2[cd] * em[1:]).sum()
+    return jax.vmap(one, in_axes=(0,) * 9 + (0, 0, 0))(
+        em_odds, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd, bm,
+        codes, qlens, env_mask)
+
+
+def seq_bias_batch(banks: List[ProfileBank],
+                   pairs: List[Tuple[int, np.ndarray]],
+                   chunk: int = 32) -> np.ndarray:
+    """seqbias (bits) per (hmm_idx, query codes) pair, batched on device.
+
+    banks: the multihit score banks covering all hmm indices in pairs.
+    """
+    row_of = {}
+    for bi, b in enumerate(banks):
+        for r, idx in enumerate(b.hmm_indices):
+            row_of[int(idx)] = (bi, r)
+    out = np.zeros(len(pairs))
+    Lmax = max(len(c) for _, c in pairs)
+    # group pairs by bank
+    by_bank: Dict[int, List[int]] = {}
+    for p, (idx, _) in enumerate(pairs):
+        by_bank.setdefault(row_of[idx][0], []).append(p)
+    for bi, plist in by_bank.items():
+        b = banks[bi]
+        args0 = (b.em_odds, b.t_mm, b.t_mi, b.t_md, b.t_im, b.t_ii,
+                 b.t_dm, b.t_dd, b.bm)
+        for s in range(0, len(plist), chunk):
+            sel = plist[s:s + chunk]
+            P = chunk if len(plist) > chunk else len(sel)
+            rows = np.array([row_of[pairs[p][0]][1] for p in sel] +
+                            [row_of[pairs[sel[0]][0]][1]] * (P - len(sel)))
+            cm = np.zeros((P, Lmax), np.int32)
+            lens = np.ones(P, np.int32)
+            for t, p in enumerate(sel):
+                c = pairs[p][1]
+                cm[t, :len(c)] = c
+                lens[t] = len(c)
+            args = [jnp.asarray(a[rows]) for a in args0]
+            cmj = jnp.asarray(cm)
+            lj = jnp.asarray(lens)
+            flank_j, ppB_j, ppE_j = _flank_pairs(*args, cmj, lj)
+            flank = np.asarray(flank_j)
+            ppB_h = np.asarray(ppB_j)
+            ppE_h = np.asarray(ppE_j)
+            env = np.zeros((P, Lmax + 1), np.float32)
+            for t, p in enumerate(sel):
+                L = len(pairs[p][1])
+                mocc = 1.0 - flank[t, :L + 1]
+                mocc[0] = 0.0
+                regions = find_regions(mocc, ppB_h[t, :L + 1],
+                                       ppE_h[t, :L + 1])
+                for (a, bnd) in regions:
+                    core = np.flatnonzero(mocc[a:bnd + 1] >= TRIM_THETA)
+                    if core.size == 0:
+                        continue
+                    a2, b2 = a + int(core[0]), a + int(core[-1])
+                    env[t, a2:b2 + 1] = 1.0
+            n2 = np.asarray(_n2sum_pairs(*args, cmj, lj,
+                                         jnp.asarray(env)))
+            for t, p in enumerate(sel):
+                out[p] = float(np.logaddexp(0.0, np.log(OMEGA) + n2[t])
+                               / np.log(2.0))
+    return out

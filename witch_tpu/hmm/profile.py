@@ -80,11 +80,12 @@ def configure(core: CoreHMM, multihit: bool = True) -> Profile:
     unihit local 'sw' via multihit=False)."""
     M, K = core.M, core.K
     alphabet = ALPHABETS[core.molecule]
-    bg = 1.0 / K
+    from .priors import get_background
+    bg = get_background(core.molecule)
 
     with np.errstate(divide="ignore"):
         # canonical log-odds emission scores
-        lodds = np.log(core.match_emissions / bg)     # [M+1, K]
+        lodds = np.log(core.match_emissions / bg[None, :])   # [M+1, K]
     lodds[0] = -np.inf
     # degenerate residue scores: expected score over members weighted by
     # background (esl_abc_FExpectScVec semantics — average of SCORES)
@@ -95,9 +96,8 @@ def configure(core: CoreHMM, multihit: bool = True) -> Profile:
     gap = alphabet.gap_code
     for c in range(K + 1, num_codes):
         members = expand[c] > 0
-        # uniform bg: plain average of member scores
-        msc[1:, c] = lodds[1:, members].mean(axis=1)
-    msc[:, gap] = -np.inf
+        w = bg[members] / bg[members].sum()
+        msc[1:, c] = lodds[1:, members] @ w
 
     isc = np.zeros((M + 1, num_codes))                # H3: insert scores = 0
     isc[:, gap] = -np.inf

@@ -199,34 +199,43 @@ def bank_to_pallas_arrays(bank):
 
 def pallas_forward_bits(bank, codes: np.ndarray, qlens: np.ndarray,
                         QT: int = 128, interpret: bool = False,
-                        pad_code: int = None) -> np.ndarray:
+                        pad_code: int = None,
+                        q_block: int = 512) -> np.ndarray:
     """Null1-corrected pre-score bits [Q, H] via the Pallas kernel.
 
     Padding residues use the gap code (zero emission odds in every model);
-    their spurious C-state ploop factors are removed analytically."""
+    their spurious C-state ploop factors are removed analytically.
+    Queries are processed in fixed-size blocks so any Q reuses one
+    compiled kernel shape.
+    """
     emT, trans = bank_to_pallas_arrays(bank)
     if pad_code is None:
         # gap column: all-zero emission odds in every model
         gaps = np.where((np.abs(emT).sum(axis=(0, 2)) == 0))[0]
         pad_code = int(gaps[0]) if len(gaps) else 4
     Q, L = codes.shape
-    Qpad = -(-Q // QT) * QT
+    emTj = jnp.asarray(emT)
+    transj = jnp.asarray(trans)
     Lpad = -(-L // 128) * 128
-    cp = np.full((Qpad, Lpad), pad_code, np.int32)
-    cp[:Q, :L] = codes
-    # positions beyond each query's own length must be gap-coded too
-    tail = np.arange(L)[None, :] >= qlens[:, None]
-    cp[:Q, :L][tail] = pad_code
-    lp = np.ones(Qpad, np.int32)
-    lp[:Q] = qlens
-    nats = np.asarray(pallas_forward_nats(
-        jnp.asarray(emT), jnp.asarray(trans), jnp.asarray(cp),
-        jnp.asarray(lp), QT=QT, interpret=interpret))[:Q]
-    L_f = qlens.astype(np.float64)
-    # remove the padding rows' C-loop decay: C picked up (Lpad - qlen)
-    # extra ploop factors
-    ploop = 1.0 - 3.0 / (L_f + 3.0)
-    nats = nats - ((Lpad - L_f) * np.log(ploop))[:, None]
-    p1 = L_f / (L_f + 1.0)
-    null1 = (L_f * np.log(p1) + np.log(1.0 - p1)) / np.log(2.0)
-    return nats / np.log(2.0) - null1[:, None]
+    outs = []
+    for s in range(0, Q, q_block):
+        n = min(q_block, Q - s)
+        Qpad = q_block if Q > q_block else -(-n // QT) * QT
+        cp = np.full((Qpad, Lpad), pad_code, np.int32)
+        cp[:n, :L] = codes[s:s + n]
+        tail = np.arange(L)[None, :] >= qlens[s:s + n, None]
+        cp[:n, :L][tail] = pad_code
+        lp = np.ones(Qpad, np.int32)
+        lp[:n] = qlens[s:s + n]
+        nats = np.asarray(pallas_forward_nats(
+            emTj, transj, jnp.asarray(cp), jnp.asarray(lp),
+            QT=QT, interpret=interpret))[:n]
+        L_f = qlens[s:s + n].astype(np.float64)
+        # remove the padding rows' C-loop decay: C picked up
+        # (Lpad - qlen) extra ploop factors
+        ploop = 1.0 - 3.0 / (L_f + 3.0)
+        nats = nats - ((Lpad - L_f) * np.log(ploop))[:, None]
+        p1 = L_f / (L_f + 1.0)
+        null1 = (L_f * np.log(p1) + np.log(1.0 - p1)) / np.log(2.0)
+        outs.append(nats / np.log(2.0) - null1[:, None])
+    return np.concatenate(outs, axis=0)

@@ -93,7 +93,30 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
             lam = forward_lambda(ens.cores[int(idx)])
             tau[col] = tau_from_scores(sim[:, j], lam)
     valid = pre >= tau[None, :]
-    reported = np.round(pre - BIAS_FLOOR_BITS, 1)
+    # null2 bias: exact-ish correction for the pairs that can influence
+    # weights (each query's top candidates); omega-floor for the rest
+    reported = pre - BIAS_FLOOR_BITS
+    try:
+        from .hmm.null2 import seq_bias_batch
+        TOPT = min(18, H)
+        pairs = []
+        locs = []
+        for q in range(Q):
+            v = np.flatnonzero(valid[q])
+            if v.size == 0:
+                continue
+            top = v[np.argsort(-pre[q, v], kind="stable")[:TOPT]]
+            for j in top:
+                pairs.append((int(indices[j]), qcodes[q]))
+                locs.append((q, j))
+        if pairs:
+            bias = seq_bias_batch(banks, pairs)
+            for (q, j), bb in zip(locs, bias):
+                reported[q, j] = pre[q, j] - bb
+    except Exception as e:
+        Configs.warning("null2 correction unavailable (%s); "
+                        "using omega floor" % e)
+    reported = np.round(reported, 1)
     return reported, valid, indices, tau
 
 
