@@ -160,3 +160,20 @@ def test_parse_query_row_counts():
     assert runs == {0: "xx", 3: "y"}
     with pytest.raises(ValueError):
         parse_query_row("AG", 3)
+
+
+def test_gcm_mode_agrees_on_clean_cases():
+    from witch_tpu.ops.gcm import gcm_align_query_row, mcl
+    ac = np.array([0, 1, 2, 3])
+    retained = np.array([2, 3, 4, 5])
+    nongaps = np.array([3, 3, 3, 3])
+    per = [(ac, retained, nongaps, 1.0)]
+    assert gcm_align_query_row("ACGT", 8, per) == \
+        align_query_row("ACGT", 8, per)
+    # MCL pairs up a clean bipartite matching
+    adj = np.zeros((4, 4))
+    adj[0, 2] = adj[2, 0] = 2.0
+    adj[1, 3] = adj[3, 1] = 3.0
+    labels = mcl(adj)
+    assert labels[0] == labels[2] and labels[1] == labels[3]
+    assert labels[0] != labels[1]

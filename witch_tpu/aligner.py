@@ -137,8 +137,11 @@ def align_all_queries(ens: Ensemble, qnames, qseqs, qcodes,
                       weights: Dict[str, tuple], backbone_length: int,
                       use_weight: bool = True, backend: str = "auto",
                       n_workers: int = 1, done: Optional[Dict[str, str]] = None,
-                      checkpoint_cb=None):
-    """Returns (rows [(name, row)], ignored names)."""
+                      checkpoint_cb=None, mode: str = "witch-ng"):
+    """Returns (rows [(name, row)], ignored names).
+
+    mode='old-witch' merges with the GCM/MCL path (ops.gcm) instead of
+    the witch-ng banded DP."""
     done = done or {}
     selections, ignored = select_pairs(qnames, weights, use_weight)
 
@@ -171,6 +174,10 @@ def align_all_queries(ens: Ensemble, qnames, qseqs, qcodes,
         cols = aligner.aligned_columns_batch(pair_list)
         cols_of = dict(zip(keys, cols))
 
+    if mode == "old-witch":
+        from .ops.gcm import gcm_align_query_row as merge_fn
+    else:
+        merge_fn = align_query_row
     for qname in todo_names:
         qi = name_to_i[qname]
         per_hmm = []
@@ -178,7 +185,7 @@ def align_all_queries(ens: Ensemble, qnames, qseqs, qcodes,
             per_hmm.append((cols_of[(qname, idx)],
                             ens.retained_columns[idx],
                             ens.nongaps_per_column[idx], float(w)))
-        row = align_query_row(qseqs[qi], backbone_length, per_hmm)
+        row = merge_fn(qseqs[qi], backbone_length, per_hmm)
         if not row:
             ignored.append(qname)
             continue

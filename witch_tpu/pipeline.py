@@ -163,7 +163,8 @@ def align_queries(ens: Ensemble, qnames, qseqs, qcodes,
                              backbone_length,
                              use_weight=Configs.use_weight,
                              backend=backend, n_workers=n_workers,
-                             done=done, checkpoint_cb=checkpoint_cb)
+                             done=done, checkpoint_cb=checkpoint_cb,
+                             mode=Configs.mode)
 
 
 def read_checkpoint(path: str) -> Dict[str, str]:
@@ -182,7 +183,8 @@ def main_alignment_process(args=None):
     t_start = time.time()
     molecule = Configs.molecule
     if molecule is None:
-        src = Configs.backbone_path or Configs.query_path
+        src = (Configs.backbone_path or Configs.query_path
+               or Configs.input_path)
         molecule = infer_datatype(read_fasta(src, remove_gaps=True))
         Configs.log("Inferred molecule type: {}".format(molecule))
     alphabet = ALPHABETS[molecule]
