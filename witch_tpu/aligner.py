@@ -86,7 +86,9 @@ class DeviceAligner:
                               ) -> List[np.ndarray]:
         """pairs: (hmm_idx, query codes). Returns aligned columns list."""
         import jax.numpy as jnp
-        from .hmm.align import posterior_pp_pairs, aligned_columns_from_pp
+        from .hmm.align import (posterior_pp_pairs_sparse,
+                                densify_sparse_pp)
+        from .hmm.align_ref import oa_columns_from_pp
 
         self._ensure_banks([i for i, _ in pairs])
         out: List[Optional[np.ndarray]] = [None] * len(pairs)
@@ -116,20 +118,33 @@ class DeviceAligner:
                 args = [jnp.asarray(a[rows]) for a in
                         (b.em_odds, b.t_mm, b.t_mi, b.t_md, b.t_im,
                          b.t_ii, b.t_dm, b.t_dd, b.bm)]
-                ppM, ppI, ppN, ppJ, ppC = posterior_pp_pairs(
+                vM, iM, vI, iI, ppN, ppJ, ppC = posterior_pp_pairs_sparse(
                     *args, jnp.asarray(codes), jnp.asarray(lens),
                     multihit=False)
-                ppM = np.asarray(ppM)
-                ppI = np.asarray(ppI)
+                vM = np.asarray(vM)
+                iM = np.asarray(iM)
+                vI = np.asarray(vI)
+                iI = np.asarray(iI)
                 ppN = np.asarray(ppN)
                 ppJ = np.asarray(ppJ)
                 ppC = np.asarray(ppC)
+                Mp1 = b.em_odds.shape[1]
                 for t, p in enumerate(chunk):
                     idx = pairs[p][0]
                     qlen = int(lens[t])
-                    out[p] = aligned_columns_from_pp(
-                        self.profile(idx), ppM[t], ppI[t], ppN[t],
-                        ppJ[t], ppC[t], qlen)
+                    prof = self.profile(idx)
+                    M = prof.M
+                    dM, dI = densify_sparse_pp(vM[t], iM[t], vI[t], iI[t],
+                                               Mp1)
+                    pp = dict(M=dM[:qlen + 1, :M + 1],
+                              I=dI[:qlen + 1, :M + 1],
+                              N=np.asarray(ppN[t][:qlen + 1],
+                                           dtype=np.float64),
+                              J=np.asarray(ppJ[t][:qlen + 1],
+                                           dtype=np.float64),
+                              C=np.asarray(ppC[t][:qlen + 1],
+                                           dtype=np.float64))
+                    out[p] = oa_columns_from_pp(prof, pp)[:qlen]
         return out  # type: ignore
 
 

@@ -183,6 +183,35 @@ def posterior_pp_pairs(em_odds, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd,
              codes, qlens, multihit)[:5]
 
 
+@functools.partial(jax.jit, static_argnames=("multihit", "topk"))
+def posterior_pp_pairs_sparse(em_odds, t_mm, t_mi, t_md, t_im, t_ii,
+                              t_dm, t_dd, bm, codes, qlens,
+                              multihit=False, topk=64):
+    """Sparse posterior decode: per row, the top-k M/I posteriors and
+    their state indices (device->host transfer shrinks ~40x; values
+    below the top-k are numerically irrelevant to OA decisions)."""
+    def one(eo, a, b, c, d, e, f_, g, h, cd, ql):
+        ppM, ppI, ppN, ppJ, ppC = _posterior_one(
+            eo, a, b, c, d, e, f_, g, h, cd, ql, multihit)[:5]
+        vM, iM = jax.lax.top_k(ppM, topk)
+        vI, iI = jax.lax.top_k(ppI, topk)
+        return vM, iM.astype(jnp.int32), vI, iI.astype(jnp.int32),             ppN, ppJ, ppC
+    f = jax.vmap(one, in_axes=(0,) * 9 + (0, 0))
+    return f(em_odds, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd, bm,
+             codes, qlens)
+
+
+def densify_sparse_pp(vM, iM, vI, iI, Mp1: int):
+    """Host-side reconstruction of a dense [L+1, Mp1] posterior pair."""
+    L1, k = vM.shape
+    ppM = np.zeros((L1, Mp1), dtype=np.float64)
+    ppI = np.zeros((L1, Mp1), dtype=np.float64)
+    r = np.repeat(np.arange(L1), k)
+    ppM[r, iM.ravel()] = vM.ravel()
+    ppI[r, iI.ravel()] = vI.ravel()
+    return ppM, ppI
+
+
 def aligned_columns_from_pp(prof: Profile, pp_M, pp_I, pp_N, pp_J, pp_C,
                             qlen: int) -> np.ndarray:
     """Host OA fill + traceback from device posteriors (validated logic
