@@ -90,6 +90,8 @@ class DeviceAligner:
                                 densify_sparse_pp)
         from .hmm.align_ref import oa_columns_from_pp
 
+        if not pairs:
+            return []
         self._ensure_banks([i for i, _ in pairs])
         out: List[Optional[np.ndarray]] = [None] * len(pairs)
         # group by bucket; use one global Lmax and a fixed chunk size so

@@ -37,14 +37,23 @@ def select_backbone(records: Sequence[Tuple[str, str]],
     up to backbone_size of those (seeded here, unseeded in the reference).
     """
     lengths = np.array([len(s) for _, s in records])
-    med = np.median(lengths)
-    full = [i for i in range(len(records))
-            if (1 - threshold) * med <= lengths[i] <= (1 + threshold) * med]
+    # the reference's median formula (backbone.py:91-97), including its
+    # upper-biased even-length case — behaviorally important for mixed
+    # full-length/fragment inputs
+    sl = np.sort(lengths)
+    n = len(sl)
+    l2 = n // 2
+    if n % 2 == 1 or l2 == n - 1:
+        med = float(sl[l2])
+    else:
+        med = (float(sl[l2]) + float(sl[l2 + 1])) / 2.0
+    lo = int(med * (1 - threshold))
+    hi = int(med * (1 + threshold))
+    full = [i for i in range(len(records)) if lo <= lengths[i] <= hi]
     rng = np.random.default_rng(seed)
     if len(full) > backbone_size:
-        full = sorted(rng.choice(len(full), backbone_size, replace=False)
-                      .tolist())
-        full = [full[i] for i in range(len(full))]
+        chosen = rng.choice(len(full), backbone_size, replace=False)
+        full = sorted(full[i] for i in chosen)
     full_set = set(full)
     backbone = [records[i] for i in full]
     queries = [records[i] for i in range(len(records))

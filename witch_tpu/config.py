@@ -112,8 +112,10 @@ def build_configs(parser, cmdline_args: List[str]) -> Namespace:
     for name in ("input_path", "hmmdir", "backbone_path",
                  "backbone_tree_path", "query_path"):
         v = getattr(args, name, None)
-        if v is not None:
-            setattr(Configs, name, os.path.realpath(v))
+        # always assign (None resets state from any previous invocation
+        # in the same process)
+        setattr(Configs, name,
+                os.path.realpath(v) if v is not None else None)
 
     Configs.outdir = os.path.realpath(args.outdir)
     os.makedirs(Configs.outdir, exist_ok=True)

@@ -13,7 +13,7 @@ import dataclasses
 import glob
 import os
 import re
-from concurrent.futures import ProcessPoolExecutor
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -78,8 +78,10 @@ def build_ensemble(backbone: PackedAlignment, tree_path: str,
         jobs.append((i, sub_codes.tobytes(), sub_codes.shape, molecule,
                      "A_0_%d" % i))
     if n_workers > 1 and len(jobs) > 4:
-        with ProcessPoolExecutor(n_workers) as pool:
-            for i, core in pool.map(_build_one, jobs, chunksize=4):
+        # threads, not processes: the numpy build releases the GIL and
+        # fork() after JAX initialization risks deadlocks
+        with ThreadPoolExecutor(n_workers) as pool:
+            for i, core in pool.map(_build_one, jobs):
                 cores[i] = core
     else:
         for job in jobs:

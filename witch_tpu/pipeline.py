@@ -77,7 +77,8 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
     # calibration seqs share the padding layout
     K = ens.backbone.alphabet.K
     cal = random_calibration_seqs(K)
-    cal_codes = np.zeros((cal.shape[0], Lmax), np.int32)
+    cal_w = max(Lmax, cal.shape[1])
+    cal_codes = np.zeros((cal.shape[0], cal_w), np.int32)
     cal_codes[:, :cal.shape[1]] = cal
     cal_lens = np.full(cal.shape[0], cal.shape[1], np.int32)
 
