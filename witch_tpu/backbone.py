@@ -152,36 +152,43 @@ def _align_all(core, codes: List[np.ndarray], use_device: bool):
     return [aligned_columns(prof, c) for c in codes]
 
 
-def _align_all_device(core, codes: List[np.ndarray]):
+def _align_all_device(core, codes: List[np.ndarray], chunk: int = 16):
     import jax.numpy as jnp
     from .hmm.bank import build_banks
-    from .hmm.align import posterior_pp_pairs, aligned_columns_from_pp
+    from .hmm.align import posterior_pp_pairs_sparse, densify_sparse_pp
+    from .hmm.align_ref import oa_columns_from_pp
     from .hmm.profile import configure
 
     bank = build_banks([core], indices=[0], multihit=False, uniform=True)[0]
     prof = configure(core, multihit=False)
+    M = prof.M
+    Mp1 = bank.em_odds.shape[1]
     Lmax = max(len(c) for c in codes)
-    chunk = max(1, int(2e8 / (4 * (Lmax + 1) * (bank.M_max + 1) * 2)))
     out = []
     args0 = (bank.em_odds, bank.t_mm, bank.t_mi, bank.t_md, bank.t_im,
              bank.t_ii, bank.t_dm, bank.t_dd, bank.bm)
     for s in range(0, len(codes), chunk):
         batch = codes[s:s + chunk]
-        P = len(batch)
+        P = chunk if len(codes) > chunk else len(batch)
         cmat = np.zeros((P, Lmax), np.int32)
-        lens = np.zeros(P, np.int32)
+        lens = np.ones(P, np.int32)
         for t, c in enumerate(batch):
             cmat[t, :len(c)] = c
             lens[t] = len(c)
         args = [jnp.asarray(np.repeat(a, P, axis=0)) for a in args0]
-        ppM, ppI, ppN, ppJ, ppC = posterior_pp_pairs(
+        vM, iM, vI, iI, ppN, ppJ, ppC = posterior_pp_pairs_sparse(
             *args, jnp.asarray(cmat), jnp.asarray(lens), multihit=False)
-        ppM = np.asarray(ppM); ppI = np.asarray(ppI)
+        vM = np.asarray(vM); iM = np.asarray(iM)
+        vI = np.asarray(vI); iI = np.asarray(iI)
         ppN = np.asarray(ppN); ppJ = np.asarray(ppJ); ppC = np.asarray(ppC)
-        for t in range(P):
-            out.append(aligned_columns_from_pp(
-                prof, ppM[t], ppI[t], ppN[t], ppJ[t], ppC[t],
-                int(lens[t])))
+        for t in range(len(batch)):
+            qlen = int(lens[t])
+            dM, dI = densify_sparse_pp(vM[t], iM[t], vI[t], iI[t], Mp1)
+            pp = dict(M=dM[:qlen + 1, :M + 1], I=dI[:qlen + 1, :M + 1],
+                      N=ppN[t][:qlen + 1].astype(np.float64),
+                      J=ppJ[t][:qlen + 1].astype(np.float64),
+                      C=ppC[t][:qlen + 1].astype(np.float64))
+            out.append(oa_columns_from_pp(prof, pp)[:qlen])
     return out
 
 
