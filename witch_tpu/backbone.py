@@ -130,14 +130,31 @@ def align_backbone(names: List[str], seqs: List[str], molecule: str,
     cur = PackedAlignment.from_records(
         [(names[seed_i], seqs[seed_i])], alphabet=alphabet)
 
+    med_len = float(np.median(lens))
+    cur_full = cur
     for it in range(n_iters):
         core = quantize_like_text(
             build_hmm(cur.codes, alphabet, molecule, name="bb_iter%d" % it))
         cols = _align_all(core, codes, use_device)
-        cur = _msa_from_alignments(seqs, cols, core.M, alphabet)
+        cur_full = _msa_from_alignments(seqs, cols, core.M, alphabet)
+        # keep only supported columns as the next profile's match states
+        # (symfrac-like architecture selection; low-support columns are
+        # insertions and would otherwise blow up the profile length).
+        # The unfiltered overlay (cur_full) keeps every residue and is
+        # what the final iteration returns.
+        n = cur_full.n_seqs
+        support = cur_full.nongaps_per_column()
+        thresh = max(2, int(round(0.02 * n)))
+        keep = np.flatnonzero(support >= thresh)
+        if keep.size < med_len:
+            order = np.argsort(-support)[:int(med_len)]
+            keep = np.sort(order)
+        cur = PackedAlignment(cur_full.names, cur_full.codes[:, keep],
+                              alphabet)
         if log:
-            log("backbone iteration %d: %d cols" % (it, cur.n_cols))
-    return PackedAlignment(names, cur.codes, alphabet)
+            log("backbone iteration %d: %d cols (match-filtered %d)"
+                % (it, cur_full.n_cols, cur.n_cols))
+    return PackedAlignment(names, cur_full.codes, alphabet)
 
 
 def _align_all(core, codes: List[np.ndarray], use_device: bool):
