@@ -85,6 +85,35 @@ def test_decomposition_reuse(tiny_problem, tmp_path):
     assert r1 == r2
 
 
+def test_scenario_a_end_to_end(tmp_path):
+    """-i only: backbone selection + alignment + tree + full pipeline."""
+    rng = np.random.default_rng(5)
+    letters = np.array(list("ACGT"))
+    base = letters[rng.integers(0, 4, 100)]
+    records = []
+    for i in range(24):                      # full-length (backbone pool)
+        s = base.copy()
+        mut = rng.random(100) < 0.08
+        s[mut] = letters[rng.integers(0, 4, mut.sum())]
+        records.append((f"f{i}", "".join(s)))
+    for i in range(6):                       # fragments (become queries)
+        a = rng.integers(0, 40)
+        records.append((f"q{i}", records[i][1][a:a + 45]))
+    inp = tmp_path / "all.fasta"
+    write_fasta(records, str(inp))
+    outdir = tmp_path / "out"
+    out = _run(["-i", str(inp), "-d", str(outdir), "-o", "aligned.fasta"])
+    rows = dict(read_fasta(out))
+    assert len(rows) == 30
+    src = dict(records)
+    for name, seq in rows.items():
+        assert seq.replace("-", "").upper() == src[name].upper()
+    # masked output exists and is flush
+    masked = dict(read_fasta(str(outdir / "aligned.masked.fasta")))
+    widths = {len(v) for v in masked.values()}
+    assert len(widths) == 1
+
+
 def test_config_file_layering(tiny_problem, tmp_path):
     bb, q = tiny_problem
     cfg = tmp_path / "user.config"

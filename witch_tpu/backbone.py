@@ -117,21 +117,69 @@ def _msa_from_alignments(seqs: List[str], cols: List[np.ndarray],
     return aln2
 
 
+def _kmer_profiles(codes: List[np.ndarray], K: int, k: int = 4):
+    """L2-normalized k-mer count vectors (degenerate codes skipped)."""
+    nfeat = K ** k
+    out = np.zeros((len(codes), nfeat), np.float32)
+    mult = K ** np.arange(k)[::-1]
+    for i, c in enumerate(codes):
+        ok = c < K
+        if len(c) < k:
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(c, k)
+        okw = np.lib.stride_tricks.sliding_window_view(
+            ok.astype(np.int8), k).all(axis=1)
+        idx = (win[okw].astype(np.int64) * mult).sum(axis=1)
+        np.add.at(out[i], idx, 1.0)
+        n = np.linalg.norm(out[i])
+        if n > 0:
+            out[i] /= n
+    return out
+
+
 def align_backbone(names: List[str], seqs: List[str], molecule: str,
-                   n_iters: int = 2, use_device: bool = True,
-                   log=None) -> PackedAlignment:
-    """Iterative HMM-refinement multiple alignment of the backbone."""
+                   n_iters: int = 3, use_device: bool = True,
+                   log=None, seed_group: int = 24) -> PackedAlignment:
+    """Iterative HMM-refinement multiple alignment of the backbone.
+
+    Seeding: rather than a single sequence (which forces everything that
+    doesn't match it into insert states), the seed profile is built from a
+    small neighborhood — the `seed_group` sequences most similar (k-mer
+    cosine) to the median-length sequence, aligned to it and
+    support-filtered. Iterations then realign ALL sequences and stop early
+    once the overlay width converges.
+    """
     alphabet = ALPHABETS[molecule]
     seqs = [s.upper() for s in seqs]
     codes = [alphabet.encode(s) for s in seqs]
-    # seed: median-length sequence as a single-row alignment
     lens = np.array([len(s) for s in seqs])
     seed_i = int(np.argsort(lens)[len(lens) // 2])
     cur = PackedAlignment.from_records(
         [(names[seed_i], seqs[seed_i])], alphabet=alphabet)
-
     med_len = float(np.median(lens))
+
+    if len(seqs) > 3 and seed_group > 1:
+        # mini-iteration on the seed neighborhood
+        prof = _kmer_profiles(codes, alphabet.K)
+        sim = prof @ prof[seed_i]
+        near = np.argsort(-sim)[:min(seed_group, len(seqs))]
+        core0 = quantize_like_text(
+            build_hmm(cur.codes, alphabet, molecule, name="bb_seed"))
+        g_seqs = [seqs[j] for j in near]
+        g_codes = [codes[j] for j in near]
+        cols0 = _align_all(core0, g_codes, use_device)
+        g_full = _msa_from_alignments(g_seqs, cols0, core0.M, alphabet)
+        support = g_full.nongaps_per_column()
+        keep = np.flatnonzero(support >= 2)
+        if keep.size >= 0.5 * med_len:
+            cur = PackedAlignment(g_full.names, g_full.codes[:, keep],
+                                  alphabet)
+            if log:
+                log("backbone seed group: %d seqs -> %d cols"
+                    % (len(near), cur.n_cols))
+
     cur_full = cur
+    prev_width = None
     for it in range(n_iters):
         core = quantize_like_text(
             build_hmm(cur.codes, alphabet, molecule, name="bb_iter%d" % it))
@@ -154,6 +202,10 @@ def align_backbone(names: List[str], seqs: List[str], molecule: str,
         if log:
             log("backbone iteration %d: %d cols (match-filtered %d)"
                 % (it, cur_full.n_cols, cur.n_cols))
+        if prev_width is not None and \
+                abs(prev_width - cur_full.n_cols) < 0.02 * prev_width:
+            break
+        prev_width = cur_full.n_cols
     return PackedAlignment(names, cur_full.codes, alphabet)
 
 

@@ -61,6 +61,22 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
     reporting behavior WITCH inherits).
     """
     indices = ens.indices
+    # Guard against pathologically wide models (an insertion-heavy
+    # de-novo backbone can push subset HMMs to 10^5 match states, which
+    # would blow compile time + memory). Oversized models are excluded
+    # from scoring — they simply receive no weight, mirroring the
+    # reference's alignment_upper_bound subset skipping
+    # (witch_msa/gcmm/algorithm.py:90-101).
+    m_cap = int(os.environ.get("WITCH_TPU_MAX_HMM_STATES", "16384"))
+    dropped = [i for i in indices if ens.cores[i].M > m_cap]
+    if dropped:
+        Configs.warning(
+            "skipping %d/%d ensemble HMMs with M > %d states "
+            "(max %d); de-novo backbone is insertion-heavy"
+            % (len(dropped), len(indices), m_cap,
+               max(ens.cores[i].M for i in dropped)))
+        indices = [i for i in indices if ens.cores[i].M <= m_cap]
+        assert indices, "every ensemble HMM exceeded the state cap"
     cores = [ens.cores[i] for i in indices]
     banks = build_banks(cores, indices=indices, uniform=True,
                         n_buckets=2)
