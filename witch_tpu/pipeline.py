@@ -76,7 +76,11 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
             % (len(dropped), len(indices), m_cap,
                max(ens.cores[i].M for i in dropped)))
         indices = [i for i in indices if ens.cores[i].M <= m_cap]
-        assert indices, "every ensemble HMM exceeded the state cap"
+        if not indices:
+            raise SystemExit(
+                "ERROR: every ensemble HMM exceeds the %d-state cap; "
+                "raise WITCH_TPU_MAX_HMM_STATES or supply a less "
+                "insertion-heavy backbone alignment (-b)" % m_cap)
     cores = [ens.cores[i] for i in indices]
     banks = build_banks(cores, indices=indices, uniform=True,
                         n_buckets=2)
