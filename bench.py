@@ -68,35 +68,42 @@ def main():
         from witch_tpu.ops.pallas_forward import (bank_to_pallas_arrays,
                                                   pallas_forward_nats)
         QT = 128
-        Qpad = -(-Q // QT) * QT
-        Lpad = -(-Lmax // 128) * 128
-        cp = np.full((Qpad, Lpad), 4, np.int32)    # gap-coded padding
-        cp[:Q, :Lmax] = codes
-        tailm = np.arange(Lmax)[None, :] >= lens[:, None]
-        cp[:Q, :Lmax][tailm] = 4
-        lp = np.ones(Qpad, np.int32)
-        lp[:Q] = lens
-        lpj = jnp.asarray(lp)
-        cpj = jnp.asarray(cp)
+        # length-grouped query blocks: sort by length, pad each QT-group
+        # only to its own length (rounded to 64) — most of the padded-row
+        # waste of a single global Lmax pad disappears
+        order = np.argsort(lens, kind="stable")
+        groups = []
+        for s in range(0, Q, QT):
+            idx = order[s:s + QT]
+            Lg = int(lens[idx].max())
+            Lpad = max(64, -(-Lg // 64) * 64)
+            cp = np.full((QT, Lpad), 4, np.int32)  # gap-coded padding
+            for t, qi in enumerate(idx):
+                cp[t, :lens[qi]] = codes[qi, :lens[qi]]
+            lp = np.ones(QT, np.int32)
+            lp[:len(idx)] = lens[idx]
+            groups.append((jnp.asarray(cp), jnp.asarray(lp), Lpad))
         devbanks = []
         padded_cells = 0
         for b in banks:
             emT, trans = bank_to_pallas_arrays(b)
             devbanks.append((jnp.asarray(emT), jnp.asarray(trans)))
-            padded_cells += Qpad * Lpad * (emT.shape[2])  * b.H
+            padded_cells += sum(QT * g[2] for g in groups) * \
+                (emT.shape[2]) * b.H
 
-        def run(c):
+        def run(gs):
             tot = jnp.float32(0.0)
             for emTj, transj in devbanks:
-                tot += pallas_forward_nats(emTj, transj, c, lpj,
-                                           QT=QT).sum()
+                for cpj, lpj, _ in gs:
+                    tot += pallas_forward_nats(emTj, transj, cpj, lpj,
+                                               QT=QT).sum()
             return tot
         f = jax.jit(run)
-        _ = np.asarray(f(cpj))                     # compile + warm
+        _ = np.asarray(f(groups))                  # compile + warm
         reps = 3
         t0 = time.time()
         for _ in range(reps):
-            _ = np.asarray(f(cpj))
+            _ = np.asarray(f(groups))
         dt = (time.time() - t0) / reps
     else:
         from witch_tpu.hmm.forward import score_bank

@@ -20,7 +20,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-from .profile import Profile
+from .profile import Profile, null1_score
 from .forward_ref import forward_matrices, backward_matrices
 
 RT1 = 0.25
@@ -164,3 +164,51 @@ def seq_bias_nats(prof: Profile, codes: np.ndarray) -> Tuple[float, int,
     seqbias = np.logaddexp(0.0, np.log(OMEGA) + n2sum)
     exp_ndom = float(ppE[1:].sum())
     return float(seqbias), len(regions), exp_ndom
+
+
+def _envelope_scores(prof: Profile, codes: np.ndarray, i: int, j: int
+                     ) -> Tuple[float, float]:
+    """(envsc nats, domcorrection nats) for envelope [i..j] (1-based):
+    isolated unihit / L=0 Forward on the envelope subsequence
+    (p7_domaindef.c rescore_isolated_domain) plus its null2 sum."""
+    sub = codes[i - 1:j]
+    iso = _IsolatedProfile(prof)
+    envsc, _ = forward_matrices(iso, sub)
+    n2sc = _null2_for_envelope(prof, codes, i, j)
+    return float(envsc), float(n2sc[sub].sum())
+
+
+def reconstruction_scores(prof: Profile, codes: np.ndarray
+                          ) -> Tuple[float, float, int, int]:
+    """hmmsearch's per-domain "reconstruction" score (p7_pipeline.c
+    p7_Pipeline, sum_score block).
+
+    Each region from the posterior heuristics is treated as one envelope
+    (stochastic-traceback clustering of multi-domain regions is not
+    reproduced). Returns (pre2_bits, sum_bits, Ld, ndom):
+      pre2 = (sum envsc + (L-Ld)ln(L/(L+3)) - null1) / ln2
+      sum  = pre2 - logsumexp(0, ln omega + sum domcorrection)/ln2
+    The pipeline overrides (pre_score, seq_score) with (pre2, sum) when
+    Ld > 0 and sum > seq_score.
+    """
+    fwd, ppB, ppE, mocc = _posteriors_multihit(prof, codes)
+    regions = find_regions(mocc, ppB, ppE)
+    L = len(codes)
+    sum_nats = 0.0
+    bias_nats = 0.0
+    Ld = 0
+    ndom = 0
+    for (i, j) in regions:
+        envsc, domcorr = _envelope_scores(prof, codes, i, j)
+        if envsc - domcorr > 0.0:
+            sum_nats += envsc
+            Ld += j - i + 1
+            bias_nats += domcorr
+            ndom += 1
+    sum_nats += (L - Ld) * np.log(L / (L + 3.0))
+    seqbias = np.logaddexp(0.0, np.log(OMEGA) + bias_nats)
+    null1 = null1_score(L)
+    ln2 = np.log(2.0)
+    pre2 = (sum_nats - null1) / ln2
+    sumsc = (sum_nats - null1 - seqbias) / ln2
+    return float(pre2), float(sumsc), Ld, ndom

@@ -197,16 +197,33 @@ def bank_to_pallas_arrays(bank):
     return emT, trans
 
 
+def _bits_from_nats(nats, qlens, Lpad):
+    L_f = qlens.astype(np.float64)
+    # remove the padding rows' C-loop decay: C picked up
+    # (Lpad - qlen) extra ploop factors
+    ploop = 1.0 - 3.0 / (L_f + 3.0)
+    nats = nats - ((Lpad - L_f) * np.log(ploop))[:, None]
+    p1 = L_f / (L_f + 1.0)
+    null1 = (L_f * np.log(p1) + np.log(1.0 - p1)) / np.log(2.0)
+    return nats / np.log(2.0) - null1[:, None]
+
+
 def pallas_forward_bits(bank, codes: np.ndarray, qlens: np.ndarray,
                         QT: int = 128, interpret: bool = False,
                         pad_code: int = None,
-                        q_block: int = 512) -> np.ndarray:
+                        q_block: int = 512,
+                        group_by_length: bool = True) -> np.ndarray:
     """Null1-corrected pre-score bits [Q, H] via the Pallas kernel.
 
     Padding residues use the gap code (zero emission odds in every model);
     their spurious C-state ploop factors are removed analytically.
-    Queries are processed in fixed-size blocks so any Q reuses one
-    compiled kernel shape.
+
+    group_by_length sorts queries by length and pads each QT-sized group
+    only to its own length (rounded up to 64 to bound compile-shape
+    diversity): for fragmentary workloads this removes most of the
+    padded-row waste of a single global Lmax pad. Scores are independent
+    of the padding thanks to the gap-code + analytic-ploop scheme, so
+    grouping is bit-compatible with the blocked path.
     """
     emT, trans = bank_to_pallas_arrays(bank)
     if pad_code is None:
@@ -216,6 +233,26 @@ def pallas_forward_bits(bank, codes: np.ndarray, qlens: np.ndarray,
     Q, L = codes.shape
     emTj = jnp.asarray(emT)
     transj = jnp.asarray(trans)
+
+    if group_by_length and Q > QT:
+        order = np.argsort(qlens, kind="stable")
+        out = np.empty((Q, bank.H), np.float64)
+        for s in range(0, Q, QT):
+            idx = order[s:s + QT]
+            n = len(idx)
+            Lg = int(qlens[idx].max())
+            Lpad = max(64, -(-Lg // 64) * 64)
+            cp = np.full((QT, Lpad), pad_code, np.int32)
+            for t, qi in enumerate(idx):
+                cp[t, :qlens[qi]] = codes[qi, :qlens[qi]]
+            lp = np.ones(QT, np.int32)
+            lp[:n] = qlens[idx]
+            nats = np.asarray(pallas_forward_nats(
+                emTj, transj, jnp.asarray(cp), jnp.asarray(lp),
+                QT=QT, interpret=interpret))[:n]
+            out[idx] = _bits_from_nats(nats, qlens[idx], Lpad)
+        return out
+
     Lpad = -(-L // 128) * 128
     outs = []
     for s in range(0, Q, q_block):
@@ -230,12 +267,5 @@ def pallas_forward_bits(bank, codes: np.ndarray, qlens: np.ndarray,
         nats = np.asarray(pallas_forward_nats(
             emTj, transj, jnp.asarray(cp), jnp.asarray(lp),
             QT=QT, interpret=interpret))[:n]
-        L_f = qlens[s:s + n].astype(np.float64)
-        # remove the padding rows' C-loop decay: C picked up
-        # (Lpad - qlen) extra ploop factors
-        ploop = 1.0 - 3.0 / (L_f + 3.0)
-        nats = nats - ((Lpad - L_f) * np.log(ploop))[:, None]
-        p1 = L_f / (L_f + 1.0)
-        null1 = (L_f * np.log(p1) + np.log(1.0 - p1)) / np.log(2.0)
-        outs.append(nats / np.log(2.0) - null1[:, None])
+        outs.append(_bits_from_nats(nats, qlens[s:s + n], Lpad))
     return np.concatenate(outs, axis=0)
