@@ -139,7 +139,8 @@ def _kmer_profiles(codes: List[np.ndarray], K: int, k: int = 4):
 
 def align_backbone(names: List[str], seqs: List[str], molecule: str,
                    n_iters: int = 3, use_device: bool = True,
-                   log=None, seed_group: int = 24) -> PackedAlignment:
+                   log=None, seed_group: int = 24,
+                   support_frac: float = 0.15) -> PackedAlignment:
     """Iterative HMM-refinement multiple alignment of the backbone.
 
     Seeding: rather than a single sequence (which forces everything that
@@ -170,7 +171,7 @@ def align_backbone(names: List[str], seqs: List[str], molecule: str,
         cols0 = _align_all(core0, g_codes, use_device)
         g_full = _msa_from_alignments(g_seqs, cols0, core0.M, alphabet)
         support = g_full.nongaps_per_column()
-        keep = np.flatnonzero(support >= 2)
+        keep = np.flatnonzero(support >= max(2, int(round(0.5 * len(near)))))
         if keep.size >= 0.5 * med_len:
             cur = PackedAlignment(g_full.names, g_full.codes[:, keep],
                                   alphabet)
@@ -192,7 +193,11 @@ def align_backbone(names: List[str], seqs: List[str], molecule: str,
         # what the final iteration returns.
         n = cur_full.n_seqs
         support = cur_full.nongaps_per_column()
-        thresh = max(2, int(round(0.02 * n)))
+        # symfrac-like: a column is a match state for the next profile
+        # only with majority support — a permissive threshold lets the
+        # profile accumulate thousands of junk states and the alignment
+        # never tightens (every seq escapes into its own inserts)
+        thresh = max(2, int(round(support_frac * n)))
         keep = np.flatnonzero(support >= thresh)
         if keep.size < med_len:
             order = np.argsort(-support)[:int(med_len)]
@@ -292,9 +297,17 @@ class BackboneJob:
                                             seed=self.seed)
         self.log("Backbone: %d seqs; queries: %d"
                  % (len(backbone), len(queries)))
-        aln = align_backbone([n for n, _ in backbone],
-                             [s for _, s in backbone],
-                             self.molecule, log=self.log)
+        backend = os.environ.get("WITCH_TPU_BACKBONE", "magus")
+        if backend == "magus":
+            from .backbone_magus import align_backbone_magus
+            aln = align_backbone_magus([n for n, _ in backbone],
+                                       [s for _, s in backbone],
+                                       self.molecule, cluster_size=10,
+                                       log=self.log)
+        else:
+            aln = align_backbone([n for n, _ in backbone],
+                                 [s for _, s in backbone],
+                                 self.molecule, log=self.log)
         aln.write(bb_path)
         write_fasta(queries, q_path)
         from .tree_estimate import estimate_tree
