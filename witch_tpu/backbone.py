@@ -237,13 +237,16 @@ def _align_all_device(core, codes: List[np.ndarray], chunk: int = 16):
     prof = configure(core, multihit=False)
     M = prof.M
     Mp1 = bank.em_odds.shape[1]
-    Lmax = max(len(c) for c in codes)
+    # quantize the batch shapes (P fixed, L to 128) so repeated calls with
+    # different clusters/iterations reuse compiled kernels — compilation
+    # on TPU costs minutes, far more than the padding FLOPs
+    Lmax = -(-max(len(c) for c in codes) // 128) * 128
     out = []
     args0 = (bank.em_odds, bank.t_mm, bank.t_mi, bank.t_md, bank.t_im,
              bank.t_ii, bank.t_dm, bank.t_dd, bank.bm)
     for s in range(0, len(codes), chunk):
         batch = codes[s:s + chunk]
-        P = chunk if len(codes) > chunk else len(batch)
+        P = chunk
         cmat = np.zeros((P, Lmax), np.int32)
         lens = np.ones(P, np.int32)
         for t, c in enumerate(batch):
