@@ -127,3 +127,15 @@ def test_config_file_layering(tiny_problem, tmp_path):
                            "-d", str(tmp_path / "x"), "-c", str(cfg),
                            "-k", "7"])
     assert Configs.num_hmms == 7
+
+
+def test_old_witch_mode(tiny_problem, tmp_path):
+    bb, q = tiny_problem
+    outdir = tmp_path / "ow"
+    out = _run(["-b", str(bb), "-q", str(q), "-d", str(outdir),
+                "-o", "aligned.fasta", "-m", "old-witch"])
+    rows = dict(read_fasta(out))
+    assert len(rows) == 38
+    qd = dict(read_fasta(str(q)))
+    for name, seq in qd.items():
+        assert rows[name].replace("-", "").upper() == seq.upper()
