@@ -81,6 +81,21 @@ def profile_profile_path(emA: np.ndarray, emB: np.ndarray,
     aligned path as (i, j) with -1 for gaps, in order."""
     S = np.log(np.maximum((emA / bg[None, :]) @ emB.T, 1e-8))  # [MA, MB]
     MA, MB = S.shape
+    try:
+        from .native import _oa
+        ops = _oa.pp_nw(np.ascontiguousarray(S, np.float64), float(gap))
+        path = []
+        i = j = 0
+        for op in ops:
+            if op == 0:
+                path.append((i, j)); i += 1; j += 1
+            elif op == 1:
+                path.append((i, -1)); i += 1
+            else:
+                path.append((-1, j)); j += 1
+        return path
+    except ImportError:
+        pass
     D = np.full((MA + 1, MB + 1), -np.inf, np.float64)
     D[0, :] = gap * np.arange(MB + 1)
     D[:, 0] = gap * np.arange(MA + 1)

@@ -273,9 +273,63 @@ static PyObject *oa_align(PyObject *, PyObject *args) {
     return (PyObject *)out;
 }
 
+
+/* Global Needleman-Wunsch over two profiles' column-score matrix.
+ * Used by the MAGUS-lite backbone merge (backbone_magus.py:
+ * profile_profile_path): S [MA, MB] float64 match scores, linear gap.
+ * Returns int8 ops array (0 = diag, 1 = up/A-only, 2 = left/B-only)
+ * in path order. First-max-wins: diag > up > left.
+ */
+static PyObject *pp_nw(PyObject *self, PyObject *args) {
+    PyObject *So;
+    double gap;
+    if (!PyArg_ParseTuple(args, "Od", &So, &gap)) return NULL;
+    View2D S;
+    if (!get2d(So, &S)) return NULL;
+    npy_intp MA = S.rows, MB = S.cols;
+    std::vector<double> prev((size_t)MB + 1), cur((size_t)MB + 1);
+    std::vector<signed char> ptr((size_t)(MA + 1) * (MB + 1), 0);
+    for (npy_intp j = 0; j <= MB; j++) { prev[j] = gap * (double)j; ptr[j] = 2; }
+    ptr[0] = 0;
+    for (npy_intp i = 1; i <= MA; i++) {
+        cur[0] = gap * (double)i;
+        ptr[(size_t)i * (MB + 1)] = 1;
+        const double *Si = S.p + (size_t)(i - 1) * MB;
+        for (npy_intp j = 1; j <= MB; j++) {
+            double diag = prev[j - 1] + Si[j - 1];
+            double up = prev[j] + gap;
+            double left = cur[j - 1] + gap;
+            double best = diag;
+            signed char p = 0;
+            if (up > best) { best = up; p = 1; }
+            if (left > best) { best = left; p = 2; }
+            cur[j] = best;
+            ptr[(size_t)i * (MB + 1) + j] = p;
+        }
+        std::swap(prev, cur);
+    }
+    std::vector<signed char> ops;
+    ops.reserve((size_t)(MA + MB));
+    npy_intp i = MA, j = MB;
+    while (i > 0 || j > 0) {
+        signed char p = ptr[(size_t)i * (MB + 1) + j];
+        if (i > 0 && j > 0 && p == 0) { ops.push_back(0); i--; j--; }
+        else if (i > 0 && (j == 0 || p == 1)) { ops.push_back(1); i--; }
+        else { ops.push_back(2); j--; }
+    }
+    npy_intp n = (npy_intp)ops.size();
+    PyArrayObject *out =
+        (PyArrayObject *)PyArray_SimpleNew(1, &n, NPY_INT8);
+    signed char *op = (signed char *)PyArray_DATA(out);
+    for (npy_intp t = 0; t < n; t++) op[t] = ops[(size_t)(n - 1 - t)];
+    return (PyObject *)out;
+}
+
 static PyMethodDef methods[] = {
     {"oa_align", oa_align, METH_VARARGS,
      "Optimal-accuracy fill+traceback -> aligned columns"},
+    {"pp_nw", pp_nw, METH_VARARGS,
+     "Profile-profile global NW -> ops (0 diag, 1 up, 2 left)"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef mod = {PyModuleDef_HEAD_INIT, "_oa",
