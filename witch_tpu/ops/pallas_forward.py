@@ -96,8 +96,10 @@ def _forward_kernel(codes_ref, qlens_ref, emT_hi_ref, emT_lo_ref,
                 D = shift1(Mrow * t_md)
                 for d in range(n_dbl):
                     s = 1 << d
-                    D = D + (pltpu.roll(D, s, axis=1)
-                             * (lane >= s).astype(jnp.float32)) * As[d]
+                    # no lane mask needed: As[d] is exactly zero on
+                    # lanes < 2^d (products of shifted masked tdd), so
+                    # roll's wrap-around lanes are annihilated
+                    D = D + pltpu.roll(D, s, axis=1) * As[d]
                 E = (jnp.sum(Mrow, axis=1, keepdims=True)
                      + jnp.sum(D, axis=1, keepdims=True))
                 Jn = J * ploop + E * 0.5
