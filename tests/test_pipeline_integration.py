@@ -139,3 +139,31 @@ def test_old_witch_mode(tiny_problem, tmp_path):
     qd = dict(read_fasta(str(q)))
     for name, seq in qd.items():
         assert rows[name].replace("-", "").upper() == seq.upper()
+
+
+def test_amino_scenario_c(tmp_path):
+    """Protein pipeline end-to-end (molecule inference + amino priors)."""
+    rng = np.random.default_rng(9)
+    letters = np.array(list("ACDEFGHIKLMNPQRSTVWY"))
+    base = letters[rng.integers(0, 20, 80)]
+    rows = []
+    for i in range(20):
+        s = base.copy()
+        mut = rng.random(80) < 0.1
+        s[mut] = letters[rng.integers(0, 20, mut.sum())]
+        rows.append((f"p{i}", "".join(s)))
+    bb = tmp_path / "bb.fasta"
+    write_fasta(rows, str(bb))
+    queries = [(f"q{i}", rows[i][1][10:60]) for i in range(4)]
+    q = tmp_path / "q.fasta"
+    write_fasta(queries, str(q))
+    outdir = tmp_path / "out"
+    out = _run(["-b", str(bb), "-q", str(q), "-d", str(outdir),
+                "-o", "aligned.fasta"])
+    rows_out = dict(read_fasta(out))
+    assert len(rows_out) == 24
+    for name, seq in queries:
+        assert rows_out[name].replace("-", "").upper() == seq
+    import re
+    log = (outdir / "log.txt").read_text()
+    assert "amino" in log
