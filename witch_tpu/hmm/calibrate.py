@@ -32,7 +32,12 @@ CAL_SEED = 42
 
 
 def forward_lambda(core: CoreHMM) -> float:
-    bg = np.full(core.K, 1.0 / core.K)
+    """p7_Lambda: lambda = ln2 + 1.44/(M*H), H = mean match relative
+    entropy vs the REAL scoring background (p7_bg; uniform for nucleic,
+    p7_AminoFrequencies for amino — HMMER uses the same bg here that it
+    uses for emission odds)."""
+    from .priors import get_background
+    bg = get_background(core.molecule)
     H = mean_match_relative_entropy(core.match_emissions, bg)
     return float(np.log(2.0) + 1.44 / (core.M * H))
 

@@ -87,16 +87,37 @@ static PyObject *oa_align(PyObject *, PyObject *args) {
     const unsigned char *dmm, *dmi, *dmd, *dim, *dii, *ddm, *ddd, *dbm;
     npy_intp n1, Mp1;
     if (!get2d(oM, &ppM) || !get2d(oI, &ppI)) return NULL;
-    if (!get1d(oN, &ppN, &n1) || !get1d(oJ, &ppJ, &n1) ||
-        !get1d(oC, &ppC, &n1))
-        return NULL;
-    if (!get1du8(odmm, &dmm, &Mp1) || !get1du8(odmi, &dmi, &Mp1) ||
-        !get1du8(odmd, &dmd, &Mp1) || !get1du8(odim, &dim, &Mp1) ||
-        !get1du8(odii, &dii, &Mp1) || !get1du8(oddm, &ddm, &Mp1) ||
-        !get1du8(oddd, &ddd, &Mp1) || !get1du8(odbm, &dbm, &Mp1))
-        return NULL;
     const npy_intp L = ppM.rows - 1;
     const npy_intp M = ppM.cols - 1;
+    if (ppI.rows != L + 1 || ppI.cols != M + 1) {
+        PyErr_SetString(PyExc_ValueError, "ppI shape must match ppM");
+        return NULL;
+    }
+    {
+        const double *pp1[3];
+        PyObject *o1[3] = {oN, oJ, oC};
+        for (int t = 0; t < 3; t++) {
+            if (!get1d(o1[t], &pp1[t], &n1)) return NULL;
+            if (n1 != L + 1) {
+                PyErr_SetString(PyExc_ValueError,
+                                "ppN/ppJ/ppC length must be L+1");
+                return NULL;
+            }
+        }
+        ppN = pp1[0]; ppJ = pp1[1]; ppC = pp1[2];
+        const unsigned char *pu8[8];
+        PyObject *ou8[8] = {odmm, odmi, odmd, odim, odii, oddm, oddd, odbm};
+        for (int t = 0; t < 8; t++) {
+            if (!get1du8(ou8[t], &pu8[t], &Mp1)) return NULL;
+            if (Mp1 != M + 1) {
+                PyErr_SetString(PyExc_ValueError,
+                                "transition flag length must be M+1");
+                return NULL;
+            }
+        }
+        dmm = pu8[0]; dmi = pu8[1]; dmd = pu8[2]; dim = pu8[3];
+        dii = pu8[4]; ddm = pu8[5]; ddd = pu8[6]; dbm = pu8[7];
+    }
 
     npy_intp dims[1] = {L};
     PyArrayObject *out =
@@ -320,6 +341,7 @@ static PyObject *pp_nw(PyObject *self, PyObject *args) {
     npy_intp n = (npy_intp)ops.size();
     PyArrayObject *out =
         (PyArrayObject *)PyArray_SimpleNew(1, &n, NPY_INT8);
+    if (!out) return NULL;
     signed char *op = (signed char *)PyArray_DATA(out);
     for (npy_intp t = 0; t < n; t++) op[t] = ops[(size_t)(n - 1 - t)];
     return (PyObject *)out;

@@ -94,9 +94,13 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         codes[i, :len(c)] = c
         lens[i] = len(c)
 
-    # calibration seqs share the padding layout
+    # calibration seqs share the padding layout; drawn iid from the REAL
+    # scoring background (p7_Tau semantics — matters for amino, where
+    # bg != uniform)
+    from .hmm.priors import get_background
     K = ens.backbone.alphabet.K
-    cal = random_calibration_seqs(K)
+    cal = random_calibration_seqs(
+        K, bg=get_background(cores[0].molecule) if cores else None)
     cal_w = max(Lmax, cal.shape[1])
     cal_codes = np.zeros((cal.shape[0], cal_w), np.int32)
     cal_codes[:, :cal.shape[1]] = cal
@@ -119,7 +123,10 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
     reported = pre - BIAS_FLOOR_BITS
     try:
         from .hmm.null2 import seq_bias_batch
-        TOPT = min(18, H)
+        # exact bias must cover every pair that can enter a weight list
+        # (top num_hmms) with headroom; pairs beyond TOPT keep the omega
+        # floor, which only affects ranks below the truncation point
+        TOPT = min(H, max(18, int(Configs.num_hmms) + 8))
         pairs = []
         locs = []
         for q in range(Q):
