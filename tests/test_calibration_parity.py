@@ -75,16 +75,16 @@ def _check(mol, flag, hmmbuild_bin, tmp_path, seed):
     # to ~1e-5 (amino prior fit), so lambda agrees to ~1e-4
     assert abs(lam - lam_ref) < 2e-4, (lam, lam_ref)
 
-    # tau: binary draws 200 seqs from its RNG and ML-fits a Gumbel
-    # (esl_gumbel_FitComplete); our empirical-quantile stand-in biases
-    # low by up to ~0.9 bits on conserved models (exact-stream
-    # emulation in progress; tighten this band to 0.02 once landed).
+    # tau: exact emulation of the binary's calibration — same LCG
+    # stream (easel.py), same Gumbel ML fit. Residual = our Forward's
+    # ~0.01-bit f32 noise through the fit (<=0.017 over 141 example
+    # models); the band allows a little slack for other alignments.
     bank = build_banks([core], uniform=True)[0]
     cal = random_calibration_seqs(core.K, bg=get_background(mol))
     lens = np.full(cal.shape[0], cal.shape[1], np.int32)
     sim = score_bank(bank, cal.astype(np.int32), lens, backend="xla")
     tau = tau_from_scores(sim[:, 0], lam)
-    assert abs(tau - tau_ref) < 1.2, (tau, tau_ref)
+    assert abs(tau - tau_ref) < 0.05, (tau, tau_ref)
 
 
 def test_dna_stats_parity(hmmbuild_bin, tmp_path):

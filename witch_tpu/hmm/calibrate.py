@@ -4,16 +4,17 @@ hmmsearch drops a (query, HMM) pair from its report when the forward
 P-value exceeds 1.0, i.e. when the pre-null2 bit score falls below the
 model's forward tau (established empirically against the oracle outputs:
 all 141x500 reported scores satisfy score >= tau). tau itself comes from
-hmmbuild's stochastic calibration: score N=200 random iid sequences of
-length L=100, take the (1-tailp) quantile (tailp=0.04) as the tail base mu,
-then tau = mu + ln(tailp)/lambda, with
+hmmbuild's stochastic calibration (p7_Tau): score EfN=200 random iid
+sequences of length EfL=100 drawn from an exactly-emulated
+esl_randomness_CreateFast(42) stream (see easel.py), ML-fit a complete
+Gumbel (esl_gumbel_FitComplete), then
+tau = gumbel_invcdf(1-tailp; fit) + ln(tailp)/lambda with tailp=0.04 and
 lambda = ln 2 + 1.44 / (M * mean-match-relative-entropy)   (verified to
 5e-6 against the binary's STATS lines).
 
-We reproduce the procedure with our own RNG; tau therefore matches the
-binary's statistically (+-0.3 bits) rather than bit-exactly. Pairs whose
-score lands within that band of tau may differ in reportedness vs the
-reference — quantified in the end-to-end tests.
+With the exact stream + ML fit, tau matches the binary's STATS value to
+<= 0.017 bits across all 141 example-decomposition models (the residual
+is our Forward kernel's ~0.01-bit f32 noise propagated through the fit).
 """
 
 from __future__ import annotations
@@ -25,10 +26,13 @@ import numpy as np
 from ..core.alphabet import ALPHABETS
 from .build import CoreHMM, mean_match_relative_entropy
 
-CAL_L = 100
-CAL_N = 1000   # larger than HMMER's 200: minimizes expected |tau - reference tau|
-CAL_TAILP = 0.04
+CAL_L = 100       # EfL
+CAL_N = 200       # EfN
+CAL_TAILP = 0.04  # Eft
 CAL_SEED = 42
+# p7_Calibrate consumes MSVMu (EmN=200 x EmL=200) + ViterbiMu
+# (EvN=200 x EvL=200) draws from the same reseeded stream before p7_Tau
+CAL_SKIP = 200 * 200 * 2
 
 
 def forward_lambda(core: CoreHMM) -> float:
@@ -45,17 +49,20 @@ def forward_lambda(core: CoreHMM) -> float:
 def random_calibration_seqs(K: int, seed: int = CAL_SEED,
                             n: int = CAL_N, L: int = CAL_L,
                             bg=None) -> np.ndarray:
-    rng = np.random.default_rng(seed)
+    """The EXACT p7_Tau random sequences: emulated
+    esl_randomness_CreateFast stream, FChoose draws from the scoring
+    background (uniform when bg is None), offset past the MSV/Viterbi
+    calibration consumption."""
+    from .easel import iid_seqs
     if bg is None:
-        return rng.integers(0, K, size=(n, L)).astype(np.int32)
-    return rng.choice(K, size=(n, L), p=np.asarray(bg)).astype(np.int32)
+        bg = np.full(K, 1.0 / K, np.float32)
+    return iid_seqs(np.asarray(bg, np.float32), n, L, seed=seed,
+                    skip=CAL_SKIP)
 
 
 def tau_from_scores(sim_bits: np.ndarray, lam: float,
                     tailp: float = CAL_TAILP) -> float:
-    """sim_bits: [N] null1-corrected forward bits of the random seqs."""
-    N = len(sim_bits)
-    srt = np.sort(sim_bits)
-    ntail = int(N * tailp)
-    mu = srt[N - ntail]
-    return float(mu + np.log(tailp) / lam)
+    """sim_bits: [N] null1-corrected forward bits of the exact p7_Tau
+    random seqs; ML Gumbel fit + tail-origin shift (p7_Tau)."""
+    from .easel import forward_tau
+    return forward_tau(np.asarray(sim_bits, np.float64), lam, tailp)
