@@ -114,11 +114,14 @@ def seq_bits_with_bias_floor(pre_bits: jnp.ndarray) -> jnp.ndarray:
 
 
 def score_bank(bank: ProfileBank, codes: np.ndarray, qlens: np.ndarray,
-               q_chunk: int = 128, backend: str = "auto") -> np.ndarray:
+               q_chunk: int = 128, backend: str = "auto",
+               mesh=None) -> np.ndarray:
     """Score [Q] queries against one bank; returns pre-score bits [Q, H].
 
     backend="auto" uses the hand-written Pallas kernel on TPU (fastest,
-    single compile) and the XLA scan elsewhere.
+    single compile) and the XLA scan elsewhere. With a multi-device
+    `mesh` (jax.sharding.Mesh with a 'data' axis) queries are sharded
+    across devices — bit-identical results, distributed wall-clock.
     """
     if backend == "auto":
         try:
@@ -126,6 +129,10 @@ def score_bank(bank: ProfileBank, codes: np.ndarray, qlens: np.ndarray,
                        else "xla")
         except Exception:
             backend = "xla"
+    if mesh is not None and int(mesh.shape.get("data", 1)) > 1:
+        from ..parallel.dist import sharded_score_bank
+        return sharded_score_bank(mesh, bank, codes.astype(np.int32),
+                                  qlens.astype(np.int32), backend=backend)
     if backend == "pallas":
         from ..ops.pallas_forward import pallas_forward_bits
         return pallas_forward_bits(bank, codes.astype(np.int32),

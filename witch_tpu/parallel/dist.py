@@ -1,36 +1,56 @@
-"""Multi-chip distribution: device mesh + sharded scoring/weighting.
+"""Multi-chip distribution: device mesh + the production sharded scoring.
 
-The reference's "parallelism" is a single-host subprocess farm
-(SURVEY.md §2.4). TPU-native design: a 2D mesh ('data' x 'model') where
-query batches are data-parallel and the eHMM bank is sharded across the
-model axis (a form of expert parallelism over HMMs). Forward scores are
-computed locally as [q_local, h_local]; the adjusted-bitscore softmax
-denominator is a psum over the model axis (riding ICI), and full score
-rows are all-gathered only for the small top-k selection.
+The reference's "parallelism" is a single-host subprocess farm over
+(HMM x query-chunk) hmmsearch jobs (witch_msa/gcmm/algorithm.py:286-307,
+SURVEY.md §2.4). TPU-native design: queries are data-parallel over a 1-D
+device mesh ('data'), the eHMM bank is replicated (it is small: the whole
+141-model example bank is ~8 MB), and every Forward pair is computed
+exactly as on one device — so the sharded path is *bit-identical* to the
+single-device path, and the downstream reported-score semantics (tau
+gate, null2 bias, top-k weighting in pipeline.compute_scores /
+weighting.calculate_weights) apply unchanged to the gathered [Q, H]
+score matrix.  Scoring needs no collectives at all; the [Q, H] gather is
+a few hundred KB.  The same sharding serves the null2 pass (per-pair
+posterior/bias work in hmm/null2.py), which is the other device-heavy
+stage of compute_scores.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..hmm.forward import forward_bits_bank, _forward_one
+from ..hmm.forward import _forward_one
+
+
+def data_mesh(n_devices: Optional[int] = None) -> Optional[Mesh]:
+    """1-D production mesh over all (or the first n) devices; None when
+    only one device is available (single-chip path stays untouched)."""
+    try:
+        devs = jax.devices()
+    except Exception:
+        return None
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    if len(devs) <= 1:
+        return None
+    return Mesh(np.array(devs), ("data",))
 
 
 def make_mesh(n_devices: Optional[int] = None,
               model_parallel: Optional[int] = None) -> Mesh:
-    """Factor devices into a (data, model) mesh."""
+    """Factor devices into a (data, model) mesh (kept for experiments
+    with bank sharding; the production scoring path uses data_mesh)."""
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     n = len(devs)
     if model_parallel is None:
-        # prefer squarish split with model <= data
         model_parallel = 1
         for m in range(int(np.sqrt(n)), 0, -1):
             if n % m == 0:
@@ -41,8 +61,10 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(grid, ("data", "model"))
 
 
-def _local_scores(em, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd, bm,
-                  codes, qlens):
+def _local_bits(em, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd, bm,
+                codes, qlens):
+    """Null1-corrected pre-score bits for a local query shard (XLA scan
+    path — identical math to hmm.forward.forward_bits_bank)."""
     f_h = jax.vmap(_forward_one,
                    in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None, None))
     f_qh = jax.vmap(f_h, in_axes=(None,) * 9 + (0, 0))
@@ -54,36 +76,85 @@ def _local_scores(em, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd, bm,
     return fwd / jnp.log(2.0) - null1[:, None]
 
 
-def sharded_score_and_weight(mesh: Mesh, bank_args, codes, qlens,
-                             log2_sizes):
-    """One full distributed scoring + weighting step.
-
-    bank_args: 9 arrays with leading H axis (sharded over 'model').
-    codes/qlens: [Q, L]/[Q] (sharded over 'data').
-    log2_sizes: [H] (sharded over 'model').
-
-    Returns (bits [Q, H] fully gathered per data shard, weights [Q, H]).
-    """
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(tuple([P("model")] * 9), P("data", None), P("data"),
-                  P("model")),
-        out_specs=(P("data", "model"), P("data", "model")),
-        check_vma=False)
-    def step(bank, codes, qlens, l2s):
-        bits = _local_scores(*bank, codes, qlens)       # [q_loc, h_loc]
-        adj = bits + l2s[None, :]
-        # distributed softmax-in-base-2 over the full model axis
-        local_max = jnp.max(adj, axis=1, keepdims=True)
-        gmax = jax.lax.pmax(local_max, "model")
-        local_sum = jnp.sum(jnp.exp2(adj - gmax), axis=1, keepdims=True)
-        denom = jax.lax.psum(local_sum, "model")
-        w = jnp.exp2(adj - gmax) / denom
-        return bits, w
-
-    return step(tuple(bank_args), codes, qlens, log2_sizes)
+@functools.cache
+def _sharded_xla_step(mesh):
+    in_specs = (tuple([P()] * 9), P("data", None), P("data"))
+    return jax.jit(jax.shard_map(
+        lambda bank, c, l: _local_bits(*bank, c, l),
+        mesh=mesh, in_specs=in_specs, out_specs=P("data", None),
+        check_vma=False))
 
 
-def replicate_bank_args(bank) -> Tuple:
+@functools.cache
+def _sharded_pallas_step(mesh, QT):
+    from ..ops.pallas_forward import pallas_forward_nats
+    in_specs = (P(), P(), P("data", None), P("data"))
+    return jax.jit(jax.shard_map(
+        lambda emT, trans, c, l: pallas_forward_nats(
+            emT, trans, c, l, QT=QT),
+        mesh=mesh, in_specs=in_specs, out_specs=P("data", None),
+        check_vma=False))
+
+
+def sharded_score_bank(mesh: Mesh, bank, codes: np.ndarray,
+                       qlens: np.ndarray, backend: str = "xla",
+                       QT: int = 128, max_shapes: int = 2) -> np.ndarray:
+    """Production distributed scoring: [Q, H] pre-score bits, queries
+    sharded over 'data', bank replicated.  Per-pair computation is the
+    single-device code — results are bit-identical to score_bank on one
+    device (asserted by tests/test_parallel.py)."""
+    n = int(mesh.shape["data"])
+    Q = len(qlens)
+    if backend == "pallas":
+        from ..ops.pallas_forward import (bank_to_pallas_arrays,
+                                          _bits_from_nats)
+        emT, trans = bank_to_pallas_arrays(bank)
+        gaps = np.where(np.abs(emT).sum(axis=(0, 2)) == 0)[0]
+        pad_code = int(gaps[0]) if len(gaps) else 4
+        emTj, transj = jnp.asarray(emT), jnp.asarray(trans)
+        step = _sharded_pallas_step(mesh, QT)
+        blk = n * QT
+        order = np.argsort(qlens, kind="stable")
+        # quantized group lengths (multiples of 64), <= max_shapes shapes
+        raw = []
+        for s in range(0, Q, blk):
+            idx = order[s:s + blk]
+            raw.append((idx, max(64, -(-int(qlens[idx].max()) // 64) * 64)))
+        lpads = sorted({lp for _, lp in raw})
+        if len(lpads) > max_shapes:
+            keep = {lpads[-1]}
+            stepw = len(lpads) / max_shapes
+            for k in range(1, max_shapes):
+                keep.add(lpads[min(len(lpads) - 1, int(k * stepw) - 1)])
+            keep = sorted(keep)
+            raw = [(idx, min(e for e in keep if e >= lp))
+                   for idx, lp in raw]
+        out = np.empty((Q, bank.H), np.float64)
+        for idx, Lpad in raw:
+            nn = len(idx)
+            cp = np.full((blk, Lpad), pad_code, np.int32)
+            for t, qi in enumerate(idx):
+                cp[t, :qlens[qi]] = codes[qi, :qlens[qi]]
+            lp = np.ones(blk, np.int32)
+            lp[:nn] = qlens[idx]
+            nats = np.asarray(step(emTj, transj, jnp.asarray(cp),
+                                   jnp.asarray(lp)))[:nn]
+            out[idx] = _bits_from_nats(nats, qlens[idx], Lpad)
+        return out
+
+    args = tuple(jnp.asarray(a) for a in (
+        bank.em_odds, bank.t_mm, bank.t_mi, bank.t_md, bank.t_im,
+        bank.t_ii, bank.t_dm, bank.t_dd, bank.bm))
+    Qpad = -(-Q // n) * n
+    cp = np.ones((Qpad, codes.shape[1]), np.int32)
+    cp[:Q] = codes
+    lp = np.ones(Qpad, np.int32)
+    lp[:Q] = qlens
+    step = _sharded_xla_step(mesh)
+    bits = np.asarray(step(args, jnp.asarray(cp), jnp.asarray(lp)))
+    return bits[:Q]
+
+
+def replicate_bank_args(bank):
     return (bank.em_odds, bank.t_mm, bank.t_mi, bank.t_md, bank.t_im,
             bank.t_ii, bank.t_dm, bank.t_dd, bank.bm)

@@ -106,12 +106,23 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
     cal_codes[:, :cal.shape[1]] = cal
     cal_lens = np.full(cal.shape[0], cal.shape[1], np.int32)
 
+    # multi-device: shard the query batch over the data mesh (production
+    # path; bit-identical to single-device, see parallel/dist.py)
+    mesh = None
+    if not os.environ.get("WITCH_TPU_NO_MESH"):
+        from .parallel.dist import data_mesh
+        mesh = data_mesh()
+        if mesh is not None:
+            Configs.log("Scoring on %d-device data mesh"
+                        % int(mesh.shape["data"]))
+
     H = len(indices)
     pre = np.zeros((Q, H), np.float64)
     tau = np.zeros(H, np.float64)
     for b in banks:
-        bits = score_bank(b, codes, lens, q_chunk=q_chunk)
-        sim = score_bank(b, cal_codes, cal_lens, q_chunk=q_chunk)
+        bits = score_bank(b, codes, lens, q_chunk=q_chunk, mesh=mesh)
+        sim = score_bank(b, cal_codes, cal_lens, q_chunk=q_chunk,
+                         mesh=mesh)
         for j, idx in enumerate(b.hmm_indices):
             col = col_of[int(idx)]
             pre[:, col] = bits[:, j]
