@@ -92,7 +92,13 @@ class DeviceAligner:
 
         if not pairs:
             return []
+        import time as _time
+        from .config import Configs
+        t0 = _time.time()
         self._ensure_banks([i for i, _ in pairs])
+        Configs.runtime("  align: unihit bank build (s): %f"
+                        % (_time.time() - t0))
+        t_dev = t_xfer = t_host = 0.0
         out: List[Optional[np.ndarray]] = [None] * len(pairs)
         # group by bucket; use one global Lmax and a fixed chunk size so
         # each bucket compiles exactly one kernel shape
@@ -120,17 +126,23 @@ class DeviceAligner:
                 args = [jnp.asarray(a[rows]) for a in
                         (b.em_odds, b.t_mm, b.t_mi, b.t_md, b.t_im,
                          b.t_ii, b.t_dm, b.t_dd, b.bm)]
+                t1 = _time.time()
                 vM, iM, vI, iI, ppN, ppJ, ppC = posterior_pp_pairs_sparse(
                     *args, jnp.asarray(codes), jnp.asarray(lens),
                     multihit=False)
                 vM = np.asarray(vM)
+                t2 = _time.time()
                 iM = np.asarray(iM)
                 vI = np.asarray(vI)
                 iI = np.asarray(iI)
                 ppN = np.asarray(ppN)
                 ppJ = np.asarray(ppJ)
                 ppC = np.asarray(ppC)
+                t3 = _time.time()
+                t_dev += t2 - t1
+                t_xfer += t3 - t2
                 Mp1 = b.em_odds.shape[1]
+                t4 = _time.time()
                 for t, p in enumerate(chunk):
                     idx = pairs[p][0]
                     qlen = int(lens[t])
@@ -147,6 +159,10 @@ class DeviceAligner:
                               C=np.asarray(ppC[t][:qlen + 1],
                                            dtype=np.float64))
                     out[p] = oa_columns_from_pp(prof, pp)[:qlen]
+                t_host += _time.time() - t4
+        Configs.runtime("  align: %d pairs device %.2fs transfer %.2fs "
+                        "host-OA %.2fs" % (len(pairs), t_dev, t_xfer,
+                                           t_host))
         return out  # type: ignore
 
 
@@ -180,7 +196,9 @@ def align_all_queries(ens: Ensemble, qnames, qseqs, qcodes,
                 cols_of[(qname, idx)] = aligner.aligned_columns(
                     idx, qcodes[qi])
     else:
-        aligner = DeviceAligner(ens)
+        from .config import Configs as _C
+        aligner = DeviceAligner(
+            ens, pair_chunk=32 * max(1, int(getattr(_C, "chunksize", 1))))
         pair_list = []
         keys = []
         for qname in todo_names:
@@ -191,22 +209,78 @@ def align_all_queries(ens: Ensemble, qnames, qseqs, qcodes,
         cols = aligner.aligned_columns_batch(pair_list)
         cols_of = dict(zip(keys, cols))
 
+    import time as _time
+    from .config import Configs
+    t_merge0 = _time.time()
+
+    def _per_hmm(qname):
+        return [(cols_of[(qname, idx)], ens.retained_columns[idx],
+                 ens.nongaps_per_column[idx], float(w))
+                for idx, w in selections[qname]]
+
     if mode == "old-witch":
-        from .ops.gcm import gcm_align_query_row as merge_fn
+        from .ops.gcm import gcm_align_query_row
+        from .ops.merge_dp import sparse_edges
+        # -s/--subset-size queries share one MCL clustering per batch
+        # (the reference's multi-query GCM run); --timeout bounds each
+        # query's GCM merge, falling back to the witch-ng DP exactly as
+        # the reference re-queues timed-out GCM tasks in witch-ng mode
+        # (witch_msa/gcmm/results_handler.py:167-180)
+        s_size = max(1, int(getattr(Configs, "subset_size", 1)))
+        cluster = getattr(Configs, "graphclustermethod", "mcl")
+        if cluster in ("mlrmcl", "rg"):
+            Configs.warning("graphclustermethod %s not built; using mcl"
+                            % cluster)
+            cluster = "mcl"
+        if getattr(Configs, "graphtracemethod", "minclusters") != \
+                "minclusters":
+            Configs.log("graphtracemethod %s: all trace methods reduce "
+                        "to the exact banded DP with two constraints"
+                        % Configs.graphtracemethod)
+        if getattr(Configs, "graphtraceoptimize", "false") == "true":
+            Configs.log("graphtraceoptimize: trace is already optimal "
+                        "for 2-constraint merges; optimization is an "
+                        "identity")
+        timeout = float(getattr(Configs, "timeout", 120) or 0)
+
+        def merge_one(qname, siblings):
+            qi = name_to_i[qname]
+            ph = _per_hmm(qname)
+            t0 = _time.time()
+            row = gcm_align_query_row(
+                qseqs[qi], backbone_length, ph,
+                inflation=float(getattr(Configs, "inflation_factor", 4.0)),
+                clustermethod=cluster,
+                extra_edges=[sparse_edges(_per_hmm(s))
+                             for s in siblings])
+            if timeout and _time.time() - t0 > timeout:
+                Configs.warning(
+                    "query %s GCM merge exceeded --timeout %.0fs; "
+                    "re-running in witch-ng mode" % (qname, timeout))
+                row = align_query_row(qseqs[qi], backbone_length, ph)
+            return row
+
+        for s0 in range(0, len(todo_names), s_size):
+            batch = todo_names[s0:s0 + s_size]
+            for qname in batch:
+                row = merge_one(qname, [s for s in batch if s != qname])
+                if not row:
+                    ignored.append(qname)
+                    continue
+                rows.append((qname, row))
+                if checkpoint_cb:
+                    checkpoint_cb(qname, row)
     else:
-        merge_fn = align_query_row
-    for qname in todo_names:
-        qi = name_to_i[qname]
-        per_hmm = []
-        for idx, w in selections[qname]:
-            per_hmm.append((cols_of[(qname, idx)],
-                            ens.retained_columns[idx],
-                            ens.nongaps_per_column[idx], float(w)))
-        row = merge_fn(qseqs[qi], backbone_length, per_hmm)
-        if not row:
-            ignored.append(qname)
-            continue
-        rows.append((qname, row))
-        if checkpoint_cb:
-            checkpoint_cb(qname, row)
+        for qname in todo_names:
+            qi = name_to_i[qname]
+            row = align_query_row(qseqs[qi], backbone_length,
+                                  _per_hmm(qname))
+            if not row:
+                ignored.append(qname)
+                continue
+            rows.append((qname, row))
+            if checkpoint_cb:
+                checkpoint_cb(qname, row)
+    Configs.runtime("  align: merge DP for %d queries (s): %f"
+                    % (len(todo_names), _time.time() - t_merge0))
     return rows, ignored

@@ -31,12 +31,23 @@ from .io.fasta import read_fasta, write_fasta
 def select_backbone(records: Sequence[Tuple[str, str]],
                     backbone_size: int = 1000,
                     threshold: float = 0.25,
-                    seed: int = 0):
+                    seed: int = 0,
+                    strategy: str = "median_length"):
     """Split records into (backbone, queries) by the reference's rule:
     full-length = within +-threshold of median ungapped length; sample
     up to backbone_size of those (seeded here, unseeded in the reference).
+    strategy='random' skips the length filter and samples uniformly
+    (the reference's [Backbone] selection_strategy=random).
     """
     lengths = np.array([len(s) for _, s in records])
+    if strategy == "random":
+        rng = np.random.default_rng(seed)
+        n_bb = min(backbone_size, len(records))
+        full = sorted(rng.choice(len(records), n_bb, replace=False))
+        full_set = set(full)
+        return ([records[i] for i in full],
+                [records[i] for i in range(len(records))
+                 if i not in full_set])
     # the reference's median formula (backbone.py:91-97), including its
     # upper-biased even-length case — behaviorally important for mixed
     # full-length/fragment inputs
@@ -274,11 +285,15 @@ class BackboneJob:
 
     def __init__(self, input_path: str, outdir: str,
                  molecule: Optional[str] = None,
-                 backbone_size: int = 1000, seed: int = 0, log=None):
+                 backbone_size: Optional[int] = None, seed: int = 0,
+                 selection_strategy: Optional[str] = None,
+                 method: Optional[str] = None, log=None):
         self.input_path = input_path
         self.outdir = outdir
         self.molecule = molecule
-        self.backbone_size = backbone_size
+        self.backbone_size = backbone_size or 1000
+        self.selection_strategy = selection_strategy or "median_length"
+        self.method = method or "magus"
         self.seed = seed
         self.log = log or (lambda *_: None)
 
@@ -296,11 +311,14 @@ class BackboneJob:
                 os.path.exists(tree_path):
             self.log("Reusing existing backbone artifacts")
             return bb_path, q_path, tree_path
-        backbone, queries = select_backbone(records, self.backbone_size,
-                                            seed=self.seed)
+        backbone, queries = select_backbone(
+            records, self.backbone_size, seed=self.seed,
+            strategy=self.selection_strategy)
         self.log("Backbone: %d seqs; queries: %d"
                  % (len(backbone), len(queries)))
-        backend = os.environ.get("WITCH_TPU_BACKBONE", "magus")
+        backend = os.environ.get(
+            "WITCH_TPU_BACKBONE",
+            "magus" if self.method == "magus" else "iterhmm")
         if backend == "magus":
             from .backbone_magus import align_backbone_magus
             aln = align_backbone_magus([n for n, _ in backbone],

@@ -64,6 +64,35 @@ def init_parser() -> ArgumentParser:
                             "(compat flag). Default: 120")
     basic.add_argument("-c", "--config-file", type=str, default=None,
                        help="User config file (cmdline > user > main)")
+    basic.add_argument("--chunksize", type=int, default=1,
+                       help="Batching multiplier for device dispatch "
+                            "chunks (scoring/posterior/null2 batches "
+                            "scale with it). Default: 1")
+    basic.add_argument("--collapse-singletons", type=int, default=1,
+                       metavar="{0,1}",
+                       help="Collapse insertion columns from different "
+                            "queries at the same backbone boundary into "
+                            "shared (lowercase) columns. 0 keeps every "
+                            "query's insertions in private columns. "
+                            "Default: 1")
+
+    bb = parser.add_argument_group(
+        "BACKBONE OPTIONS",
+        "These options control how backbone sequences are selected "
+        "and aligned (only used without -b).")
+    bb.add_argument("--backbone-size", type=int, default=None,
+                    help="Number of sequences in the backbone. "
+                         "Default: min(1000, len(all_taxa))")
+    bb.add_argument("--selection-strategy", type=str, default=None,
+                    choices=["median_length", "random"],
+                    help="Backbone sequence selection strategy. Default: "
+                         "sequences with lengths 25%% around the median")
+    bb.add_argument("--backbone-method", type=str, default=None,
+                    choices=["magus", "pasta", "mafft"],
+                    help="Backbone alignment method; all choices map to "
+                         "the built-in MAGUS-lite divide-and-conquer "
+                         "aligner (magus) or its single-profile "
+                         "iterative fallback (pasta/mafft). Default: magus")
 
     witch = parser.add_argument_group("WITCH OPTIONS")
     witch.add_argument("-m", "--mode", type=str, default="witch-ng",
@@ -92,9 +121,41 @@ def init_parser() -> ArgumentParser:
     witch.add_argument("--molecule", type=str, default=None,
                        choices=["amino", "dna", "rna"],
                        help="Input molecule type. Default: infer")
+    witch.add_argument("-s", "--subset-size", type=int, default=1,
+                       help="Number of queries per GCM merge batch in "
+                            "old-witch mode (batched queries share one "
+                            "MCL clustering). Default: 1")
+    witch.add_argument("--weight-adjust", type=str, default="none",
+                       choices=["none", "normalize", "maxto1"],
+                       help="(DEPRECATED upstream) Optional adjustment "
+                            "of the per-query weight vector. Default: none")
 
     misc = parser.add_argument_group("MISCELLANEOUS OPTIONS")
     misc.add_argument("-y", "--bypass-setup", action="store_const",
                       const=True, default=True,
                       help="(compat) bypass initial setup")
+
+    gcm = parser.add_argument_group(
+        "MAGUS/GCM OPTIONS",
+        "These options customize the GCM merge used by old-witch mode.")
+    gcm.add_argument("--keepgcmtemp", action="store_const", const=True,
+                     default=False,
+                     help="Keep temporary GCM artifacts")
+    gcm.add_argument("-f", "--inflation-factor", type=float, default=4.0,
+                     help="Inflation factor for MCL. Default: 4")
+    gcm.add_argument("--graphclustermethod", type=str, default="mcl",
+                     choices=["mcl", "mlrmcl", "rg", "none"],
+                     help="Initial clustering of the alignment graph "
+                          "(mlrmcl/rg fall back to mcl). Default: mcl")
+    gcm.add_argument("--graphtracemethod", type=str, default="minclusters",
+                     choices=["minclusters", "mwtgreedy", "mwtsearch",
+                              "fm", "rg", "rgfast"],
+                     help="Trace method; with two constraint alignments "
+                          "every choice reduces to the same exact banded "
+                          "DP. Default: minclusters")
+    gcm.add_argument("--graphtraceoptimize", type=str, default="false",
+                     choices=["true", "false"],
+                     help="Optimization pass on the trace (identity here: "
+                          "the 2-constraint trace is already optimal). "
+                          "Default: false")
     return parser

@@ -42,6 +42,23 @@ class Configs:
 
     num_cpus: int = -1
     max_concurrent_jobs: Optional[int] = None
+    chunksize: int = 1
+    collapse_singletons: bool = True
+    subset_size: int = 1
+    weight_adjust: str = "none"
+
+    # backbone construction (only used without -b); mirrors the
+    # reference's [Backbone] config section (witch_msa/configs.py:139-166)
+    backbone_size: Optional[int] = None
+    selection_strategy: Optional[str] = None
+    backbone_method: Optional[str] = None
+
+    # GCM / old-witch merge options (reference configs.py:86-89)
+    keepgcmtemp: bool = False
+    inflation_factor: float = 4.0
+    graphclustermethod: str = "mcl"
+    graphtracemethod: str = "minclusters"
+    graphtraceoptimize: str = "false"
 
     # log paths
     log_path: Optional[str] = None
@@ -80,16 +97,96 @@ class Configs:
 
 
 def _config_file_to_argv(path: str) -> List[str]:
-    cp = configparser.ConfigParser()
-    cp.optionxform = str
-    with open(path) as f:
-        cp.read_file(f)
+    cp = _read_config(path)
     argv = []
     if cp.has_section("commandline"):
         for k, v in cp.items("commandline"):
             argv.append("--{}".format(k))
             argv.append(v)
     return argv
+
+
+def _read_config(path: str) -> configparser.ConfigParser:
+    cp = configparser.ConfigParser()
+    cp.optionxform = str
+    with open(path) as f:
+        cp.read_file(f)
+    return cp
+
+
+def set_valid_configuration(name: str, section: dict) -> None:
+    """Validate + apply a non-[commandline] config section (the
+    reference's set_valid_configuration, witch_msa/configs.py:134-184).
+
+    [Backbone] -> backbone construction knobs (typed/choice-checked),
+    also exposed as the Configs.Backbone namespace;
+    [Basic]    -> integer-checked overrides of Configs class attrs;
+    [MAGUS]    -> stored as the Configs.MAGUS namespace (GCM knobs with
+    matching names are applied to Configs).
+    """
+    ns = Namespace(**section)
+    if name == "Backbone":
+        for k, v in section.items():
+            if not v:
+                continue
+            if k == "alignment_method":
+                assert str(v).lower() in ("magus", "pasta", "mafft"), \
+                    "Backbone alignment method %s not implemented" % v
+                Configs.backbone_method = str(v).lower()
+            elif k == "backbone_size":
+                try:
+                    Configs.backbone_size = int(str(v).strip())
+                except ValueError:
+                    Configs.warning("backbone_size must be an integer, "
+                                    "got %s. Using default" % v)
+            elif k == "selection_strategy":
+                assert str(v).lower() in ("median_length", "random"), \
+                    "Selection strategy %s not implemented" % v
+                Configs.selection_strategy = str(v).lower()
+        setattr(Configs, name, ns)
+    elif name == "Basic":
+        for k, v in section.items():
+            if not v:
+                continue
+            if k in ("alignment_size", "num_hmms", "chunksize",
+                     "num_cpus"):
+                try:
+                    v = int(str(v).strip())
+                except ValueError:
+                    Configs.warning("%s must be an integer, got %s. "
+                                    "Using default" % (k, v))
+                    continue
+            setattr(Configs, k, v)
+    elif name == "MAGUS":
+        for k, v in section.items():
+            if not v:
+                continue
+            if k == "inflation_factor":
+                try:
+                    Configs.inflation_factor = float(str(v).strip())
+                except ValueError:
+                    Configs.warning("inflation_factor must be a float, "
+                                    "got %s. Using default" % v)
+            elif k in ("graphclustermethod", "graphtracemethod",
+                       "graphtraceoptimize"):
+                setattr(Configs, k, str(v).strip())
+        setattr(Configs, name, ns)
+
+
+_section_set_attrs: set = set()
+
+
+def _apply_config_sections(path: str) -> None:
+    before = {k: getattr(Configs, k) for k in vars(Configs)
+              if not k.startswith("_") and not callable(getattr(Configs, k))}
+    cp = _read_config(path)
+    for section in cp.sections():
+        if section == "commandline":
+            continue
+        set_valid_configuration(section, dict(cp.items(section)))
+    for k, v in before.items():
+        if getattr(Configs, k, v) is not v:
+            _section_set_attrs.add(k)
 
 
 def main_config_path() -> Optional[str]:
@@ -109,6 +206,21 @@ def build_configs(parser, cmdline_args: List[str]) -> Namespace:
         user_argv += _config_file_to_argv(args.config_file)
     args = parser.parse_args(default_argv + user_argv + cmdline_args)
 
+    # non-[commandline] sections (main config first, then user config so
+    # the user file wins; explicitly-passed cmdline flags win over both)
+    _section_set_attrs.clear()
+    if mc:
+        _apply_config_sections(mc)
+    if getattr(args, "config_file", None):
+        _apply_config_sections(args.config_file)
+
+    def _explicit(attr):
+        """cmdline value should apply: either the flag was explicitly
+        given (differs from the parser default) or no config section
+        set the attribute."""
+        return (getattr(args, attr) != parser.get_default(attr)
+                or attr not in _section_set_attrs)
+
     for name in ("input_path", "hmmdir", "backbone_path",
                  "backbone_tree_path", "query_path"):
         v = getattr(args, name, None)
@@ -123,21 +235,42 @@ def build_configs(parser, cmdline_args: List[str]) -> Namespace:
 
     Configs.keeptemp = bool(args.keeptemp)
     Configs.keep_decomposition = args.keep_decomposition == 1
-    Configs.mode = args.mode
-    if args.num_hmms > 0:
+    if _explicit("mode"):
+        Configs.mode = args.mode
+    if _explicit("num_hmms") and args.num_hmms > 0:
         Configs.num_hmms = args.num_hmms
     Configs.use_weight = args.use_weight == 1
     Configs.save_weight = args.save_weight == 1
-    Configs.alignment_size = args.alignment_size
-    if args.alignment_upper_bound is not None:
-        Configs.alignment_upper_bound = (args.alignment_upper_bound
-                                         if args.alignment_upper_bound > 0
-                                         else None)
-    Configs.molecule = args.molecule
-    Configs.timeout = args.timeout
-    Configs.num_cpus = args.num_cpus if args.num_cpus > 0 else os.cpu_count()
+    if _explicit("alignment_size"):
+        Configs.alignment_size = args.alignment_size
+    if _explicit("molecule"):
+        Configs.molecule = args.molecule
+    if _explicit("timeout"):
+        Configs.timeout = args.timeout
+    if _explicit("num_cpus"):
+        Configs.num_cpus = (args.num_cpus if args.num_cpus > 0
+                            else os.cpu_count())
     Configs.max_concurrent_jobs = (args.max_concurrent_jobs or
                                    min(50, 10 * Configs.num_cpus))
+    if _explicit("chunksize"):
+        Configs.chunksize = max(1, args.chunksize)
+    Configs.collapse_singletons = args.collapse_singletons == 1
+    Configs.subset_size = max(1, args.subset_size)
+    if _explicit("weight_adjust"):
+        Configs.weight_adjust = args.weight_adjust
+    # backbone/GCM knobs: cmdline > config section > default (also
+    # resetting any state left by a previous build_configs call)
+    for attr in ("backbone_size", "selection_strategy",
+                 "backbone_method", "alignment_upper_bound",
+                 "inflation_factor", "graphclustermethod",
+                 "graphtracemethod", "graphtraceoptimize"):
+        v = getattr(args, attr)
+        if _explicit(attr):
+            setattr(Configs, attr, v)
+    Configs.keepgcmtemp = bool(args.keepgcmtemp)
+    if Configs.alignment_upper_bound is not None and \
+            int(Configs.alignment_upper_bound) <= 0:
+        Configs.alignment_upper_bound = None
 
     Configs.log_path = os.path.join(Configs.outdir, "log.txt")
     Configs.error_path = os.path.join(Configs.outdir, "error.txt")

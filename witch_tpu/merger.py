@@ -47,7 +47,8 @@ def parse_query_row(row: str, backbone_length: int):
 
 
 def merge_rows(backbone_records: Sequence[Tuple[str, str]],
-               query_rows: Sequence[Tuple[str, str]]):
+               query_rows: Sequence[Tuple[str, str]],
+               collapse_singletons: bool = True):
     """Merge aligned query rows into the backbone.
 
     backbone_records: (name, aligned row) of the uppercased working
@@ -55,17 +56,30 @@ def merge_rows(backbone_records: Sequence[Tuple[str, str]],
     Returns (records, insertion_mask) where records is the merged full
     alignment (backbone rows first, then queries in given order) and
     insertion_mask marks insertion columns (for the .masked output).
+
+    collapse_singletons=False gives every query's insertion runs private
+    output columns instead of sharing left-aligned columns at the same
+    backbone boundary (the reference's dormant --collapse-singletons=0).
     """
     if not backbone_records:
         raise ValueError("empty backbone")
     L = len(backbone_records[0][1])
     parsed = []
     run_len = np.zeros(L + 1, dtype=np.int64)
+    qrun_off = []                 # per query: boundary -> offset in run
     for name, row in query_rows:
         mc, runs = parse_query_row(row, L)
         parsed.append((name, mc, runs))
-        for g, s in runs.items():
-            run_len[g] = max(run_len[g], len(s))
+        if collapse_singletons:
+            for g, s in runs.items():
+                run_len[g] = max(run_len[g], len(s))
+            qrun_off.append({g: 0 for g in runs})
+        else:
+            off = {}
+            for g, s in runs.items():
+                off[g] = int(run_len[g])
+                run_len[g] += len(s)
+            qrun_off.append(off)
 
     # output column layout: [runs@0][col0][runs@1][col1]...[colL-1][runs@L]
     total = L + int(run_len.sum())
@@ -86,11 +100,11 @@ def merge_rows(backbone_records: Sequence[Tuple[str, str]],
         out = np.full(total, "-", dtype="U1")
         out[col_pos] = list(row)
         records.append((name, "".join(out)))
-    for name, mc, runs in parsed:
+    for (name, mc, runs), off in zip(parsed, qrun_off):
         out = np.full(total, "-", dtype="U1")
         out[col_pos] = mc
         for g, s in runs.items():
-            start = run_pos[g]
+            start = run_pos[g] + off[g]
             out[start:start + len(s)] = list(s)
         records.append((name, "".join(out)))
     return records, ins_mask

@@ -59,55 +59,91 @@ def mcl(adj: np.ndarray, inflation: float = 4.0, max_iter: int = 50,
     # attracted to the same attractor set (connected components of the
     # support graph)
     support = (M > 0)
-    labels = np.full(n, -1, dtype=np.int64)
-    comp = 0
-    # union columns sharing any attractor row
+    # union-find over attractor rows: columns sharing any attractor row
+    # belong to one cluster, with full transitive alias compression
     attractor_of_col = [np.flatnonzero(support[:, j]) for j in range(n)]
-    row_label: Dict[int, int] = {}
-    for j in range(n):
-        rows = attractor_of_col[j]
-        found = [row_label[r] for r in rows if r in row_label]
-        if found:
-            lab = min(found)
-        else:
-            lab = comp
-            comp += 1
+    parent: Dict[int, int] = {}
+
+    def find(r: int) -> int:
+        root = r
+        while parent[root] != root:
+            root = parent[root]
+        while parent[r] != root:            # path compression
+            parent[r], r = root, parent[r]
+        return root
+
+    for rows in attractor_of_col:
         for r in rows:
-            prev_lab = row_label.get(r)
-            row_label[r] = lab if prev_lab is None else min(prev_lab, lab)
-        labels[j] = lab
-    # compress label aliases
+            parent.setdefault(r, r)
+        for a, b2 in zip(rows[:-1], rows[1:]):
+            ra, rb = find(int(a)), find(int(b2))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    labels = np.full(n, -1, dtype=np.int64)
+    canon: Dict[int, int] = {}
+    for j, rows in enumerate(attractor_of_col):
+        if len(rows) == 0:
+            continue
+        root = min(find(int(r)) for r in rows)
+        labels[j] = canon.setdefault(root, len(canon))
+    # columns with no attractor each get their own singleton cluster
     for j in range(n):
-        rows = attractor_of_col[j]
-        if len(rows):
-            labels[j] = min(row_label[r] for r in rows)
+        if labels[j] < 0:
+            labels[j] = len(canon)
+            canon[("solo", j)] = labels[j]
     return labels
 
 
 def gcm_align_query_row(seq: str, backbone_length: int,
                         per_hmm: Sequence[Tuple[np.ndarray, np.ndarray,
                                                 np.ndarray, float]],
-                        inflation: float = 4.0) -> str:
+                        inflation: float = 4.0,
+                        clustermethod: str = "mcl",
+                        extra_edges: Sequence[np.ndarray] = ()) -> str:
     """Old-witch merge for one query; same output contract as
-    witch_tpu.ops.merge_dp.align_query_row."""
+    witch_tpu.ops.merge_dp.align_query_row.
+
+    clustermethod='none' skips the MCL filter (raw edge graph, the
+    reference's --graphclustermethod none). extra_edges: sparse
+    (rows, global_cols, weights) triples from batched sibling queries
+    (-s/--subset-size > 1): their residue nodes join the clustering
+    graph (edges to backbone columns inside this query's band) so the
+    MCL filter is shared across the batch, mirroring the reference's
+    multi-query GCM runs.
+    """
     cw, min_col, max_col = accumulate_edges(len(seq), backbone_length,
                                             per_hmm)
     if cw is None:
         return ""
     n_res, band = cw.shape
-    # nodes: query residues [0..n_res) then band columns [n_res..)
-    n = n_res + band
-    adj = np.zeros((n, n))
-    ii, jj = np.nonzero(cw)
-    adj[ii, n_res + jj] = cw[ii, jj]
-    adj[n_res + jj, ii] = cw[ii, jj]
-    labels = mcl(adj, inflation=inflation)
-    # zero out edges across clusters, then the banded trace DP
-    keep = labels[ii] == labels[n_res + jj]
-    cw2 = np.zeros_like(cw)
-    cw2[ii[keep], jj[keep]] = cw[ii[keep], jj[keep]]
-    if not cw2.any():
-        cw2 = cw  # degenerate clustering: fall back to raw edges
+    if clustermethod == "none":
+        cw2 = cw
+    else:
+        # nodes: query residues [0..n_res), band columns, then sibling
+        # query residues (batched mode)
+        n_extra = sum(int(r.max()) + 1 if len(r) else 0
+                      for r, _, _ in extra_edges)
+        n = n_res + band + n_extra
+        adj = np.zeros((n, n))
+        ii, jj = np.nonzero(cw)
+        adj[ii, n_res + jj] = cw[ii, jj]
+        adj[n_res + jj, ii] = cw[ii, jj]
+        base = n_res + band
+        for er, ec, ew in extra_edges:
+            if len(er) == 0:
+                continue
+            inb = (ec >= min_col) & (ec <= max_col)
+            bj = ec[inb] - min_col
+            adj[base + er[inb], n_res + bj] = ew[inb]
+            adj[n_res + bj, base + er[inb]] = ew[inb]
+            base += int(er.max()) + 1
+        labels = mcl(adj, inflation=inflation)
+        # zero out edges across clusters, then the banded trace DP
+        keep = labels[ii] == labels[n_res + jj]
+        cw2 = np.zeros_like(cw)
+        cw2[ii[keep], jj[keep]] = cw[ii[keep], jj[keep]]
+        if not cw2.any():
+            cw2 = cw  # degenerate clustering: fall back to raw edges
     bt = banded_dp(cw2)
     row = traceback(seq, bt, min_col, max_col, backbone_length)
     return compress_insertions(row)

@@ -10,8 +10,12 @@ The row recurrence vectorizes: with
     d[j] = prev[j-1] + cw[i-1, j-1]      (diagonal + edge weight)
     c[j] = max(d[j], prev[j]) if cw > 0 else prev[j]
 the reference's three-way max with left-moves equals a running maximum
-row[j] = max(c[j], row[j-1]) — a cummax scan, which is what the TPU kernel
-uses (jax.lax.cummax over the band axis, lax.scan over query residues).
+row[j] = max(c[j], row[j-1]) — a cummax scan. The implementation below
+runs this as vectorized numpy on host (np.maximum.accumulate per
+residue row): the band is data-dependent and small (typically a few
+hundred columns), so host cummax beats shipping the DP to the device;
+the same reformulation maps directly to jax.lax.cummax + lax.scan if a
+device path is ever needed for very long backbones.
 
 Backtrace priorities (calibrated to the reference loop at
 aligner.py:435-448): left wins only if strictly greater than both other
@@ -54,6 +58,25 @@ def accumulate_edges(n_res: int, backbone_length: int,
     for rows, cols, wts in triples:
         np.add.at(cw, (rows, cols - min_col), wts)
     return cw, min_col, max_col
+
+
+def sparse_edges(per_hmm):
+    """Concatenated (rows, global backbone cols, weights) triples for one
+    query's accumulated edges (used to share MCL clustering across a
+    batched old-witch GCM run)."""
+    rr, cc, ww = [], [], []
+    for ac, retained, nongaps, w in per_hmm:
+        mask = ac >= 0
+        if not mask.any():
+            continue
+        rows = np.flatnonzero(mask)
+        rr.append(rows)
+        cc.append(retained[ac[rows]])
+        ww.append(nongaps[ac[rows]].astype(np.float64) * w)
+    if not rr:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0))
+    return np.concatenate(rr), np.concatenate(cc), np.concatenate(ww)
 
 
 def banded_dp(cw: np.ndarray) -> np.ndarray:

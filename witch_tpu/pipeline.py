@@ -82,8 +82,11 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                 "raise WITCH_TPU_MAX_HMM_STATES or supply a less "
                 "insertion-heavy backbone alignment (-b)" % m_cap)
     cores = [ens.cores[i] for i in indices]
+    t0 = time.time()
     banks = build_banks(cores, indices=indices, uniform=True,
                         n_buckets=2)
+    Configs.runtime("  scoring: bank build/quantize (s): %f"
+                    % (time.time() - t0))
     col_of = {idx: j for j, idx in enumerate(indices)}
 
     Q = len(qcodes)
@@ -120,14 +123,21 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
     pre = np.zeros((Q, H), np.float64)
     tau = np.zeros(H, np.float64)
     for b in banks:
+        t0 = time.time()
         bits = score_bank(b, codes, lens, q_chunk=q_chunk, mesh=mesh)
+        t1 = time.time()
         sim = score_bank(b, cal_codes, cal_lens, q_chunk=q_chunk,
                          mesh=mesh)
+        t2 = time.time()
         for j, idx in enumerate(b.hmm_indices):
             col = col_of[int(idx)]
             pre[:, col] = bits[:, j]
             lam = forward_lambda(ens.cores[int(idx)])
             tau[col] = tau_from_scores(sim[:, j], lam)
+        Configs.runtime(
+            "  scoring: bank Mp=%d H=%d queries %.2fs cal %.2fs "
+            "tau-fit %.2fs" % (b.em_odds.shape[1], len(b.hmm_indices),
+                               t1 - t0, t2 - t1, time.time() - t2))
     valid = pre >= tau[None, :]
     # null2 bias: exact-ish correction for the pairs that can influence
     # weights (each query's top candidates); omega-floor for the rest
@@ -149,7 +159,11 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                 pairs.append((int(indices[j]), qcodes[q]))
                 locs.append((q, j))
         if pairs:
-            bias = seq_bias_batch(banks, pairs)
+            t0 = time.time()
+            bias = seq_bias_batch(banks, pairs,
+                                  chunk=32 * max(1, Configs.chunksize))
+            Configs.runtime("  scoring: null2 bias %d pairs (s): %f"
+                            % (len(pairs), time.time() - t0))
             for (q, j), bb in zip(locs, bias):
                 reported[q, j] = pre[q, j] - bb
     except Exception as e:
@@ -173,8 +187,16 @@ def rank_and_weight(scores: np.ndarray, valid: np.ndarray,
         order = v[np.argsort(-scores[q, v], kind="stable")]
         idxs = [indices[j] for j in order]
         if Configs.use_weight:
-            out[name] = calculate_weights(
+            w = calculate_weights(
                 idxs, scores[q, order], size_arr[order], Configs.num_hmms)
+            adj = Configs.weight_adjust
+            if adj != "none" and w:
+                vals = np.array([x for _, x in w], np.float64)
+                den = vals.sum() if adj == "normalize" else vals.max()
+                if den > 0:
+                    w = tuple((i, float(x / den))
+                              for (i, _), x in zip(w, vals))
+            out[name] = w
         else:
             k = min(Configs.num_hmms, len(order))
             out[name] = tuple((idxs[t], float(scores[q, order[t]]))
@@ -241,7 +263,11 @@ def main_alignment_process(args=None):
         s = time.time()
         job = BackboneJob(Configs.input_path,
                           os.path.join(Configs.outdir, "backbone"),
-                          molecule=molecule, log=Configs.log)
+                          molecule=molecule,
+                          backbone_size=Configs.backbone_size,
+                          selection_strategy=Configs.selection_strategy,
+                          method=Configs.backbone_method,
+                          log=Configs.log)
         bb_path, q_path, tree_path = job.run()
         Configs.backbone_path = bb_path
         if not Configs.query_path:
@@ -280,7 +306,9 @@ def main_alignment_process(args=None):
         ens = build_ensemble(backbone, Configs.backbone_tree_path,
                              Configs.alignment_size,
                              Configs.alignment_upper_bound,
-                             molecule, n_workers=Configs.num_cpus)
+                             molecule,
+                             n_workers=min(Configs.num_cpus,
+                                           Configs.max_concurrent_jobs))
         if Configs.keep_decomposition:
             write_decomposition(ens, Configs.hmmdir)
     Configs.runtime("Time to obtain eHMM ensemble (s): %f"
@@ -323,14 +351,18 @@ def main_alignment_process(args=None):
     rows, ignored = align_queries(ens, qnames, qseqs, qcodes, weights,
                                   backbone_length,
                                   checkpoint_path=checkpoint_path,
-                                  done=done, n_workers=Configs.num_cpus)
+                                  done=done,
+                                  n_workers=min(Configs.num_cpus,
+                                                Configs.max_concurrent_jobs))
     Configs.runtime("Time for per-query alignment (s): %f"
                     % (time.time() - s))
 
     # merge + outputs
     s = time.time()
     bb_records = list(backbone.to_records())
-    merged, ins_mask = merge_rows(bb_records, rows)
+    merged, ins_mask = merge_rows(
+        bb_records, rows,
+        collapse_singletons=Configs.collapse_singletons)
     back = {v: k for k, v in renamed.items()}
     merged = [(back.get(n, n), r) for n, r in merged]
     write_fasta(merged, Configs.output_path)
@@ -352,6 +384,29 @@ def main_alignment_process(args=None):
         Configs.log("Wrote %d ignored queries to %s"
                     % (len(ignored), ignored_path))
 
+    clear_temp_files()
     Configs.runtime("Total runtime (s): %f" % (time.time() - t_start))
     Configs.log("WITCH-TPU finished; output: %s" % Configs.output_path)
     return Configs.output_path
+
+
+def clear_temp_files():
+    """Remove working artifacts after a successful run (the reference's
+    clearTempFiles, witch_msa/gcmm/gcmm.py:39-69): the uppercased
+    backbone copy always (unless --keeptemp), the whole tree_decomp
+    tree when --keep-decomposition 0."""
+    import shutil
+    if Configs.keeptemp:
+        return
+    td = os.path.join(Configs.outdir, "tree_decomp")
+    targets = []
+    if not Configs.keep_decomposition:
+        targets.append(td)
+    else:
+        targets.append(os.path.join(td, "backbone"))
+    for t in targets:
+        if os.path.isdir(t):
+            try:
+                shutil.rmtree(t)
+            except OSError as e:
+                Configs.warning("temp cleanup failed for %s: %s" % (t, e))
