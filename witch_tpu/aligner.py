@@ -86,7 +86,7 @@ class DeviceAligner:
                               ) -> List[np.ndarray]:
         """pairs: (hmm_idx, query codes). Returns aligned columns list."""
         import jax.numpy as jnp
-        from .hmm.align import (posterior_pp_pairs_sparse,
+        from .hmm.align import (posterior_sparse_rows,
                                 densify_sparse_pp)
         from .hmm.align_ref import oa_columns_from_pp
 
@@ -94,42 +94,42 @@ class DeviceAligner:
             return []
         import time as _time
         from .config import Configs
+        from .hmm.null2 import _length_chunks
         t0 = _time.time()
         self._ensure_banks([i for i, _ in pairs])
         Configs.runtime("  align: unihit bank build (s): %f"
                         % (_time.time() - t0))
         t_dev = t_xfer = t_host = 0.0
         out: List[Optional[np.ndarray]] = [None] * len(pairs)
-        # group by bucket; use one global Lmax and a fixed chunk size so
-        # each bucket compiles exactly one kernel shape
-        Lmax = max(len(c) for _, c in pairs)
+        # per bank: ship the bank to device once, select rows on device,
+        # and process pairs in length-sorted chunks padded to <= 2
+        # quantized widths (tunnel transfer tracks fragment lengths, not
+        # the global maximum)
         by_bucket: Dict[int, List[int]] = {}
         for p, (idx, codes) in enumerate(pairs):
             bi, _ = self._bank_row[idx]
             by_bucket.setdefault(bi, []).append(p)
         for bi, plist in by_bucket.items():
             b = self._banks[bi]
-            for s in range(0, len(plist), self.pair_chunk):
-                chunk = plist[s:s + self.pair_chunk]
-                P = self.pair_chunk if len(plist) > self.pair_chunk                     else len(chunk)
-                rows = np.array([self._bank_row[pairs[p][0]][1]
-                                 for p in chunk] +
-                                [self._bank_row[pairs[chunk[0]][0]][1]]
-                                * (P - len(chunk)))
-                codes = np.zeros((P, Lmax), np.int32)
-                lens = np.zeros(P, np.int32)
+            Mp1 = b.em_odds.shape[1]
+            args = tuple(jnp.asarray(a) for a in
+                         (b.em_odds, b.t_mm, b.t_mi, b.t_md, b.t_im,
+                          b.t_ii, b.t_dm, b.t_dd, b.bm))
+            for chunk, width, P in _length_chunks(
+                    plist, pairs, Mp1, chunk_max=self.pair_chunk * 4):
+                rows = np.zeros(P, np.int32)
+                rows[:len(chunk)] = [self._bank_row[pairs[p][0]][1]
+                                     for p in chunk]
+                codes = np.zeros((P, width), np.int32)
+                lens = np.ones(P, np.int32)
                 for t, p in enumerate(chunk):
                     c = pairs[p][1]
                     codes[t, :len(c)] = c
                     lens[t] = len(c)
-                lens[len(chunk):] = 1
-                args = [jnp.asarray(a[rows]) for a in
-                        (b.em_odds, b.t_mm, b.t_mi, b.t_md, b.t_im,
-                         b.t_ii, b.t_dm, b.t_dd, b.bm)]
                 t1 = _time.time()
-                vM, iM, vI, iI, ppN, ppJ, ppC = posterior_pp_pairs_sparse(
-                    *args, jnp.asarray(codes), jnp.asarray(lens),
-                    multihit=False)
+                vM, iM, vI, iI, ppN, ppJ, ppC = posterior_sparse_rows(
+                    args, jnp.asarray(rows), jnp.asarray(codes),
+                    jnp.asarray(lens), multihit=False)
                 vM = np.asarray(vM)
                 t2 = _time.time()
                 iM = np.asarray(iM)
@@ -141,7 +141,6 @@ class DeviceAligner:
                 t3 = _time.time()
                 t_dev += t2 - t1
                 t_xfer += t3 - t2
-                Mp1 = b.em_odds.shape[1]
                 t4 = _time.time()
                 for t, p in enumerate(chunk):
                     idx = pairs[p][0]

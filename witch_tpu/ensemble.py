@@ -122,6 +122,32 @@ def write_search_results(root: str, index: int,
         f.write(repr(results))
 
 
+def read_search_results(hmmdir: str) -> Dict[int, Dict[str, Tuple[float,
+                                                                  float]]]:
+    """Load hmmsearch.results.* files (ours or the reference's) from a
+    decomposition directory: {hmm_index: {taxon: (evalue, bitscore)}}.
+    The reference writes these as python dict literals
+    (witch_msa/gcmm/algorithm.py:579-605) and re-loads them in
+    loader.readHMMSearch (witch_msa/gcmm/loader.py:286-297)."""
+    import ast
+    out: Dict[int, Dict[str, Tuple[float, float]]] = {}
+    for p in glob.glob(os.path.join(hmmdir, "**", "hmmsearch.results.*"),
+                       recursive=True):
+        m = re.search(r"hmmsearch\.results\.A_0_(\d+)", os.path.basename(p))
+        if not m:
+            continue
+        i = int(m.group(1))
+        with open(p) as f:
+            txt = f.read().strip()
+        if not txt:
+            continue
+        d = ast.literal_eval(txt)
+        cur = out.setdefault(i, {})
+        for taxon, (ev, bits) in d.items():
+            cur[taxon] = (float(ev), float(bits))
+    return out
+
+
 def read_ensemble_dir(hmmdir: str, backbone: PackedAlignment,
                       molecule: str) -> Ensemble:
     """Load a decomposition directory (ours or the reference's)."""

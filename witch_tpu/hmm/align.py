@@ -201,6 +201,26 @@ def posterior_pp_pairs_sparse(em_odds, t_mm, t_mi, t_md, t_im, t_ii,
              codes, qlens)
 
 
+@functools.partial(jax.jit, static_argnames=("multihit", "topk"))
+def posterior_sparse_rows(bank_args, rows, codes, qlens,
+                          multihit=False, topk=64):
+    """Sparse posterior decode with the bank resident on device:
+    bank_args are full [H, ...] arrays, rows [P] selects the model per
+    pair ON DEVICE (no per-chunk host gathers over the slow tunnel);
+    indices return as int16 (Mp+1 < 32768) to shrink the transfer."""
+    sel = tuple(a[rows] for a in bank_args)
+
+    def one(eo, a, b, c, d, e, f_, g, h, cd, ql):
+        ppM, ppI, ppN, ppJ, ppC = _posterior_one(
+            eo, a, b, c, d, e, f_, g, h, cd, ql, multihit)[:5]
+        vM, iM = jax.lax.top_k(ppM, topk)
+        vI, iI = jax.lax.top_k(ppI, topk)
+        return (vM, iM.astype(jnp.int16), vI, iI.astype(jnp.int16),
+                ppN, ppJ, ppC)
+    f = jax.vmap(one, in_axes=(0,) * 9 + (0, 0))
+    return f(*sel, codes, qlens)
+
+
 def densify_sparse_pp(vM, iM, vI, iI, Mp1: int):
     """Host-side reconstruction of a dense [L+1, Mp1] posterior pair."""
     L1, k = vM.shape

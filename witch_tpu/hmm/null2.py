@@ -12,6 +12,13 @@ Computes hmmsearch's biased-composition seqbias for a set of
 The isolated-domain rescoring of the binary is approximated by the
 whole-sequence posterior restricted to the trimmed envelope (residual
 deltas quantified in docs/CALIBRATION.md).
+
+Device-efficiency notes (the pipeline's null2 stage is tunnel-bound):
+the bank lives on device once per call (no per-chunk host gathers of
+bank rows — row selection happens on device), and pairs are processed
+in length-sorted chunks padded to at most two quantized L shapes, so
+padded compute/transfer tracks the fragmentary length distribution
+instead of the global maximum.
 """
 
 from __future__ import annotations
@@ -31,21 +38,21 @@ TRIM_THETA = 0.5
 OMEGA = 1.0 / 256.0
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _flank_pairs(em_odds, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd, bm,
-                 codes, qlens):
+@jax.jit
+def _flank_pairs(bank_args, rows, codes, qlens):
+    """bank_args: 9 arrays with leading H axis (device-resident);
+    rows [P] selects the model per pair (gathered on device)."""
     def one(eo, a, b, c, d, e, f, g, h, cd, ql):
         ppM, ppI, ppN, ppJ, ppC, ppB, ppE = _posterior_one(
             eo, a, b, c, d, e, f, g, h, cd, ql, True)
         return ppN + ppJ + ppC, ppB, ppE
+    sel = tuple(a[rows] for a in bank_args)
     return jax.vmap(one, in_axes=(0,) * 9 + (0, 0))(
-        em_odds, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd, bm,
-        codes, qlens)
+        *sel, codes, qlens)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _n2sum_pairs(em_odds, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd, bm,
-                 codes, qlens, env_mask):
+@jax.jit
+def _n2sum_pairs(bank_args, rows, codes, qlens, env_mask):
     """env_mask [P, Lmax+1] in {0,1}: rows inside the trimmed envelope."""
     def one(eo, a, b, c, d, e, f, g, h, cd, ql, em):
         ppM, ppI = _posterior_one(
@@ -59,14 +66,50 @@ def _n2sum_pairs(em_odds, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd, bm,
         null2 = null2 / jnp.maximum(Ld, 1e-9)
         n2 = jnp.log(jnp.maximum(null2, 1e-30))
         return (n2[cd] * em[1:]).sum()
+    sel = tuple(a[rows] for a in bank_args)
     return jax.vmap(one, in_axes=(0,) * 9 + (0, 0, 0))(
-        em_odds, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd, bm,
-        codes, qlens, env_mask)
+        *sel, codes, qlens, env_mask)
+
+
+def _length_chunks(plist, pairs, Mp1, chunk_max=256, max_shapes=2,
+                   elem_budget=150_000_000):
+    """Length-sorted chunks of pair indices with <= max_shapes padded
+    widths (64-quantized, mirroring the scoring path's grouping) and a
+    per-width chunk size bounded so the posterior scan's [P, L, Mp]
+    row storage stays within HBM budget."""
+    order = sorted(plist, key=lambda p: len(pairs[p][1]))
+    # two quantized widths over this bank's pairs
+    widths_all = sorted({max(64, -(-len(pairs[p][1]) // 64) * 64)
+                         for p in order})
+    if len(widths_all) > max_shapes:
+        keep = {widths_all[-1]}
+        step = len(widths_all) / max_shapes
+        for k in range(1, max_shapes):
+            keep.add(widths_all[min(len(widths_all) - 1,
+                                    int(k * step) - 1)])
+        widths = sorted(keep)
+    else:
+        widths = widths_all
+
+    def width_of(p):
+        w = max(64, -(-len(pairs[p][1]) // 64) * 64)
+        return min(w2 for w2 in widths if w2 >= w)
+
+    out = []
+    by_w: Dict[int, List[int]] = {}
+    for p in order:
+        by_w.setdefault(width_of(p), []).append(p)
+    for w, group in sorted(by_w.items()):
+        P = max(32, min(chunk_max,
+                        elem_budget // (w * Mp1) // 32 * 32))
+        for s in range(0, len(group), P):
+            out.append((group[s:s + P], w, P))
+    return out
 
 
 def seq_bias_batch(banks: List[ProfileBank],
                    pairs: List[Tuple[int, np.ndarray]],
-                   chunk: int = 32) -> np.ndarray:
+                   chunk: int = 256) -> np.ndarray:
     """seqbias (bits) per (hmm_idx, query codes) pair, batched on device.
 
     banks: the multihit score banks covering all hmm indices in pairs.
@@ -76,34 +119,34 @@ def seq_bias_batch(banks: List[ProfileBank],
         for r, idx in enumerate(b.hmm_indices):
             row_of[int(idx)] = (bi, r)
     out = np.zeros(len(pairs))
-    Lmax = max(len(c) for _, c in pairs)
     # group pairs by bank
     by_bank: Dict[int, List[int]] = {}
     for p, (idx, _) in enumerate(pairs):
         by_bank.setdefault(row_of[idx][0], []).append(p)
     for bi, plist in by_bank.items():
         b = banks[bi]
-        args0 = (b.em_odds, b.t_mm, b.t_mi, b.t_md, b.t_im, b.t_ii,
-                 b.t_dm, b.t_dd, b.bm)
-        for s in range(0, len(plist), chunk):
-            sel = plist[s:s + chunk]
-            P = chunk if len(plist) > chunk else len(sel)
-            rows = np.array([row_of[pairs[p][0]][1] for p in sel] +
-                            [row_of[pairs[sel[0]][0]][1]] * (P - len(sel)))
-            cm = np.zeros((P, Lmax), np.int32)
+        args = tuple(jnp.asarray(a) for a in (
+            b.em_odds, b.t_mm, b.t_mi, b.t_md, b.t_im, b.t_ii,
+            b.t_dm, b.t_dd, b.bm))
+        Mp1 = b.em_odds.shape[1]
+        for sel, width, P in _length_chunks(plist, pairs, Mp1,
+                                            chunk_max=chunk):
+            rows = np.zeros(P, np.int32)
+            rows[:len(sel)] = [row_of[pairs[p][0]][1] for p in sel]
+            cm = np.zeros((P, width), np.int32)
             lens = np.ones(P, np.int32)
             for t, p in enumerate(sel):
                 c = pairs[p][1]
                 cm[t, :len(c)] = c
                 lens[t] = len(c)
-            args = [jnp.asarray(a[rows]) for a in args0]
+            rj = jnp.asarray(rows)
             cmj = jnp.asarray(cm)
             lj = jnp.asarray(lens)
-            flank_j, ppB_j, ppE_j = _flank_pairs(*args, cmj, lj)
+            flank_j, ppB_j, ppE_j = _flank_pairs(args, rj, cmj, lj)
             flank = np.asarray(flank_j)
             ppB_h = np.asarray(ppB_j)
             ppE_h = np.asarray(ppE_j)
-            env = np.zeros((P, Lmax + 1), np.float32)
+            env = np.zeros((P, width + 1), np.float32)
             for t, p in enumerate(sel):
                 L = len(pairs[p][1])
                 mocc = 1.0 - flank[t, :L + 1]
@@ -116,7 +159,7 @@ def seq_bias_batch(banks: List[ProfileBank],
                         continue
                     a2, b2 = a + int(core[0]), a + int(core[-1])
                     env[t, a2:b2 + 1] = 1.0
-            n2 = np.asarray(_n2sum_pairs(*args, cmj, lj,
+            n2 = np.asarray(_n2sum_pairs(args, rj, cmj, lj,
                                          jnp.asarray(env)))
             for t, p in enumerate(sel):
                 out[p] = float(np.logaddexp(0.0, np.log(OMEGA) + n2[t])

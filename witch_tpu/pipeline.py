@@ -326,16 +326,48 @@ def main_alignment_process(args=None):
                                                      alphabet)
     Configs.log("Loaded %d queries" % len(qnames))
 
-    # weights (reuse weights.txt if present)
+    # weights (reuse weights.txt, then persisted hmmsearch results, then
+    # score on device — the reference's resume ladder: weights.txt
+    # (weighting.py:184-194) and -p search-result reuse
+    # (gcmm.py:120-169 + loader.readHMMSearch))
     weight_path = os.path.join(Configs.outdir, "weights.txt")
     if os.path.exists(weight_path):
         Configs.log("Found existing weights: %s" % weight_path)
         weights = read_weights(weight_path)
     else:
         s = time.time()
-        scores, valid, indices, tau = compute_scores(ens, qcodes)
-        Configs.runtime("Time for all-vs-all Forward scoring (s): %f"
-                        % (time.time() - s))
+        scores = valid = None
+        if have_dir:
+            from .ensemble import read_search_results
+            search = read_search_results(Configs.hmmdir)
+            if search and set(search) == set(ens.indices):
+                Configs.log("Reusing %d hmmsearch result files from %s"
+                            % (len(search), Configs.hmmdir))
+                indices = ens.indices
+                name_to_q = {n: q for q, n in enumerate(qnames)}
+                Q, H = len(qnames), len(indices)
+                scores = np.full((Q, H), -np.inf)
+                valid = np.zeros((Q, H), bool)
+                for j, idx in enumerate(indices):
+                    for taxon, (_, bits) in search[idx].items():
+                        q = name_to_q.get(taxon)
+                        if q is not None:
+                            scores[q, j] = bits
+                            valid[q, j] = True
+                Configs.runtime("Time to load hmmsearch results (s): %f"
+                                % (time.time() - s))
+        if scores is None:
+            scores, valid, indices, tau = compute_scores(ens, qcodes)
+            Configs.runtime("Time for all-vs-all Forward scoring (s): %f"
+                            % (time.time() - s))
+            if Configs.keep_decomposition and os.path.isdir(Configs.hmmdir):
+                s2 = time.time()
+                for j, idx in enumerate(indices):
+                    res = {qnames[q]: (0.0, float(scores[q, j]))
+                           for q in np.flatnonzero(valid[:, j])}
+                    write_search_results(Configs.hmmdir, int(idx), res)
+                Configs.runtime("Time to persist hmmsearch results (s): %f"
+                                % (time.time() - s2))
         s = time.time()
         weights = rank_and_weight(scores, valid, indices, ens.sizes(),
                                   qnames)
