@@ -64,23 +64,27 @@ def find_regions(mocc: np.ndarray, ppB: np.ndarray, ppE: np.ndarray
     dE = np.zeros(L + 1)
     dE[1:] = ppE[1:]
     regions = []
-    i2 = 0
+    i2 = -1
     triggered = False
     for i in range(1, L + 1):
         if not triggered:
-            if mocc[i] - dB[i] >= RT2 and i2 == 0:
+            # region start = LAST position where the in-domain mass net of
+            # newly-started B mass is still below rt2 (the binary's env
+            # starts one position before the first high-mocc position;
+            # verified on microcosm + example data)
+            if mocc[i] - dB[i] < RT2:
                 i2 = i
-            elif mocc[i] < RT2:
-                i2 = 0
-            if mocc[i] >= RT1 and i2 > 0:
+            elif i2 == -1:
+                i2 = i
+            if mocc[i] >= RT1:
                 triggered = True
         else:
             if mocc[i] - dE[i] < RT2:
-                regions.append((i2, i))
-                i2 = 0
+                regions.append((max(i2, 1), i))
+                i2 = -1
                 triggered = False
-    if triggered and i2 > 0:
-        regions.append((i2, L))
+    if triggered:
+        regions.append((max(i2, 1), L))
     return regions
 
 
