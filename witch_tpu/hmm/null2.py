@@ -24,7 +24,7 @@ instead of the global maximum.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -109,10 +109,14 @@ def _length_chunks(plist, pairs, Mp1, chunk_max=256, max_shapes=2,
 
 def seq_bias_batch(banks: List[ProfileBank],
                    pairs: List[Tuple[int, np.ndarray]],
-                   chunk: int = 256) -> np.ndarray:
+                   chunk: int = 256,
+                   collect_posteriors: Optional[dict] = None) -> np.ndarray:
     """seqbias (bits) per (hmm_idx, query codes) pair, batched on device.
 
     banks: the multihit score banks covering all hmm indices in pairs.
+    collect_posteriors: optional dict filled with
+    pair_index -> (mocc, ppB, ppE) host rows ([L+1] each) so the caller
+    can run the reporting gate without a second device pass.
     """
     row_of = {}
     for bi, b in enumerate(banks):
@@ -151,6 +155,10 @@ def seq_bias_batch(banks: List[ProfileBank],
                 L = len(pairs[p][1])
                 mocc = 1.0 - flank[t, :L + 1]
                 mocc[0] = 0.0
+                if collect_posteriors is not None:
+                    collect_posteriors[p] = (mocc.copy(),
+                                             ppB_h[t, :L + 1].copy(),
+                                             ppE_h[t, :L + 1].copy())
                 regions = find_regions(mocc, ppB_h[t, :L + 1],
                                        ppE_h[t, :L + 1])
                 for (a, bnd) in regions:

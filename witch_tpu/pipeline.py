@@ -138,9 +138,18 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
             "  scoring: bank Mp=%d H=%d queries %.2fs cal %.2fs "
             "tau-fit %.2fs" % (b.em_odds.shape[1], len(b.hmm_indices),
                                t1 - t0, t2 - t1, time.time() - t2))
-    valid = pre >= tau[None, :]
-    # null2 bias: exact-ish correction for the pairs that can influence
-    # weights (each query's top candidates); omega-floor for the rest
+    # Reporting gate + null2 bias for each query's top candidates.
+    #
+    # hmmsearch only prints a target when domain definition yields >= 1
+    # domain; WITCH inherits that as the membership of its score lists
+    # (witch_msa/gcmm/loader.py:286-297). The gate is emulated exactly
+    # (hmm/trace_ensemble.py) but lazily: every observed binary drop in
+    # the 70,500-pair calibration grid has pre-score < -1.7 bits, so
+    # pairs at >= GATE_SAFE bits are accepted outright and the
+    # 200-trace ensemble runs only for weak candidates that could still
+    # enter a weight list (top num_hmms per query).
+    GATE_SAFE = 0.0
+    valid = np.zeros((Q, H), bool)
     reported = pre - BIAS_FLOOR_BITS
     try:
         from .hmm.null2 import seq_bias_batch
@@ -151,24 +160,56 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         pairs = []
         locs = []
         for q in range(Q):
-            v = np.flatnonzero(valid[q])
-            if v.size == 0:
-                continue
-            top = v[np.argsort(-pre[q, v], kind="stable")[:TOPT]]
+            top = np.argsort(-pre[q], kind="stable")[:TOPT]
             for j in top:
                 pairs.append((int(indices[j]), qcodes[q]))
                 locs.append((q, j))
+        posts: Dict[int, tuple] = {}
         if pairs:
             t0 = time.time()
             bias = seq_bias_batch(banks, pairs,
-                                  chunk=32 * max(1, Configs.chunksize))
+                                  chunk=32 * max(1, Configs.chunksize),
+                                  collect_posteriors=posts)
             Configs.runtime("  scoring: null2 bias %d pairs (s): %f"
                             % (len(pairs), time.time() - t0))
             for (q, j), bb in zip(locs, bias):
                 reported[q, j] = pre[q, j] - bb
+        # lazy exact gate per query, in reported-score rank order
+        t0 = time.time()
+        from .hmm.trace_ensemble import target_reported
+        from .hmm.profile import configure as _configure
+        prof_cache: Dict[int, object] = {}
+        post_of = {lc: p for p, lc in enumerate(locs)}
+        n_ens = 0
+        for q in range(Q):
+            top = np.argsort(-reported[q], kind="stable")[:TOPT]
+            accepted = 0
+            for j in top:
+                if pre[q, j] >= GATE_SAFE:
+                    valid[q, j] = True
+                    accepted += 1
+                else:
+                    p = post_of.get((q, j))
+                    if p is None or p not in posts:
+                        continue
+                    idx = int(indices[j])
+                    if idx not in prof_cache:
+                        prof_cache[idx] = _configure(ens.cores[idx],
+                                                     multihit=True)
+                    mocc, ppB, ppE = posts[p]
+                    n_ens += 1
+                    if target_reported(prof_cache[idx], qcodes[q],
+                                       mocc, ppB, ppE):
+                        valid[q, j] = True
+                        accepted += 1
+                if accepted >= Configs.num_hmms:
+                    break
+        Configs.runtime("  scoring: reporting gate (%d ensembles) (s): %f"
+                        % (n_ens, time.time() - t0))
     except Exception as e:
-        Configs.warning("null2 correction unavailable (%s); "
-                        "using omega floor" % e)
+        Configs.warning("reporting gate unavailable (%s); "
+                        "falling back to pre >= tau" % e)
+        valid = pre >= tau[None, :]
     reported = np.round(reported, 1)
     return reported, valid, indices, tau
 
