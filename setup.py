@@ -20,6 +20,12 @@ setup(
             include_dirs=[numpy.get_include()],
             extra_compile_args=["-O3", "-std=c++17"],
         ),
+        Extension(
+            "witch_tpu.native._domaindef",
+            sources=["witch_tpu/native/domaindef_kernel.cpp"],
+            include_dirs=[numpy.get_include()],
+            extra_compile_args=["-O3", "-std=c++17"],
+        ),
     ],
     python_requires=">=3.10",
     install_requires=["numpy", "scipy", "jax"],

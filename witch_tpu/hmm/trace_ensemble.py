@@ -144,34 +144,49 @@ def sample_trace(rng: EselRng, prof, F, L: int
             else:
                 state = "E"
         elif state == "E":
-            # one raw draw walks the M then D cells normalized by E[i]
-            # (striped order in the binary; order changes only which
-            # equal-mass cell maps to a given roll, not the law)
-            logw = np.concatenate([FM[i, 1:M + 1], FD[i, 2:M + 1]])
-            mx = np.max(logw)
-            w = np.exp(logw - mx)
-            cum = np.cumsum(w, dtype=np.float64)
-            roll = rng.random() * cum[-1]
-            j = int(np.searchsorted(cum, roll, side="right"))
-            j = min(j, len(w) - 1)
-            if j < M:
-                state, k = "M", j + 1
-            else:
-                state, k = "D", j - M + 2
+            # one raw draw walks M then D cells per striped q block
+            # (k = z*Q + q + 1), each normalized by E[i]
+            Q = max(2, (M + 3) // 4)
+            order = []
+            for q in range(Q):
+                for z in range(4):
+                    kk = z * Q + q + 1
+                    if kk <= M:
+                        order.append(("M", kk))
+                for z in range(4):
+                    kk = z * Q + q + 1
+                    if 2 <= kk <= M:
+                        order.append(("D", kk))
+            mx = max(np.max(FM[i, 1:M + 1]), np.max(FD[i, 2:M + 1])
+                     if M >= 2 else NEG)
+            Enorm = np.exp(FE[i] - mx)
+            roll = rng.random()
+            cum = 0.0
+            sel = None
+            for stt, kk in order:
+                v = FM[i, kk] if stt == "M" else FD[i, kk]
+                cum += float(np.float32(np.exp(v - mx) / Enorm))
+                if cum > roll:
+                    sel = (stt, kk)
+                    break
+            if sel is None:
+                sel = ("M", M)
+            state, k = sel
             cur_end, cur_kend = i, k
         elif state == "M":
+            # the binary's candidate order is [B, M, I, D]
             j = rng.choose_log(np.array(
-                [(FM[i - 1, k - 1] + prof.t_mm[k - 1]) if k > 1 else NEG,
+                [FB[i - 1] + prof.bm[k],
+                 (FM[i - 1, k - 1] + prof.t_mm[k - 1]) if k > 1 else NEG,
                  (FI[i - 1, k - 1] + prof.t_im[k - 1]) if k > 1 else NEG,
-                 (FD[i - 1, k - 1] + prof.t_dm[k - 1]) if k > 1 else NEG,
-                 FB[i - 1] + prof.bm[k]]))
-            if j == 3:
+                 (FD[i - 1, k - 1] + prof.t_dm[k - 1]) if k > 1 else NEG]))
+            if j == 0:
                 doms.append((i, cur_end, k, cur_kend))
                 state = "B"
                 i -= 1
             else:
                 state, k = (("M", k - 1), ("I", k - 1),
-                            ("D", k - 1))[j]
+                            ("D", k - 1))[j - 1]
                 i -= 1
         elif state == "I":
             j = rng.choose_log(np.array(
@@ -298,12 +313,34 @@ def region_split_mass(btot, etot, i: int, j: int) -> float:
 
 def resolve_region(prof, codes: np.ndarray, i: int, j: int, Lseq: int,
                    seed: int = 42,
-                   rng: Optional[EselRng] = None) -> List[dict]:
+                   rng: Optional[EselRng] = None,
+                   want_null2: bool = False):
     """Run the 200-trace ensemble for region [i,j] (1-based, inclusive)
     of the encoded query `codes`; returns surviving clusters with env
-    coords in full-sequence coordinates."""
+    coords in full-sequence coordinates (and, when want_null2, the
+    per-position expected null2 odds over the region).
+
+    Uses the native C++ engine (witch_tpu.native._domaindef) when built;
+    the numpy path below is the readable reference implementation."""
+    sub = np.ascontiguousarray(codes[i - 1:j], dtype=np.int32)
+    try:
+        from ..native import _domaindef
+    except ImportError:
+        _domaindef = None
+    if _domaindef is not None:
+        cl, n2acc = _domaindef.ensemble_region(
+            np.ascontiguousarray(prof.msc, np.float64),
+            *[np.ascontiguousarray(getattr(prof, a), np.float64)
+              for a in ("t_mm", "t_mi", "t_md", "t_im", "t_ii",
+                        "t_dm", "t_dd", "bm")],
+            sub, int(Lseq), int(seed), NSAMPLES, int(want_null2))
+        clusters = [dict(i=ci + i - 1, j=cj + i - 1, k=ck, m=cm,
+                         post=post, nsamp=nsamp)
+                    for (ci, cj, ck, cm, post, nsamp) in cl]
+        if want_null2:
+            return clusters, n2acc
+        return clusters
     rm = RegionProfile(prof, Lseq)
-    sub = codes[i - 1:j]
     _fwd, F = forward_matrices(rm, sub)
     if rng is None:
         rng = EselRng(seed)
@@ -313,7 +350,10 @@ def resolve_region(prof, codes: np.ndarray, i: int, j: int, Lseq: int,
     for t in range(NSAMPLES):
         for (i1, j1, k1, m1) in sample_trace(rng, rm, F, len(sub)):
             segs.append((t, i1 + i - 1, j1 + i - 1, k1, m1))
-    return cluster_ensemble(segs)
+    clusters = cluster_ensemble(segs)
+    if want_null2:
+        return clusters, None
+    return clusters
 
 
 def target_reported(prof, codes: np.ndarray, mocc, ppB, ppE,

@@ -1,0 +1,1079 @@
+/* hmmsearch domain-definition engine: stochastic trace ensemble,
+ * segment clustering, reporting gate and null2 accumulation.
+ *
+ * Native reimplementation of witch_tpu/hmm/trace_ensemble.py (semantics
+ * reconstructed from the bundled HMMER 3.1b2 binary — constants and
+ * control flow verified by disassembly; see docs/CALIBRATION.md and the
+ * module docstring of trace_ensemble.py). One call resolves one region
+ * of one (model, target) pair:
+ *
+ *   Forward (odds space, f64, per-row rescaling) on the region
+ *   subsequence with the profile in multihit mode, length model = full
+ *   sequence length; esl_randomness-fast stream re-seeded per region;
+ *   nsamples stochastic tracebacks (candidate orders as in the binary:
+ *   C=[Cloop,E] J=[Jloop,E] B=[N,J] I=[M,I] D=[M,D] M=[B,M,I,D], E via
+ *   one raw draw over the striped M/D walk); segments -> single-linkage
+ *   clustering (overlap >= 0.8 of smaller in seq AND model coords, and
+ *   start- or end-diagonal within 4); min_posterior 0.25 support cut;
+ *   >=0.8-overlap cluster dedup; endpoint-histogram envelopes; optional
+ *   p7_Null2_ByTrace-style per-position null2 odds accumulation.
+ *
+ * CPython C API + numpy, no external dependencies.
+ */
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
+#include <numpy/arrayobject.h>
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+#include <thread>
+#include <atomic>
+
+namespace {
+
+constexpr double kRescaleHi = 1e250;
+
+/* ---------------- esl randomness (fast LCG) ------------------------- */
+
+static uint32_t jenkins_mix3(uint32_t a, uint32_t b, uint32_t c) {
+    a -= b; a -= c; a ^= (c >> 13);
+    b -= c; b -= a; b ^= (a << 8);
+    c -= a; c -= b; c ^= (b >> 13);
+    a -= b; a -= c; a ^= (c >> 12);
+    b -= c; b -= a; b ^= (a << 16);
+    c -= a; c -= b; c ^= (b >> 5);
+    a -= b; a -= c; a ^= (c >> 3);
+    b -= c; b -= a; b ^= (a << 10);
+    c -= a; c -= b; c ^= (b >> 15);
+    return c;
+}
+
+struct EselRng {
+    uint32_t x;
+    explicit EselRng(uint32_t seed) {
+        x = jenkins_mix3(seed, 87654321u, 12345678u);
+    }
+    inline double random() {
+        x = 69069u * x + 1u;   /* mod 2^32 via wraparound */
+        return (double)x * (1.0 / 4294967296.0);
+    }
+    /* esl_rnd_FChoose over float candidates: double-accumulated CDF of
+     * the f32 entries divided by their in-order double sum. */
+    inline int fchoose(const float *p, int n) {
+        double norm = 0.0;
+        for (int i = 0; i < n; i++) norm += (double)p[i];
+        double roll = random();
+        double cum = 0.0;
+        for (int i = 0; i < n; i++) {
+            cum += (double)p[i];
+            if (cum / norm > roll) return i;
+        }
+        return n - 1;
+    }
+};
+
+/* ---------------- model view ---------------------------------------- */
+
+struct Model {
+    int M, K;
+    const double *msc;                         /* [M+1, K] log odds */
+    const double *t_mm, *t_mi, *t_md, *t_im, *t_ii, *t_dm, *t_dd, *bm;
+    /* odds-space copies */
+    std::vector<double> em;                    /* [M+1, K] */
+    std::vector<double> mm, mi, md, im, ii, dm, dd, bmo;
+    double loop, move;                         /* length model (odds) */
+
+    void set_length(int Lseq, bool multihit) {
+        double pmove = (multihit ? 3.0 : 2.0)
+                     / ((double)Lseq + (multihit ? 3.0 : 2.0));
+        loop = 1.0 - pmove;
+        move = pmove;
+    }
+
+    void prepare(int Lseq) {
+        em.resize((size_t)(M + 1) * K);
+        for (size_t i = 0; i < em.size(); i++) em[i] = std::exp(msc[i]);
+        auto cv = [&](const double *src, std::vector<double> &dst) {
+            dst.resize(M + 1);
+            for (int k = 0; k <= M; k++) dst[k] = std::exp(src[k]);
+        };
+        cv(t_mm, mm); cv(t_mi, mi); cv(t_md, md); cv(t_im, im);
+        cv(t_ii, ii); cv(t_dm, dm); cv(t_dd, dd); cv(bm, bmo);
+        set_length(Lseq, true);
+    }
+};
+
+/* ---------------- forward in odds space ------------------------------ */
+
+struct Fwd {
+    int L, M;
+    /* row-major [L+1][M+1]; row scales in log space */
+    std::vector<double> Mx, Ix, Dx;
+    std::vector<double> N, B, E, J, C;
+    std::vector<double> scale_log;             /* cumulative per row */
+
+    inline double *rowM(int i) { return &Mx[(size_t)i * (M + 1)]; }
+    inline double *rowI(int i) { return &Ix[(size_t)i * (M + 1)]; }
+    inline double *rowD(int i) { return &Dx[(size_t)i * (M + 1)]; }
+};
+
+static void forward_region(const Model &m, const int32_t *codes, int L,
+                           Fwd *f) {
+    int M = m.M;
+    f->L = L; f->M = M;
+    f->Mx.assign((size_t)(L + 1) * (M + 1), 0.0);
+    f->Ix.assign((size_t)(L + 1) * (M + 1), 0.0);
+    f->Dx.assign((size_t)(L + 1) * (M + 1), 0.0);
+    f->N.assign(L + 1, 0.0);
+    f->B.assign(L + 1, 0.0);
+    f->E.assign(L + 1, 0.0);
+    f->J.assign(L + 1, 0.0);
+    f->C.assign(L + 1, 0.0);
+    f->scale_log.assign(L + 1, 0.0);
+    f->N[0] = 1.0;
+    f->B[0] = m.move;
+
+    for (int i = 1; i <= L; i++) {
+        const double *pm = f->rowM(i - 1);
+        const double *pi = f->rowI(i - 1);
+        const double *pd = f->rowD(i - 1);
+        double *cm = f->rowM(i);
+        double *ci = f->rowI(i);
+        double *cd = f->rowD(i);
+        int x = codes[i - 1];
+        const double *emx = &m.em[(size_t)0 * m.K + x]; /* stride K */
+        double Bprev = f->B[i - 1];
+        double esum = 0.0;
+        for (int k = 1; k <= M; k++) {
+            double src = pm[k - 1] * m.mm[k - 1] + pi[k - 1] * m.im[k - 1]
+                       + pd[k - 1] * m.dm[k - 1] + Bprev * m.bmo[k];
+            double v = src * emx[(size_t)k * m.K];
+            cm[k] = v;
+            esum += v;
+        }
+        for (int k = 1; k < M; k++)
+            ci[k] = pm[k] * m.mi[k] + pi[k] * m.ii[k];
+        cd[0] = cd[1] = 0.0;
+        for (int k = 2; k <= M; k++) {
+            cd[k] = cm[k - 1] * m.md[k - 1] + cd[k - 1] * m.dd[k - 1];
+            esum += cd[k];
+        }
+        f->E[i] = esum;
+        f->J[i] = f->J[i - 1] * m.loop + esum * 0.5;
+        f->C[i] = f->C[i - 1] * m.loop + esum * 0.5;
+        f->N[i] = f->N[i - 1] * m.loop;
+        f->B[i] = f->N[i] * m.move + f->J[i] * m.move;
+        f->scale_log[i] = f->scale_log[i - 1];
+        if (esum > kRescaleHi) {
+            double inv = 1.0 / esum;
+            for (int k = 0; k <= M; k++) {
+                cm[k] *= inv; ci[k] *= inv; cd[k] *= inv;
+            }
+            f->E[i] *= inv; f->J[i] *= inv; f->C[i] *= inv;
+            f->N[i] *= inv; f->B[i] *= inv;
+            f->scale_log[i] += std::log(esum);
+        }
+    }
+}
+
+/* scale ratio exp(scale_log[a] - scale_log[b]) for cross-row candidates */
+static inline double sratio(const Fwd &f, int a, int b) {
+    double d = f.scale_log[a] - f.scale_log[b];
+    return d == 0.0 ? 1.0 : std::exp(d);
+}
+
+/* ---------------- stochastic traceback ------------------------------- */
+
+struct Seg { int t, i, j, k, m; };
+
+struct TraceStep { char st; int k, i; };   /* st: M/I/D only recorded */
+
+/* Sample one trace; push domains into segs (local 1-based coords).
+ * If steps != nullptr, record the model-state visits with their
+ * emission positions for null2 accumulation. */
+static void sample_trace(EselRng &rng, const Model &mo, const Fwd &f,
+                         int t, std::vector<Seg> *segs,
+                         std::vector<TraceStep> *steps) {
+    int L = f.L, M = f.M;
+    int Q = (M + 3) / 4;
+    if (Q < 2) Q = 2;
+    int i = L;
+    char st = 'C';
+    int k = 0;
+    int cur_end = 0, cur_kend = 0;
+    float cand[4];
+    while (!(st == 'N' && i == 0)) {
+        switch (st) {
+        case 'C': {
+            cand[0] = (i > 0) ? (float)(f.C[i - 1] * mo.loop *
+                                        sratio(f, i - 1, i)) : 0.0f;
+            cand[1] = (float)(f.E[i] * 0.5);
+            if (rng.fchoose(cand, 2) == 0) i--; else st = 'E';
+            break;
+        }
+        case 'J': {
+            cand[0] = (i > 0) ? (float)(f.J[i - 1] * mo.loop *
+                                        sratio(f, i - 1, i)) : 0.0f;
+            cand[1] = (float)(f.E[i] * 0.5);
+            if (rng.fchoose(cand, 2) == 0) i--; else st = 'E';
+            break;
+        }
+        case 'E': {
+            /* one raw draw; walk M then D cells per striped q block */
+            const double *cm = &f.Mx[(size_t)i * (M + 1)];
+            const double *cd = &f.Dx[(size_t)i * (M + 1)];
+            double invE = 1.0 / f.E[i];
+            double roll = rng.random();
+            double cum = 0.0;
+            int sel_k = -1;
+            char sel_st = 'M';
+            for (int q = 0; q < Q && sel_k < 0; q++) {
+                for (int z = 0; z < 4; z++) {
+                    int kk = z * Q + q + 1;
+                    double v = (kk <= M) ? cm[kk] * invE : 0.0;
+                    cum += (double)(float)v;
+                    if (cum > roll) { sel_k = kk; sel_st = 'M'; break; }
+                }
+                if (sel_k >= 0) break;
+                for (int z = 0; z < 4; z++) {
+                    int kk = z * Q + q + 1;
+                    double v = (kk <= M && kk >= 2) ? cd[kk] * invE : 0.0;
+                    cum += (double)(float)v;
+                    if (cum > roll) { sel_k = kk; sel_st = 'D'; break; }
+                }
+            }
+            if (sel_k < 0) { sel_k = M; sel_st = 'M'; }
+            st = sel_st; k = sel_k;
+            cur_end = i; cur_kend = k;
+            break;
+        }
+        case 'M': {
+            const double *pm = f.Mx.data() + (size_t)(i - 1) * (M + 1);
+            const double *pi2 = f.Ix.data() + (size_t)(i - 1) * (M + 1);
+            const double *pd = f.Dx.data() + (size_t)(i - 1) * (M + 1);
+            double sr = sratio(f, i - 1, i);
+            /* binary's candidate order: [B, M, I, D] */
+            cand[0] = (float)(f.B[i - 1] * mo.bmo[k] * sr);
+            cand[1] = (k > 1) ? (float)(pm[k - 1] * mo.mm[k - 1] * sr)
+                              : 0.0f;
+            cand[2] = (k > 1) ? (float)(pi2[k - 1] * mo.im[k - 1] * sr)
+                              : 0.0f;
+            cand[3] = (k > 1) ? (float)(pd[k - 1] * mo.dm[k - 1] * sr)
+                              : 0.0f;
+            if (steps) steps->push_back({'M', k, i});
+            int j = rng.fchoose(cand, 4);
+            if (j == 0) {
+                if (segs) segs->push_back({t, i, cur_end, k, cur_kend});
+                st = 'B'; i--;
+            } else if (j == 1) { st = 'M'; k--; i--; }
+            else if (j == 2) { st = 'I'; k--; i--; }
+            else { st = 'D'; k--; i--; }
+            break;
+        }
+        case 'I': {
+            const double *pm = f.Mx.data() + (size_t)(i - 1) * (M + 1);
+            const double *pi2 = f.Ix.data() + (size_t)(i - 1) * (M + 1);
+            cand[0] = (float)(pm[k] * mo.mi[k]);
+            cand[1] = (float)(pi2[k] * mo.ii[k]);
+            if (steps) steps->push_back({'I', k, i});
+            st = (rng.fchoose(cand, 2) == 0) ? 'M' : 'I';
+            i--;
+            break;
+        }
+        case 'D': {
+            const double *cm = f.Mx.data() + (size_t)i * (M + 1);
+            const double *cd = f.Dx.data() + (size_t)i * (M + 1);
+            cand[0] = (float)(cm[k - 1] * mo.md[k - 1]);
+            cand[1] = (float)(cd[k - 1] * mo.dd[k - 1]);
+            if (rng.fchoose(cand, 2) == 0) { st = 'M'; k--; }
+            else { st = 'D'; k--; }
+            break;
+        }
+        case 'B': {
+            cand[0] = (float)(f.N[i]);
+            cand[1] = (float)(f.J[i]);
+            st = (rng.fchoose(cand, 2) == 0) ? 'N' : 'J';
+            break;
+        }
+        case 'N': i--; break;
+        }
+        if (i < 0) return;   /* degenerate; abandon trace */
+    }
+}
+
+/* ---------------- clustering ---------------------------------------- */
+
+struct Cluster {
+    int i, j, k, m, nsamp, nseg;
+    double post;
+    std::vector<int> members;
+};
+
+struct DSU {
+    std::vector<int> p;
+    explicit DSU(int n) : p(n) { for (int i = 0; i < n; i++) p[i] = i; }
+    int find(int a) { while (p[a] != a) { p[a] = p[p[a]]; a = p[a]; } return a; }
+    void unite(int a, int b) { int ra = find(a), rb = find(b); if (ra != rb) p[ra] = rb; }
+};
+
+static int consensus(const std::vector<int> &vals, int thr, bool lo_side) {
+    int lo = *std::min_element(vals.begin(), vals.end());
+    int hi = *std::max_element(vals.begin(), vals.end());
+    std::vector<int> hist(hi - lo + 1, 0);
+    for (int v : vals) hist[v - lo]++;
+    if (lo_side) {
+        for (int v = 0; v < (int)hist.size(); v++)
+            if (hist[v] >= thr) return lo + v;
+    } else {
+        for (int v = (int)hist.size() - 1; v >= 0; v--)
+            if (hist[v] >= thr) return lo + v;
+    }
+    return lo + (int)(std::max_element(hist.begin(), hist.end())
+                      - hist.begin());
+}
+
+static std::vector<Cluster> cluster_segments(const std::vector<Seg> &segs,
+                                             int nsamples) {
+    int n = (int)segs.size();
+    std::vector<Cluster> out;
+    if (!n) return out;
+    DSU dsu(n);
+    for (int a = 0; a < n; a++) {
+        const Seg &sa = segs[a];
+        for (int b = a + 1; b < n; b++) {
+            if (dsu.find(a) == dsu.find(b)) continue;
+            const Seg &sb = segs[b];
+            int ov = std::min(sa.j, sb.j) - std::max(sa.i, sb.i) + 1;
+            int la = sa.j - sa.i + 1, lb = sb.j - sb.i + 1;
+            if ((float)ov < 0.8f * (float)std::min(la, lb)) continue;
+            int ovk = std::min(sa.m, sb.m) - std::max(sa.k, sb.k) + 1;
+            int ka = sa.m - sa.k + 1, kb = sb.m - sb.k + 1;
+            if ((float)ovk < 0.8f * (float)std::min(ka, kb)) continue;
+            if (std::abs((sa.i - sa.k) - (sb.i - sb.k)) > 4 &&
+                std::abs((sa.j - sa.m) - (sb.j - sb.m)) > 4) continue;
+            dsu.unite(a, b);
+        }
+    }
+    /* groups in first-seen order */
+    std::vector<int> root_order;
+    std::vector<std::vector<int>> groups;
+    std::vector<int> root_of(n, -1);
+    for (int a = 0; a < n; a++) {
+        int r = dsu.find(a);
+        if (root_of[r] < 0) {
+            root_of[r] = (int)groups.size();
+            groups.emplace_back();
+        }
+        groups[root_of[r]].push_back(a);
+    }
+    for (auto &g : groups) {
+        int nsamp = 0, last = -1;
+        for (int a : g) {                 /* members are sample-ordered */
+            if (segs[a].t != last) { nsamp++; last = segs[a].t; }
+        }
+        double post = (double)nsamp / (double)nsamples;
+        if ((float)post < 0.25f) continue;
+        int thr = (int)std::ceil((float)nsamp * 0.02f);
+        std::vector<int> is, js, ks, ms;
+        for (int a : g) {
+            is.push_back(segs[a].i); js.push_back(segs[a].j);
+            ks.push_back(segs[a].k); ms.push_back(segs[a].m);
+        }
+        Cluster c;
+        c.i = consensus(is, thr, true);
+        c.j = consensus(js, thr, false);
+        c.k = consensus(ks, thr, true);
+        c.m = consensus(ms, thr, false);
+        c.post = post; c.nsamp = nsamp; c.nseg = (int)g.size();
+        out.push_back(std::move(c));
+    }
+    /* overlap dedup (seq axis; keep higher posterior, earlier dies on
+       ties) */
+    std::vector<char> dead(out.size(), 0);
+    for (size_t a = 0; a < out.size(); a++) {
+        if (dead[a]) continue;
+        for (size_t b = a + 1; b < out.size(); b++) {
+            if (dead[b]) continue;
+            int ov = std::min(out[a].j, out[b].j)
+                   - std::max(out[a].i, out[b].i) + 1;
+            if (ov <= 0) continue;
+            int la = out[a].j - out[a].i + 1, lb = out[b].j - out[b].i + 1;
+            if ((double)ov / (double)std::min(la, lb) >= 0.8) {
+                if (out[a].post > out[b].post) dead[b] = 1;
+                else { dead[a] = 1; break; }
+            }
+        }
+    }
+    std::vector<Cluster> kept;
+    for (size_t a = 0; a < out.size(); a++)
+        if (!dead[a]) kept.push_back(std::move(out[a]));
+    return kept;
+}
+
+
+/* ---------------- full-target evaluation ----------------------------- */
+
+/* Backward pass (odds space, per-row rescaling), multihit, length model
+ * already set on the Model. Mirrors forward_ref.backward_matrices. */
+struct Bck {
+    int L, M;
+    std::vector<double> Mx, Ix;         /* rows [L+1][M+1] */
+    std::vector<double> N, B, E, J, C;
+    std::vector<double> scale_log;
+    inline double *rowM(int i) { return &Mx[(size_t)i * (M + 1)]; }
+    inline double *rowI(int i) { return &Ix[(size_t)i * (M + 1)]; }
+};
+
+static void backward_full(const Model &m, const int32_t *codes, int L,
+                          Bck *b) {
+    int M = m.M;
+    b->L = L; b->M = M;
+    b->Mx.assign((size_t)(L + 1) * (M + 1), 0.0);
+    b->Ix.assign((size_t)(L + 1) * (M + 1), 0.0);
+    b->N.assign(L + 1, 0.0);
+    b->B.assign(L + 1, 0.0);
+    b->E.assign(L + 1, 0.0);
+    b->J.assign(L + 1, 0.0);
+    b->C.assign(L + 1, 0.0);
+    b->scale_log.assign(L + 1, 0.0);
+    std::vector<double> Dk(M + 1, 0.0);
+    double eloop = 0.5, emove = 0.5;    /* multihit */
+    b->C[L] = m.move;
+    b->E[L] = b->C[L] * emove;
+    /* D/M/I rows at L */
+    {
+        double *bm_ = b->rowM(L);
+        for (int k = 1; k <= M; k++) bm_[k] = b->E[L];
+        /* row-L D equals E as well (D_k -> E exit) */
+    }
+    for (int i = L - 1; i >= 0; i--) {
+        const double *Mn = b->rowM(i + 1);
+        const double *In = b->rowI(i + 1);
+        int x = codes[i];
+        const double *emx = &m.em[(size_t)0 * m.K + x];
+        double sr = 1.0;   /* next-row scale folded into this row's scale */
+        double Bv = 0.0;
+        for (int k = 1; k <= M; k++)
+            Bv += m.bmo[k] * emx[(size_t)k * m.K] * Mn[k];
+        b->B[i] = Bv;
+        b->N[i] = b->N[i + 1] * m.loop + Bv * m.move;
+        b->J[i] = b->J[i + 1] * m.loop + Bv * m.move;
+        b->C[i] = b->C[i + 1] * m.loop;
+        b->E[i] = b->C[i] * emove + b->J[i] * eloop;
+        /* D chain right-to-left: D_k = Mn[k+1]*em*tdm[k] + D_{k+1}*tdd[k]
+           + E (E exit from D) */
+        Dk[M] = b->E[i];
+        for (int k = M - 1; k >= 1; k--)
+            Dk[k] = Mn[k + 1] * emx[(size_t)(k + 1) * m.K] * m.dm[k]
+                  + Dk[k + 1] * m.dd[k] + b->E[i];
+        double *bm_ = b->rowM(i);
+        double *bi_ = b->rowI(i);
+        double mx = 0.0;
+        for (int k = 1; k <= M; k++) {
+            double v = b->E[i];
+            if (k < M) {
+                v += Mn[k + 1] * emx[(size_t)(k + 1) * m.K] * m.mm[k]
+                   + In[k] * m.mi[k]
+                   + Dk[k + 1] * m.md[k];
+                bi_[k] = Mn[k + 1] * emx[(size_t)(k + 1) * m.K] * m.im[k]
+                       + In[k] * m.ii[k];
+            } else {
+                bi_[k] = 0.0;
+            }
+            bm_[k] = v;
+            if (v > mx) mx = v;
+        }
+        b->scale_log[i] = b->scale_log[i + 1];
+        (void)sr;
+        if (mx > kRescaleHi) {
+            double inv = 1.0 / mx;
+            for (int k = 0; k <= M; k++) { bm_[k] *= inv; bi_[k] *= inv; }
+            b->N[i] *= inv; b->B[i] *= inv; b->E[i] *= inv;
+            b->J[i] *= inv; b->C[i] *= inv;
+            for (int k = 0; k <= M; k++) Dk[k] *= inv;
+            b->scale_log[i] += std::log(mx);
+        }
+    }
+}
+
+struct Region { int i, j; };
+
+/* Region detection (p7_domaindef posterior heuristics; rt1/rt2 in f32
+ * as the binary compares). mocc/dB/dE are [L+1]. */
+static std::vector<Region> find_regions_c(const std::vector<double> &mocc,
+                                          const std::vector<double> &dB,
+                                          const std::vector<double> &dE,
+                                          int L) {
+    std::vector<Region> out;
+    int i2 = -1;
+    bool trig = false;
+    for (int i = 1; i <= L; i++) {
+        float mo = (float)mocc[i];
+        if (!trig) {
+            if (mo - (float)dB[i] < 0.10f) i2 = i;
+            else if (i2 == -1) i2 = i;
+            if (mo >= 0.25f) trig = true;
+        } else if (mo - (float)dE[i] < 0.10f) {
+            out.push_back({i2 < 1 ? 1 : i2, i});
+            i2 = -1;
+            trig = false;
+        }
+    }
+    if (trig) out.push_back({i2 < 1 ? 1 : i2, L});
+    return out;
+}
+
+/* Per-target full evaluation. Returns gate info and optional null2.
+ * n2sc (log odds per position, 0 outside envelopes) has length L+1. */
+struct TargetResult {
+    int nregions = 0;
+    int nenvelopes = 0;
+    double seqbias_nats = 0.0;          /* FLogsum(0, ln w + sum n2sc) */
+    double fwd_nats = 0.0;              /* full-sequence Forward */
+    std::vector<double> n2sc;
+};
+
+/* null2 by expectation over envelope [i..j] (1-based) using the
+ * isolated unihit decode with length model Lseq (rescore semantics for
+ * the hmmsearch path: om stays ReconfigUnihit(L_seq)). */
+static void null2_expectation(const Model &m_in, const int32_t *codes,
+                              int Lfull, int ei, int ej,
+                              std::vector<double> *n2sc) {
+    Model m = m_in;                     /* copy; cheap (vectors shared? no
+                                           -- vectors copy; fine, reuse) */
+    m.set_length(Lfull, false);         /* unihit, L = full sequence */
+    int Ld = ej - ei + 1;
+    const int32_t *sub = codes + (ei - 1);
+    /* unihit forward/backward on the envelope subsequence */
+    Fwd f;
+    /* unihit: J never entered; reuse forward_region but with
+       eloop=0/emove=1 handled below via a flag-free trick: we recompute
+       J as 0 by zeroing its recurrence -- simplest: specialized pass */
+    int M = m.M;
+    f.L = Ld; f.M = M;
+    f.Mx.assign((size_t)(Ld + 1) * (M + 1), 0.0);
+    f.Ix.assign((size_t)(Ld + 1) * (M + 1), 0.0);
+    f.Dx.assign((size_t)(Ld + 1) * (M + 1), 0.0);
+    f.N.assign(Ld + 1, 0.0); f.B.assign(Ld + 1, 0.0);
+    f.E.assign(Ld + 1, 0.0); f.J.assign(Ld + 1, 0.0);
+    f.C.assign(Ld + 1, 0.0);
+    f.scale_log.assign(Ld + 1, 0.0);
+    f.N[0] = 1.0; f.B[0] = m.move;
+    for (int i = 1; i <= Ld; i++) {
+        const double *pm = f.rowM(i - 1);
+        const double *pi = f.rowI(i - 1);
+        const double *pd = f.rowD(i - 1);
+        double *cm = f.rowM(i);
+        double *ci = f.rowI(i);
+        double *cd = f.rowD(i);
+        int x = sub[i - 1];
+        const double *emx = &m.em[(size_t)0 * m.K + x];
+        double Bprev = f.B[i - 1];
+        double esum = 0.0;
+        for (int k = 1; k <= M; k++) {
+            double v = (pm[k - 1] * m.mm[k - 1] + pi[k - 1] * m.im[k - 1]
+                      + pd[k - 1] * m.dm[k - 1] + Bprev * m.bmo[k])
+                     * emx[(size_t)k * m.K];
+            cm[k] = v; esum += v;
+        }
+        for (int k = 1; k < M; k++)
+            ci[k] = pm[k] * m.mi[k] + pi[k] * m.ii[k];
+        cd[0] = cd[1] = 0.0;
+        for (int k = 2; k <= M; k++) {
+            cd[k] = cm[k - 1] * m.md[k - 1] + cd[k - 1] * m.dd[k - 1];
+            esum += cd[k];
+        }
+        f.E[i] = esum;
+        f.C[i] = f.C[i - 1] * m.loop + esum;      /* E->C move = 1 */
+        f.N[i] = f.N[i - 1] * m.loop;
+        f.B[i] = f.N[i] * m.move;                 /* no J in unihit */
+        f.scale_log[i] = f.scale_log[i - 1];
+        if (esum > kRescaleHi) {
+            double inv = 1.0 / esum;
+            for (int k = 0; k <= M; k++) { cm[k]*=inv; ci[k]*=inv; cd[k]*=inv; }
+            f.E[i]*=inv; f.C[i]*=inv; f.N[i]*=inv; f.B[i]*=inv;
+            f.scale_log[i] += std::log(esum);
+        }
+    }
+    /* unihit backward */
+    std::vector<double> bN(Ld + 1, 0.0), bB(Ld + 1, 0.0), bE(Ld + 1, 0.0),
+        bC(Ld + 1, 0.0), bsl(Ld + 1, 0.0);
+    std::vector<double> bM((size_t)(Ld + 1) * (M + 1), 0.0),
+        bI((size_t)(Ld + 1) * (M + 1), 0.0);
+    std::vector<double> Dk(M + 1, 0.0);
+    bC[Ld] = m.move;
+    bE[Ld] = bC[Ld];
+    for (int k = 1; k <= M; k++) bM[(size_t)Ld * (M + 1) + k] = bE[Ld];
+    for (int i = Ld - 1; i >= 0; i--) {
+        const double *Mn = &bM[(size_t)(i + 1) * (M + 1)];
+        const double *In = &bI[(size_t)(i + 1) * (M + 1)];
+        int x = sub[i];
+        const double *emx = &m.em[(size_t)0 * m.K + x];
+        double Bv = 0.0;
+        for (int k = 1; k <= M; k++)
+            Bv += m.bmo[k] * emx[(size_t)k * m.K] * Mn[k];
+        bB[i] = Bv;
+        bN[i] = bN[i + 1] * m.loop + Bv * m.move;
+        bC[i] = bC[i + 1] * m.loop;
+        bE[i] = bC[i];                          /* E->C move = 1 */
+        Dk[M] = bE[i];
+        for (int k = M - 1; k >= 1; k--)
+            Dk[k] = Mn[k + 1] * emx[(size_t)(k + 1) * m.K] * m.dm[k]
+                  + Dk[k + 1] * m.dd[k] + bE[i];
+        double *bm_ = &bM[(size_t)i * (M + 1)];
+        double *bi_ = &bI[(size_t)i * (M + 1)];
+        double mx = 0.0;
+        for (int k = 1; k <= M; k++) {
+            double v = bE[i];
+            if (k < M) {
+                v += Mn[k + 1] * emx[(size_t)(k + 1) * m.K] * m.mm[k]
+                   + In[k] * m.mi[k] + Dk[k + 1] * m.md[k];
+                bi_[k] = Mn[k + 1] * emx[(size_t)(k + 1) * m.K] * m.im[k]
+                       + In[k] * m.ii[k];
+            } else bi_[k] = 0.0;
+            bm_[k] = v;
+            if (v > mx) mx = v;
+        }
+        bsl[i] = bsl[i + 1];
+        if (mx > kRescaleHi) {
+            double inv = 1.0 / mx;
+            for (int k = 0; k <= M; k++) { bm_[k]*=inv; bi_[k]*=inv; }
+            bN[i]*=inv; bB[i]*=inv; bE[i]*=inv; bC[i]*=inv;
+            for (int k = 0; k <= M; k++) Dk[k]*=inv;
+            bsl[i] += std::log(mx);
+        }
+    }
+    /* total and state-usage expectation */
+    double tot_log = std::log(std::max(bN[0], 1e-300)) + bsl[0]
+                   + f.scale_log[0];
+    std::vector<double> useM(M + 1, 0.0);
+    double useI = 0.0, usetot = 0.0;
+    for (int i = 1; i <= Ld; i++) {
+        double lsc = f.scale_log[i] + bsl[i] - tot_log;
+        double sc = std::exp(lsc);
+        const double *fm = f.rowM(i);
+        const double *fi = f.rowI(i);
+        const double *bm_ = &bM[(size_t)i * (M + 1)];
+        const double *bi_ = &bI[(size_t)i * (M + 1)];
+        for (int k = 1; k <= M; k++) {
+            double pp = fm[k] * bm_[k] * sc;
+            useM[k] += pp;
+            usetot += pp;
+            double ppi = fi[k] * bi_[k] * sc;
+            useI += ppi;
+            usetot += ppi;
+        }
+    }
+    double xocc = (double)Ld - usetot;
+    if (xocc < 0.0) xocc = 0.0;
+    /* null2 odds per alphabet letter */
+    std::vector<double> n2(m_in.K, 0.0);
+    for (int x = 0; x < m_in.K; x++) {
+        double v = useI + xocc;
+        for (int k = 1; k <= M; k++)
+            v += useM[k] * m_in.em[(size_t)k * m_in.K + x];
+        n2[x] = v / (double)Ld;
+    }
+    for (int pos = ei; pos <= ej; pos++) {
+        double v = n2[codes[pos - 1]];
+        (*n2sc)[pos] = std::log(std::max(v, 1e-30));
+    }
+}
+
+static void evaluate_target(const Model &mo_in, const int32_t *codes,
+                            int L, uint32_t seed, int nsamples,
+                            bool want_null2, TargetResult *res) {
+    Model mo = mo_in;
+    mo.set_length(L, true);
+    Fwd f;
+    forward_region(mo, codes, L, &f);   /* full-seq multihit forward */
+    Bck b;
+    backward_full(mo, codes, L, &b);
+    double tot_log = std::log(std::max(b.N[0], 1e-300)) + b.scale_log[0];
+    res->fwd_nats = std::log(std::max(f.C[L], 1e-300)) + std::log(mo.move)
+                  + f.scale_log[L];
+    /* flank posteriors -> mocc, dB, dE */
+    std::vector<double> mocc(L + 1, 0.0), dB(L + 1, 0.0), dE(L + 1, 0.0);
+    for (int i = 1; i <= L; i++) {
+        double sc_im1_i = std::exp(f.scale_log[i - 1] + b.scale_log[i]
+                                   - tot_log);
+        double ppN = f.N[i - 1] * mo.loop * b.N[i] * sc_im1_i;
+        double ppJ = f.J[i - 1] * mo.loop * b.J[i] * sc_im1_i;
+        double ppC = f.C[i - 1] * mo.loop * b.C[i] * sc_im1_i;
+        double flank = ppN + ppJ + ppC;
+        mocc[i] = 1.0 - flank;
+        double sc_i = std::exp(f.scale_log[i] + b.scale_log[i] - tot_log);
+        double sc_im1 = std::exp(f.scale_log[i - 1] + b.scale_log[i - 1]
+                                 - tot_log);
+        dB[i] = f.B[i - 1] * b.B[i - 1] * sc_im1;   /* B at row i-1 */
+        dE[i] = f.E[i] * b.E[i] * sc_i;             /* E at row i */
+    }
+    std::vector<Region> regions = find_regions_c(mocc, dB, dE, L);
+    res->nregions = (int)regions.size();
+    res->nenvelopes = 0;
+    if (want_null2) res->n2sc.assign(L + 1, 0.0);
+    if (regions.empty()) return;
+    /* cumulative B/E mass for the multidomain split test */
+    std::vector<double> btot(L + 1, 0.0), etot(L + 1, 0.0);
+    for (int i = 1; i <= L; i++) {
+        btot[i] = btot[i - 1] + dB[i];
+        etot[i] = etot[i - 1] + dE[i];
+    }
+    for (const Region &rg : regions) {
+        float best = 0.0f;
+        for (int z = rg.i; z <= rg.j; z++) {
+            float epre = (float)(etot[z] - etot[rg.i - 1]);
+            float bpost = (float)(btot[rg.j] - btot[z - 1]);
+            float v = epre < bpost ? epre : bpost;
+            if (v > best) best = v;
+        }
+        if (best < 0.20f) {
+            /* deterministic single envelope = the region */
+            res->nenvelopes += 1;
+            if (want_null2)
+                null2_expectation(mo_in, codes, L, rg.i, rg.j, &res->n2sc);
+            continue;
+        }
+        /* multidomain: re-seeded trace ensemble on the region */
+        int Ld = rg.j - rg.i + 1;
+        Fwd rf;
+        forward_region(mo, codes + (rg.i - 1), Ld, &rf);
+        EselRng rng(seed);
+        std::vector<Seg> segs;
+        std::vector<double> n2acc;
+        if (want_null2) n2acc.assign(Ld + 1, 0.0);
+        std::vector<TraceStep> steps;
+        std::vector<Seg> tsegs;
+        for (int t = 0; t < nsamples; t++) {
+            tsegs.clear(); steps.clear();
+            sample_trace(rng, mo, rf, t, &tsegs,
+                         want_null2 ? &steps : nullptr);
+            for (auto &sgm : tsegs) segs.push_back(sgm);
+            if (want_null2) {
+                std::vector<char> cov(Ld + 1, 0);
+                for (auto &sgm : tsegs) {
+                    double total = 0.0;
+                    std::vector<int> kc;
+                    int n_ins = 0;
+                    for (auto &stp : steps) {
+                        if (stp.i < sgm.i || stp.i > sgm.j) continue;
+                        total += 1.0;
+                        if (stp.st == 'M') kc.push_back(stp.k);
+                        else n_ins++;
+                    }
+                    if (total <= 0.0) continue;
+                    for (int pos = sgm.i; pos <= sgm.j; pos++) {
+                        int x = codes[rg.i - 1 + pos - 1];
+                        double num = (double)n_ins;
+                        for (int kk : kc)
+                            num += mo.em[(size_t)kk * mo.K + x];
+                        n2acc[pos] += num / total;
+                        cov[pos] = 1;
+                    }
+                }
+                for (int pos = 1; pos <= Ld; pos++)
+                    if (!cov[pos]) n2acc[pos] += 1.0;
+            }
+        }
+        std::vector<Cluster> cls = cluster_segments(segs, nsamples);
+        res->nenvelopes += (int)cls.size();
+        if (want_null2) {
+            for (int pos = 1; pos <= Ld; pos++) {
+                float v = (float)(n2acc[pos] / (double)nsamples);
+                res->n2sc[rg.i + pos - 1] =
+                    (double)std::log(std::max(v, 1e-30f));
+            }
+        }
+    }
+    if (want_null2) {
+        double s = 0.0;
+        for (int i = 1; i <= L; i++) s += res->n2sc[i];
+        double lw = std::log(1.0 / 256.0) + s;
+        /* FLogsum(0, lw) */
+        res->seqbias_nats = lw > 0.0
+            ? lw + std::log1p(std::exp(-lw))
+            : std::log1p(std::exp(lw));
+    }
+}
+
+/* ---------------- python glue --------------------------------------- */
+
+static bool get1d_f64(PyObject *o, const double **p, npy_intp *n) {
+    PyArrayObject *a = (PyArrayObject *)o;
+    if (!PyArray_Check(o) || PyArray_TYPE(a) != NPY_FLOAT64 ||
+        PyArray_NDIM(a) != 1 || !PyArray_IS_C_CONTIGUOUS(a)) {
+        PyErr_SetString(PyExc_TypeError, "expected float64 1D array");
+        return false;
+    }
+    *p = (const double *)PyArray_DATA(a);
+    *n = PyArray_DIM(a, 0);
+    return true;
+}
+
+/* ensemble_region(msc2d, tmm, tmi, tmd, tim, tii, tdm, tdd, bm,
+ *                 codes_i32, Lseq, seed, nsamples, want_null2)
+ * -> (clusters list, n2acc or None)
+ * n2acc: float64 [L+1]; n2acc[pos]/nsamples is the expected null2 odds
+ * at region position pos (1-based), background 1.0 where uncovered. */
+static PyObject *ensemble_region(PyObject *, PyObject *args) {
+    PyObject *omsc, *ot[8], *ocodes;
+    int Lseq, seed, nsamples, want_null2;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOOiiii", &omsc,
+                          &ot[0], &ot[1], &ot[2], &ot[3], &ot[4], &ot[5],
+                          &ot[6], &ot[7], &ocodes, &Lseq, &seed,
+                          &nsamples, &want_null2))
+        return NULL;
+    PyArrayObject *amsc = (PyArrayObject *)omsc;
+    if (!PyArray_Check(omsc) || PyArray_TYPE(amsc) != NPY_FLOAT64 ||
+        PyArray_NDIM(amsc) != 2 || !PyArray_IS_C_CONTIGUOUS(amsc)) {
+        PyErr_SetString(PyExc_TypeError, "msc must be f64 2D");
+        return NULL;
+    }
+    Model mo;
+    mo.M = (int)PyArray_DIM(amsc, 0) - 1;
+    mo.K = (int)PyArray_DIM(amsc, 1);
+    mo.msc = (const double *)PyArray_DATA(amsc);
+    const double *tp[8];
+    npy_intp tn;
+    for (int i = 0; i < 8; i++) {
+        if (!get1d_f64(ot[i], &tp[i], &tn)) return NULL;
+        if (tn != mo.M + 1) {
+            PyErr_SetString(PyExc_ValueError, "transition length != M+1");
+            return NULL;
+        }
+    }
+    mo.t_mm = tp[0]; mo.t_mi = tp[1]; mo.t_md = tp[2]; mo.t_im = tp[3];
+    mo.t_ii = tp[4]; mo.t_dm = tp[5]; mo.t_dd = tp[6]; mo.bm = tp[7];
+
+    PyArrayObject *ac = (PyArrayObject *)ocodes;
+    if (!PyArray_Check(ocodes) || PyArray_TYPE(ac) != NPY_INT32 ||
+        PyArray_NDIM(ac) != 1 || !PyArray_IS_C_CONTIGUOUS(ac)) {
+        PyErr_SetString(PyExc_TypeError, "codes must be i32 1D");
+        return NULL;
+    }
+    const int32_t *codes = (const int32_t *)PyArray_DATA(ac);
+    int L = (int)PyArray_DIM(ac, 0);
+    for (int i = 0; i < L; i++) {
+        if (codes[i] < 0 || codes[i] >= mo.K) {
+            PyErr_SetString(PyExc_ValueError, "residue code out of range");
+            return NULL;
+        }
+    }
+
+    std::vector<Seg> segs;
+    std::vector<double> n2acc;
+    {
+        Py_BEGIN_ALLOW_THREADS
+        mo.prepare(Lseq);
+        Fwd f;
+        forward_region(mo, codes, L, &f);
+        EselRng rng((uint32_t)seed);
+        if (want_null2) n2acc.assign(L + 1, 0.0);
+        std::vector<TraceStep> steps;
+        std::vector<Seg> tsegs;
+        for (int t = 0; t < nsamples; t++) {
+            tsegs.clear();
+            steps.clear();
+            sample_trace(rng, mo, f, t,
+                         &tsegs, want_null2 ? &steps : nullptr);
+            /* domains were collected in reverse (trace walks backwards);
+               order within the sample does not matter for clustering */
+            for (auto &s : tsegs) segs.push_back(s);
+            if (want_null2) {
+                /* per-sample null2: match emissions use the state's
+                   odds row; insert emissions odds 1; positions outside
+                   all domains odds 1 (p7_Null2_ByTrace + gap fill) */
+                std::vector<char> cov(L + 1, 0);
+                for (auto &s : tsegs) {
+                    /* per-domain expectation over its trace states */
+                    double total = 0.0;
+                    std::vector<std::pair<int,int>> memits; /* (k, i) */
+                    int n_ins = 0;
+                    for (auto &stp : steps) {
+                        if (stp.i < s.i || stp.i > s.j) continue;
+                        total += 1.0;
+                        if (stp.st == 'M') memits.push_back({stp.k, stp.i});
+                        else n_ins++;
+                    }
+                    if (total <= 0.0) continue;
+                    /* null2 odds for residue x: (sum_k cnt_k*odds_k(x) +
+                       n_ins) / total; evaluate per covered position */
+                    for (int pos = s.i; pos <= s.j; pos++) {
+                        int x = codes[pos - 1];
+                        double num = (double)n_ins;
+                        for (auto &me : memits)
+                            num += mo.em[(size_t)me.first * mo.K + x];
+                        n2acc[pos] += num / total;
+                        cov[pos] = 1;
+                    }
+                }
+                for (int pos = 1; pos <= L; pos++)
+                    if (!cov[pos]) n2acc[pos] += 1.0;
+            }
+        }
+        Py_END_ALLOW_THREADS
+    }
+    std::vector<Cluster> clusters = cluster_segments(segs, nsamples);
+
+    PyObject *clist = PyList_New((Py_ssize_t)clusters.size());
+    if (!clist) return NULL;
+    for (size_t ci = 0; ci < clusters.size(); ci++) {
+        const Cluster &c = clusters[ci];
+        PyObject *tup = Py_BuildValue("(iiiidi)", c.i, c.j, c.k, c.m,
+                                      c.post, c.nsamp);
+        if (!tup) { Py_DECREF(clist); return NULL; }
+        PyList_SET_ITEM(clist, (Py_ssize_t)ci, tup);
+    }
+    PyObject *n2obj = Py_None;
+    if (want_null2) {
+        npy_intp dim = L + 1;
+        PyArrayObject *arr = (PyArrayObject *)PyArray_SimpleNew(
+            1, &dim, NPY_FLOAT64);
+        if (!arr) { Py_DECREF(clist); return NULL; }
+        std::memcpy(PyArray_DATA(arr), n2acc.data(),
+                    sizeof(double) * (L + 1));
+        n2obj = (PyObject *)arr;
+    } else {
+        Py_INCREF(Py_None);
+    }
+    PyObject *ret = PyTuple_Pack(2, clist, n2obj);
+    Py_DECREF(clist);
+    Py_DECREF(n2obj);
+    return ret;
+}
+
+
+/* evaluate_targets(msc2d, tmm..bm, codes_list, seed, nsamples,
+ *                  want_null2, nthreads)
+ * One model vs many targets; returns (nregions i32[N], nenvelopes
+ * i32[N], seqbias f64[N] in nats). */
+static PyObject *evaluate_targets(PyObject *, PyObject *args) {
+    PyObject *omsc, *ot[8], *olist;
+    int seed, nsamples, want_null2, nthreads;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOOiiii", &omsc,
+                          &ot[0], &ot[1], &ot[2], &ot[3], &ot[4], &ot[5],
+                          &ot[6], &ot[7], &olist, &seed, &nsamples,
+                          &want_null2, &nthreads))
+        return NULL;
+    PyArrayObject *amsc = (PyArrayObject *)omsc;
+    if (!PyArray_Check(omsc) || PyArray_TYPE(amsc) != NPY_FLOAT64 ||
+        PyArray_NDIM(amsc) != 2 || !PyArray_IS_C_CONTIGUOUS(amsc)) {
+        PyErr_SetString(PyExc_TypeError, "msc must be f64 2D");
+        return NULL;
+    }
+    Model mo;
+    mo.M = (int)PyArray_DIM(amsc, 0) - 1;
+    mo.K = (int)PyArray_DIM(amsc, 1);
+    mo.msc = (const double *)PyArray_DATA(amsc);
+    const double *tp[8];
+    npy_intp tn;
+    for (int i = 0; i < 8; i++) {
+        if (!get1d_f64(ot[i], &tp[i], &tn)) return NULL;
+        if (tn != mo.M + 1) {
+            PyErr_SetString(PyExc_ValueError, "transition length != M+1");
+            return NULL;
+        }
+    }
+    mo.t_mm = tp[0]; mo.t_mi = tp[1]; mo.t_md = tp[2]; mo.t_im = tp[3];
+    mo.t_ii = tp[4]; mo.t_dm = tp[5]; mo.t_dd = tp[6]; mo.bm = tp[7];
+
+    if (!PyList_Check(olist)) {
+        PyErr_SetString(PyExc_TypeError, "codes_list must be a list");
+        return NULL;
+    }
+    Py_ssize_t N = PyList_GET_SIZE(olist);
+    std::vector<const int32_t *> cptr(N);
+    std::vector<int> clen(N);
+    for (Py_ssize_t n = 0; n < N; n++) {
+        PyArrayObject *ac = (PyArrayObject *)PyList_GET_ITEM(olist, n);
+        if (!PyArray_Check((PyObject *)ac) ||
+            PyArray_TYPE(ac) != NPY_INT32 || PyArray_NDIM(ac) != 1 ||
+            !PyArray_IS_C_CONTIGUOUS(ac)) {
+            PyErr_SetString(PyExc_TypeError, "codes must be i32 1D");
+            return NULL;
+        }
+        cptr[n] = (const int32_t *)PyArray_DATA(ac);
+        clen[n] = (int)PyArray_DIM(ac, 0);
+        for (int i = 0; i < clen[n]; i++) {
+            if (cptr[n][i] < 0 || cptr[n][i] >= mo.K) {
+                PyErr_SetString(PyExc_ValueError, "code out of range");
+                return NULL;
+            }
+        }
+    }
+    std::vector<int> nreg(N, 0), nenv(N, 0);
+    std::vector<double> bias(N, 0.0), fwd(N, 0.0);
+    {
+        Py_BEGIN_ALLOW_THREADS
+        mo.prepare(100);   /* length set per target inside evaluate */
+        int nt = nthreads < 1 ? 1 : nthreads;
+        if (nt > 16) nt = 16;
+        std::vector<std::thread> threads;
+        std::atomic<Py_ssize_t> next(0);
+        auto work = [&]() {
+            for (;;) {
+                Py_ssize_t n = next.fetch_add(1);
+                if (n >= N) break;
+                TargetResult tr;
+                evaluate_target(mo, cptr[n], clen[n], (uint32_t)seed,
+                                nsamples, want_null2 != 0, &tr);
+                nreg[n] = tr.nregions;
+                nenv[n] = tr.nenvelopes;
+                bias[n] = tr.seqbias_nats;
+                fwd[n] = tr.fwd_nats;
+            }
+        };
+        if (nt == 1) work();
+        else {
+            for (int t = 0; t < nt; t++) threads.emplace_back(work);
+            for (auto &th : threads) th.join();
+        }
+        Py_END_ALLOW_THREADS
+    }
+    npy_intp dim = N;
+    PyArrayObject *areg = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                             NPY_INT32);
+    PyArrayObject *aenv = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                             NPY_INT32);
+    PyArrayObject *abia = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                             NPY_FLOAT64);
+    PyArrayObject *afwd = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                             NPY_FLOAT64);
+    if (!areg || !aenv || !abia || !afwd) {
+        Py_XDECREF(areg); Py_XDECREF(aenv); Py_XDECREF(abia);
+        Py_XDECREF(afwd);
+        return NULL;
+    }
+    for (Py_ssize_t n = 0; n < N; n++) {
+        ((int32_t *)PyArray_DATA(areg))[n] = nreg[n];
+        ((int32_t *)PyArray_DATA(aenv))[n] = nenv[n];
+        ((double *)PyArray_DATA(abia))[n] = bias[n];
+        ((double *)PyArray_DATA(afwd))[n] = fwd[n];
+    }
+    PyObject *ret = PyTuple_Pack(4, (PyObject *)areg, (PyObject *)aenv,
+                                 (PyObject *)abia, (PyObject *)afwd);
+    Py_DECREF(areg); Py_DECREF(aenv); Py_DECREF(abia); Py_DECREF(afwd);
+    return ret;
+}
+
+static PyMethodDef methods[] = {
+    {"ensemble_region", ensemble_region, METH_VARARGS,
+     "stochastic trace ensemble for one region -> (clusters, n2acc)"},
+    {"evaluate_targets", evaluate_targets, METH_VARARGS,
+     "one model vs many targets -> (nregions, nenvelopes, seqbias, fwd)"},
+    {NULL, NULL, 0, NULL}};
+
+static struct PyModuleDef mod = {PyModuleDef_HEAD_INIT, "_domaindef",
+                                 "native domaindef engine", -1, methods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__domaindef(void) {
+    import_array();
+    return PyModule_Create(&mod);
+}

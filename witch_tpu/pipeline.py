@@ -138,78 +138,104 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
             "  scoring: bank Mp=%d H=%d queries %.2fs cal %.2fs "
             "tau-fit %.2fs" % (b.em_odds.shape[1], len(b.hmm_indices),
                                t1 - t0, t2 - t1, time.time() - t2))
-    # Reporting gate + null2 bias for each query's top candidates.
+    # Exact null2 bias + reporting gate via the native domaindef engine.
     #
     # hmmsearch only prints a target when domain definition yields >= 1
-    # domain; WITCH inherits that as the membership of its score lists
-    # (witch_msa/gcmm/loader.py:286-297). The gate is emulated exactly
-    # (hmm/trace_ensemble.py) but lazily: every observed binary drop in
-    # the 70,500-pair calibration grid has pre-score < -1.7 bits, so
-    # pairs at >= GATE_SAFE bits are accepted outright and the
-    # 200-trace ensemble runs only for weak candidates that could still
-    # enter a weight list (top num_hmms per query).
+    # region AND >= 1 envelope; WITCH inherits that as the membership of
+    # its score lists (witch_msa/gcmm/loader.py:286-297). The engine
+    # (native/domaindef_kernel.cpp, spec in hmm/trace_ensemble.py)
+    # reproduces regions, the per-region reseeded 200-trace ensembles,
+    # clustering, and the ByTrace/ByExpectation null2 — one call per
+    # (model, target) returns (nregions, nenvelopes, seqbias).
+    #
+    # It runs for each query's top weight-ranked candidates (weight rank
+    # = score + log2 subset size, the reference's calculateWeights
+    # ordering) — every pair that can enter a weight list. Pairs outside
+    # the walked set stay valid with the omega-floor score: they only
+    # contribute softmax-denominator mass, where the drop/keep
+    # distinction is numerically immaterial (validated on the example
+    # oracle), and every observed binary drop sits below -1.7 bits, so
+    # pairs at >= GATE_SAFE bits are accepted without evaluation.
     GATE_SAFE = 0.0
-    valid = np.zeros((Q, H), bool)
+    valid = np.ones((Q, H), bool)
     reported = pre - BIAS_FLOOR_BITS
+    size_arr = np.array([ens.cores[i].nseq for i in indices], np.float64)
+    adj = pre + np.log2(size_arr)[None, :]
     try:
-        from .hmm.null2 import seq_bias_batch
-        # exact bias must cover every pair that can enter a weight list
-        # (top num_hmms) with headroom; pairs beyond TOPT keep the omega
-        # floor, which only affects ranks below the truncation point
-        TOPT = min(H, max(18, int(Configs.num_hmms) + 8))
-        pairs = []
-        locs = []
-        for q in range(Q):
-            top = np.argsort(-pre[q], kind="stable")[:TOPT]
-            for j in top:
-                pairs.append((int(indices[j]), qcodes[q]))
-                locs.append((q, j))
-        posts: Dict[int, tuple] = {}
-        if pairs:
-            t0 = time.time()
-            bias = seq_bias_batch(banks, pairs,
-                                  chunk=32 * max(1, Configs.chunksize),
-                                  collect_posteriors=posts)
-            Configs.runtime("  scoring: null2 bias %d pairs (s): %f"
-                            % (len(pairs), time.time() - t0))
-            for (q, j), bb in zip(locs, bias):
-                reported[q, j] = pre[q, j] - bb
-        # lazy exact gate per query, in reported-score rank order
-        t0 = time.time()
-        from .hmm.trace_ensemble import target_reported
+        from .native import _domaindef
         from .hmm.profile import configure as _configure
-        prof_cache: Dict[int, object] = {}
-        post_of = {lc: p for p, lc in enumerate(locs)}
-        n_ens = 0
+        TOPT = min(H, max(18, int(Configs.num_hmms) + 8))
+        t0 = time.time()
+        # per-HMM batches of this HMM's TOPT pairs
+        by_j: Dict[int, List[int]] = {}
         for q in range(Q):
-            top = np.argsort(-reported[q], kind="stable")[:TOPT]
+            top = np.argsort(-adj[q], kind="stable")[:TOPT]
+            for j in top:
+                by_j.setdefault(int(j), []).append(q)
+        n_pairs = 0
+        gate_ok = np.ones((Q, H), bool)
+        evaluated = np.zeros((Q, H), bool)
+        nthreads = max(1, min(8, Configs.num_cpus))
+        for j, qlist in sorted(by_j.items()):
+            prof = _configure(ens.cores[int(indices[j])], multihit=True)
+            args = [np.ascontiguousarray(prof.msc, np.float64)] + \
+                [np.ascontiguousarray(getattr(prof, a), np.float64)
+                 for a in ("t_mm", "t_mi", "t_md", "t_im", "t_ii",
+                           "t_dm", "t_dd", "bm")]
+            codes_list = [np.ascontiguousarray(qcodes[q], np.int32)
+                          for q in qlist]
+            nreg, nenv, sbias, fwdn = _domaindef.evaluate_targets(
+                *args, codes_list, 42, 200, 1, nthreads)
+            n_pairs += len(qlist)
+            from .hmm.profile import null1_score
+            for t, q in enumerate(qlist):
+                # f64-exact reported score: the Pallas pre is a coarse
+                # ranker; near 0.05-bit print boundaries its f32 error
+                # can flip the rounding (3 rows of the example oracle)
+                null1 = null1_score(len(qcodes[q]))
+                reported[q, j] = (fwdn[t] - null1 - sbias[t]) / np.log(2.0)
+                gate_ok[q, j] = bool(nreg[t] > 0 and nenv[t] > 0)
+                evaluated[q, j] = True
+        Configs.runtime("  scoring: native domaindef %d pairs (s): %f"
+                        % (n_pairs, time.time() - t0))
+        # walk each query's candidates in weight-rank order; drop gated
+        # pairs until num_hmms survivors are found
+        adj_rep = reported + np.log2(size_arr)[None, :]
+        for q in range(Q):
+            top = np.argsort(-adj_rep[q], kind="stable")[:TOPT]
             accepted = 0
             for j in top:
-                if pre[q, j] >= GATE_SAFE:
-                    valid[q, j] = True
+                if pre[q, j] >= GATE_SAFE or not evaluated[q, j] \
+                        or gate_ok[q, j]:
                     accepted += 1
                 else:
-                    p = post_of.get((q, j))
-                    if p is None or p not in posts:
-                        continue
-                    idx = int(indices[j])
-                    if idx not in prof_cache:
-                        prof_cache[idx] = _configure(ens.cores[idx],
-                                                     multihit=True)
-                    mocc, ppB, ppE = posts[p]
-                    n_ens += 1
-                    if target_reported(prof_cache[idx], qcodes[q],
-                                       mocc, ppB, ppE):
-                        valid[q, j] = True
-                        accepted += 1
+                    valid[q, j] = False
                 if accepted >= Configs.num_hmms:
                     break
-        Configs.runtime("  scoring: reporting gate (%d ensembles) (s): %f"
-                        % (n_ens, time.time() - t0))
     except Exception as e:
-        Configs.warning("reporting gate unavailable (%s); "
-                        "falling back to pre >= tau" % e)
-        valid = pre >= tau[None, :]
+        Configs.warning("native domaindef unavailable (%s); "
+                        "using device null2 approximation" % e)
+        try:
+            from .hmm.null2 import seq_bias_batch
+            TOPT = min(H, max(18, int(Configs.num_hmms) + 8))
+            pairs = []
+            locs = []
+            for q in range(Q):
+                top = np.argsort(-adj[q], kind="stable")[:TOPT]
+                for j in top:
+                    pairs.append((int(indices[j]), qcodes[q]))
+                    locs.append((q, j))
+            if pairs:
+                t0 = time.time()
+                bias = seq_bias_batch(banks, pairs,
+                                      chunk=32 * max(1, Configs.chunksize))
+                Configs.runtime("  scoring: null2 bias %d pairs (s): %f"
+                                % (len(pairs), time.time() - t0))
+                for (q, j), bb in zip(locs, bias):
+                    reported[q, j] = pre[q, j] - bb
+        except Exception as e2:
+            Configs.warning("null2 correction unavailable (%s); "
+                            "using omega floor" % e2)
     reported = np.round(reported, 1)
     return reported, valid, indices, tau
 
