@@ -84,14 +84,72 @@ class DeviceAligner:
 
     def aligned_columns_batch(self, pairs: List[Tuple[int, np.ndarray]]
                               ) -> List[np.ndarray]:
-        """pairs: (hmm_idx, query codes). Returns aligned columns list."""
+        """pairs: (hmm_idx, query codes). Returns aligned columns list.
+
+        Prefers the native posterior engine (f64, threaded, no
+        device<->host transfers — the posterior stage is tunnel-bound on
+        remote-TPU hosts); falls back to the batched device path."""
+        if not pairs:
+            return []
+        try:
+            from .native import _domaindef  # noqa: F401
+            return self._aligned_columns_native(pairs)
+        except ImportError:
+            pass
+        return self._aligned_columns_device(pairs)
+
+    def _aligned_columns_native(self, pairs: List[Tuple[int, np.ndarray]]
+                                ) -> List[np.ndarray]:
+        """Per-pair f64 unihit posterior (native/_domaindef) + native OA
+        traceback, threaded across pairs."""
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+        from .config import Configs
+        from .native import _domaindef
+        from .hmm.align_ref import oa_columns_from_pp
+
+        t0 = _time.time()
+        args_of: Dict[int, list] = {}
+
+        def model_args(idx: int):
+            if idx not in args_of:
+                prof = self.profile(idx)
+                args_of[idx] = [
+                    np.ascontiguousarray(prof.msc, np.float64)] + [
+                    np.ascontiguousarray(getattr(prof, a), np.float64)
+                    for a in ("t_mm", "t_mi", "t_md", "t_im", "t_ii",
+                              "t_dm", "t_dd", "bm")]
+            return args_of[idx]
+
+        for idx, _ in pairs:
+            model_args(idx)
+        Configs.runtime("  align: unihit profile build (s): %f"
+                        % (_time.time() - t0))
+
+        def one(pair):
+            idx, codes = pair
+            c = np.ascontiguousarray(codes, np.int32)
+            ppM, ppI, ppN, ppJ, ppC = _domaindef.posterior_pair(
+                *model_args(idx), c, len(c), 0)
+            return oa_columns_from_pp(
+                self.profile(idx),
+                dict(M=ppM, I=ppI, N=ppN, J=ppJ, C=ppC))[:len(c)]
+
+        t1 = _time.time()
+        from .config import Configs as _C
+        workers = max(1, min(8, getattr(_C, "num_cpus", 4)))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            out = list(ex.map(one, pairs))
+        Configs.runtime("  align: %d pairs native posterior+OA (s): %f"
+                        % (len(pairs), _time.time() - t1))
+        return out
+
+    def _aligned_columns_device(self, pairs: List[Tuple[int, np.ndarray]]
+                                ) -> List[np.ndarray]:
         import jax.numpy as jnp
         from .hmm.align import (posterior_sparse_rows,
                                 densify_sparse_pp)
         from .hmm.align_ref import oa_columns_from_pp
-
-        if not pairs:
-            return []
         import time as _time
         from .config import Configs
         from .hmm.null2 import _length_chunks

@@ -169,14 +169,17 @@ static void forward_region(const Model &m, const int32_t *codes, int L,
         f->N[i] = f->N[i - 1] * m.loop;
         f->B[i] = f->N[i] * m.move + f->J[i] * m.move;
         f->scale_log[i] = f->scale_log[i - 1];
-        if (esum > kRescaleHi) {
-            double inv = 1.0 / esum;
+        /* rescale every row (odds dynamic range exceeds f64 on long
+           weak pairs; unconditional scaling keeps rows O(1)) */
+        double rs = esum > 0.0 ? esum : f->C[i];
+        if (rs > 0.0 && (rs > 1e3 || rs < 1e-3)) {
+            double inv = 1.0 / rs;
             for (int k = 0; k <= M; k++) {
                 cm[k] *= inv; ci[k] *= inv; cd[k] *= inv;
             }
             f->E[i] *= inv; f->J[i] *= inv; f->C[i] *= inv;
             f->N[i] *= inv; f->B[i] *= inv;
-            f->scale_log[i] += std::log(esum);
+            f->scale_log[i] += std::log(rs);
         }
     }
 }
@@ -445,11 +448,16 @@ static void backward_full(const Model &m, const int32_t *codes, int L,
     double eloop = 0.5, emove = 0.5;    /* multihit */
     b->C[L] = m.move;
     b->E[L] = b->C[L] * emove;
-    /* D/M/I rows at L */
+    /* row L: deletes still chain to E without emitting, so
+       M_b[L,k] = E + D_b[L,k+1]*tmd[k] with
+       D_b[L,k] = D_b[L,k+1]*tdd[k] + E */
     {
+        Dk[M] = b->E[L];
+        for (int k = M - 1; k >= 1; k--)
+            Dk[k] = Dk[k + 1] * m.dd[k] + b->E[L];
         double *bm_ = b->rowM(L);
-        for (int k = 1; k <= M; k++) bm_[k] = b->E[L];
-        /* row-L D equals E as well (D_k -> E exit) */
+        for (int k = 1; k <= M; k++)
+            bm_[k] = b->E[L] + (k < M ? Dk[k + 1] * m.md[k] : 0.0);
     }
     for (int i = L - 1; i >= 0; i--) {
         const double *Mn = b->rowM(i + 1);
@@ -490,7 +498,7 @@ static void backward_full(const Model &m, const int32_t *codes, int L,
         }
         b->scale_log[i] = b->scale_log[i + 1];
         (void)sr;
-        if (mx > kRescaleHi) {
+        if (mx > 0.0 && (mx > 1e3 || mx < 1e-3)) {
             double inv = 1.0 / mx;
             for (int k = 0; k <= M; k++) { bm_[k] *= inv; bi_[k] *= inv; }
             b->N[i] *= inv; b->B[i] *= inv; b->E[i] *= inv;
@@ -593,11 +601,14 @@ static void null2_expectation(const Model &m_in, const int32_t *codes,
         f.N[i] = f.N[i - 1] * m.loop;
         f.B[i] = f.N[i] * m.move;                 /* no J in unihit */
         f.scale_log[i] = f.scale_log[i - 1];
-        if (esum > kRescaleHi) {
-            double inv = 1.0 / esum;
-            for (int k = 0; k <= M; k++) { cm[k]*=inv; ci[k]*=inv; cd[k]*=inv; }
-            f.E[i]*=inv; f.C[i]*=inv; f.N[i]*=inv; f.B[i]*=inv;
-            f.scale_log[i] += std::log(esum);
+        {
+            double rs = esum > 0.0 ? esum : f.C[i];
+            if (rs > 0.0 && (rs > 1e3 || rs < 1e-3)) {
+                double inv = 1.0 / rs;
+                for (int k = 0; k <= M; k++) { cm[k]*=inv; ci[k]*=inv; cd[k]*=inv; }
+                f.E[i]*=inv; f.C[i]*=inv; f.N[i]*=inv; f.B[i]*=inv;
+                f.scale_log[i] += std::log(rs);
+            }
         }
     }
     /* unihit backward */
@@ -608,7 +619,12 @@ static void null2_expectation(const Model &m_in, const int32_t *codes,
     std::vector<double> Dk(M + 1, 0.0);
     bC[Ld] = m.move;
     bE[Ld] = bC[Ld];
-    for (int k = 1; k <= M; k++) bM[(size_t)Ld * (M + 1) + k] = bE[Ld];
+    Dk[M] = bE[Ld];
+    for (int k = M - 1; k >= 1; k--)
+        Dk[k] = Dk[k + 1] * m.dd[k] + bE[Ld];
+    for (int k = 1; k <= M; k++)
+        bM[(size_t)Ld * (M + 1) + k] = bE[Ld]
+            + (k < M ? Dk[k + 1] * m.md[k] : 0.0);
     for (int i = Ld - 1; i >= 0; i--) {
         const double *Mn = &bM[(size_t)(i + 1) * (M + 1)];
         const double *In = &bI[(size_t)(i + 1) * (M + 1)];
@@ -640,7 +656,7 @@ static void null2_expectation(const Model &m_in, const int32_t *codes,
             if (v > mx) mx = v;
         }
         bsl[i] = bsl[i + 1];
-        if (mx > kRescaleHi) {
+        if (mx > 0.0 && (mx > 1e3 || mx < 1e-3)) {
             double inv = 1.0 / mx;
             for (int k = 0; k <= M; k++) { bm_[k]*=inv; bi_[k]*=inv; }
             bN[i]*=inv; bB[i]*=inv; bE[i]*=inv; bC[i]*=inv;
@@ -1061,11 +1077,234 @@ static PyObject *evaluate_targets(PyObject *, PyObject *args) {
     return ret;
 }
 
+
+/* posterior_pair(msc2d, tmm..bm, codes_i32, Lmodel, multihit)
+ * Unihit/multihit posterior decode of one (model, query) pair in f64:
+ * returns (ppM [L+1,M+1], ppI [L+1,M+1], ppN [L+1], ppJ [L+1],
+ * ppC [L+1]) — the dense inputs of the OA kernel (native/_oa).
+ * Lmodel: length-model L (the aligner uses the query length; the
+ * rescore semantics use the full sequence length). */
+static PyObject *posterior_pair(PyObject *, PyObject *args) {
+    PyObject *omsc, *ot[8], *ocodes;
+    int Lmodel, multihit;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOOii", &omsc,
+                          &ot[0], &ot[1], &ot[2], &ot[3], &ot[4], &ot[5],
+                          &ot[6], &ot[7], &ocodes, &Lmodel, &multihit))
+        return NULL;
+    PyArrayObject *amsc = (PyArrayObject *)omsc;
+    if (!PyArray_Check(omsc) || PyArray_TYPE(amsc) != NPY_FLOAT64 ||
+        PyArray_NDIM(amsc) != 2 || !PyArray_IS_C_CONTIGUOUS(amsc)) {
+        PyErr_SetString(PyExc_TypeError, "msc must be f64 2D");
+        return NULL;
+    }
+    Model mo;
+    mo.M = (int)PyArray_DIM(amsc, 0) - 1;
+    mo.K = (int)PyArray_DIM(amsc, 1);
+    mo.msc = (const double *)PyArray_DATA(amsc);
+    const double *tp[8];
+    npy_intp tn;
+    for (int i = 0; i < 8; i++) {
+        if (!get1d_f64(ot[i], &tp[i], &tn)) return NULL;
+        if (tn != mo.M + 1) {
+            PyErr_SetString(PyExc_ValueError, "transition length != M+1");
+            return NULL;
+        }
+    }
+    mo.t_mm = tp[0]; mo.t_mi = tp[1]; mo.t_md = tp[2]; mo.t_im = tp[3];
+    mo.t_ii = tp[4]; mo.t_dm = tp[5]; mo.t_dd = tp[6]; mo.bm = tp[7];
+    PyArrayObject *ac = (PyArrayObject *)ocodes;
+    if (!PyArray_Check(ocodes) || PyArray_TYPE(ac) != NPY_INT32 ||
+        PyArray_NDIM(ac) != 1 || !PyArray_IS_C_CONTIGUOUS(ac)) {
+        PyErr_SetString(PyExc_TypeError, "codes must be i32 1D");
+        return NULL;
+    }
+    const int32_t *codes = (const int32_t *)PyArray_DATA(ac);
+    int L = (int)PyArray_DIM(ac, 0);
+    for (int i = 0; i < L; i++)
+        if (codes[i] < 0 || codes[i] >= mo.K) {
+            PyErr_SetString(PyExc_ValueError, "code out of range");
+            return NULL;
+        }
+    int M = mo.M;
+    npy_intp d2[2] = {L + 1, M + 1};
+    npy_intp d1 = L + 1;
+    PyArrayObject *apM = (PyArrayObject *)PyArray_ZEROS(2, d2, NPY_FLOAT64, 0);
+    PyArrayObject *apI = (PyArrayObject *)PyArray_ZEROS(2, d2, NPY_FLOAT64, 0);
+    PyArrayObject *apN = (PyArrayObject *)PyArray_ZEROS(1, &d1, NPY_FLOAT64, 0);
+    PyArrayObject *apJ = (PyArrayObject *)PyArray_ZEROS(1, &d1, NPY_FLOAT64, 0);
+    PyArrayObject *apC = (PyArrayObject *)PyArray_ZEROS(1, &d1, NPY_FLOAT64, 0);
+    if (!apM || !apI || !apN || !apJ || !apC) {
+        Py_XDECREF(apM); Py_XDECREF(apI); Py_XDECREF(apN);
+        Py_XDECREF(apJ); Py_XDECREF(apC);
+        return NULL;
+    }
+    double *pM = (double *)PyArray_DATA(apM);
+    double *pI = (double *)PyArray_DATA(apI);
+    double *pN = (double *)PyArray_DATA(apN);
+    double *pJ = (double *)PyArray_DATA(apJ);
+    double *pC = (double *)PyArray_DATA(apC);
+    {
+        Py_BEGIN_ALLOW_THREADS
+        mo.prepare(Lmodel);
+        mo.set_length(Lmodel, multihit != 0);
+        if (multihit) {
+            Fwd f; Bck b;
+            forward_region(mo, codes, L, &f);
+            backward_full(mo, codes, L, &b);
+            double tot = std::log(std::max(b.N[0], 1e-300)) + b.scale_log[0];
+            for (int i = 1; i <= L; i++) {
+                double sc = std::exp(f.scale_log[i] + b.scale_log[i] - tot);
+                double sc1 = std::exp(f.scale_log[i - 1] + b.scale_log[i]
+                                      - tot);
+                const double *fm = f.rowM(i);
+                const double *fi = f.rowI(i);
+                const double *bmr = b.rowM(i);
+                const double *bir = b.rowI(i);
+                for (int k = 1; k <= M; k++) {
+                    pM[(size_t)i * (M + 1) + k] = fm[k] * bmr[k] * sc;
+                    pI[(size_t)i * (M + 1) + k] = fi[k] * bir[k] * sc;
+                }
+                pN[i] = f.N[i - 1] * mo.loop * b.N[i] * sc1;
+                pJ[i] = f.J[i - 1] * mo.loop * b.J[i] * sc1;
+                pC[i] = f.C[i - 1] * mo.loop * b.C[i] * sc1;
+            }
+        } else {
+            /* unihit forward/backward (J disabled, E->C move = 1) */
+            Fwd f;
+            f.L = L; f.M = M;
+            f.Mx.assign((size_t)(L + 1) * (M + 1), 0.0);
+            f.Ix.assign((size_t)(L + 1) * (M + 1), 0.0);
+            f.Dx.assign((size_t)(L + 1) * (M + 1), 0.0);
+            f.N.assign(L + 1, 0.0); f.B.assign(L + 1, 0.0);
+            f.E.assign(L + 1, 0.0); f.J.assign(L + 1, 0.0);
+            f.C.assign(L + 1, 0.0);
+            f.scale_log.assign(L + 1, 0.0);
+            f.N[0] = 1.0; f.B[0] = mo.move;
+            for (int i = 1; i <= L; i++) {
+                const double *pm = f.rowM(i - 1);
+                const double *pi2 = f.rowI(i - 1);
+                const double *pd = f.rowD(i - 1);
+                double *cm = f.rowM(i);
+                double *ci = f.rowI(i);
+                double *cd = f.rowD(i);
+                int x = codes[i - 1];
+                const double *emx = &mo.em[(size_t)0 * mo.K + x];
+                double Bprev = f.B[i - 1];
+                double esum = 0.0;
+                for (int k = 1; k <= M; k++) {
+                    double v = (pm[k-1]*mo.mm[k-1] + pi2[k-1]*mo.im[k-1]
+                              + pd[k-1]*mo.dm[k-1] + Bprev*mo.bmo[k])
+                             * emx[(size_t)k * mo.K];
+                    cm[k] = v; esum += v;
+                }
+                for (int k = 1; k < M; k++)
+                    ci[k] = pm[k]*mo.mi[k] + pi2[k]*mo.ii[k];
+                cd[0] = cd[1] = 0.0;
+                for (int k = 2; k <= M; k++) {
+                    cd[k] = cm[k-1]*mo.md[k-1] + cd[k-1]*mo.dd[k-1];
+                    esum += cd[k];
+                }
+                f.E[i] = esum;
+                f.C[i] = f.C[i-1]*mo.loop + esum;
+                f.N[i] = f.N[i-1]*mo.loop;
+                f.B[i] = f.N[i]*mo.move;
+                f.scale_log[i] = f.scale_log[i-1];
+                {
+                    double rs = esum > 0.0 ? esum : f.C[i];
+                    if (rs > 0.0 && (rs > 1e3 || rs < 1e-3)) {
+                        double inv = 1.0/rs;
+                        for (int k = 0; k <= M; k++) { cm[k]*=inv; ci[k]*=inv; cd[k]*=inv; }
+                        f.E[i]*=inv; f.C[i]*=inv; f.N[i]*=inv; f.B[i]*=inv;
+                        f.scale_log[i] += std::log(rs);
+                    }
+                }
+            }
+            std::vector<double> bN(L+1,0.0), bB(L+1,0.0), bE(L+1,0.0),
+                bC(L+1,0.0), bsl(L+1,0.0);
+            std::vector<double> bM((size_t)(L+1)*(M+1),0.0),
+                bI((size_t)(L+1)*(M+1),0.0);
+            std::vector<double> Dk(M+1,0.0);
+            bC[L] = mo.move;
+            bE[L] = bC[L];
+            Dk[M] = bE[L];
+            for (int k = M-1; k >= 1; k--)
+                Dk[k] = Dk[k+1]*mo.dd[k] + bE[L];
+            for (int k = 1; k <= M; k++)
+                bM[(size_t)L*(M+1)+k] = bE[L]
+                    + (k < M ? Dk[k+1]*mo.md[k] : 0.0);
+            for (int i = L-1; i >= 0; i--) {
+                const double *Mn = &bM[(size_t)(i+1)*(M+1)];
+                const double *In = &bI[(size_t)(i+1)*(M+1)];
+                int x = codes[i];
+                const double *emx = &mo.em[(size_t)0*mo.K + x];
+                double Bv = 0.0;
+                for (int k = 1; k <= M; k++)
+                    Bv += mo.bmo[k]*emx[(size_t)k*mo.K]*Mn[k];
+                bB[i] = Bv;
+                bN[i] = bN[i+1]*mo.loop + Bv*mo.move;
+                bC[i] = bC[i+1]*mo.loop;
+                bE[i] = bC[i];
+                Dk[M] = bE[i];
+                for (int k = M-1; k >= 1; k--)
+                    Dk[k] = Mn[k+1]*emx[(size_t)(k+1)*mo.K]*mo.dm[k]
+                          + Dk[k+1]*mo.dd[k] + bE[i];
+                double *bm_ = &bM[(size_t)i*(M+1)];
+                double *bi_ = &bI[(size_t)i*(M+1)];
+                double mx = 0.0;
+                for (int k = 1; k <= M; k++) {
+                    double v = bE[i];
+                    if (k < M) {
+                        v += Mn[k+1]*emx[(size_t)(k+1)*mo.K]*mo.mm[k]
+                           + In[k]*mo.mi[k] + Dk[k+1]*mo.md[k];
+                        bi_[k] = Mn[k+1]*emx[(size_t)(k+1)*mo.K]*mo.im[k]
+                               + In[k]*mo.ii[k];
+                    } else bi_[k] = 0.0;
+                    bm_[k] = v;
+                    if (v > mx) mx = v;
+                }
+                bsl[i] = bsl[i+1];
+                if (mx > 0.0 && (mx > 1e3 || mx < 1e-3)) {
+                    double inv = 1.0/mx;
+                    for (int k = 0; k <= M; k++) { bm_[k]*=inv; bi_[k]*=inv; }
+                    bN[i]*=inv; bB[i]*=inv; bE[i]*=inv; bC[i]*=inv;
+                    for (int k = 0; k <= M; k++) Dk[k]*=inv;
+                    bsl[i] += std::log(mx);
+                }
+            }
+            double tot = std::log(std::max(bN[0], 1e-300)) + bsl[0];
+            for (int i = 1; i <= L; i++) {
+                double sc = std::exp(f.scale_log[i] + bsl[i] - tot);
+                double sc1 = std::exp(f.scale_log[i-1] + bsl[i] - tot);
+                const double *fm = f.rowM(i);
+                const double *fi = f.rowI(i);
+                const double *bm_ = &bM[(size_t)i*(M+1)];
+                const double *bi_ = &bI[(size_t)i*(M+1)];
+                for (int k = 1; k <= M; k++) {
+                    pM[(size_t)i*(M+1)+k] = fm[k]*bm_[k]*sc;
+                    pI[(size_t)i*(M+1)+k] = fi[k]*bi_[k]*sc;
+                }
+                pN[i] = f.N[i-1]*mo.loop*bN[i]*sc1;
+                pC[i] = f.C[i-1]*mo.loop*bC[i]*sc1;
+                pJ[i] = 0.0;
+            }
+        }
+        Py_END_ALLOW_THREADS
+    }
+    PyObject *ret = PyTuple_Pack(5, (PyObject *)apM, (PyObject *)apI,
+                                 (PyObject *)apN, (PyObject *)apJ,
+                                 (PyObject *)apC);
+    Py_DECREF(apM); Py_DECREF(apI); Py_DECREF(apN);
+    Py_DECREF(apJ); Py_DECREF(apC);
+    return ret;
+}
+
 static PyMethodDef methods[] = {
     {"ensemble_region", ensemble_region, METH_VARARGS,
      "stochastic trace ensemble for one region -> (clusters, n2acc)"},
     {"evaluate_targets", evaluate_targets, METH_VARARGS,
      "one model vs many targets -> (nregions, nenvelopes, seqbias, fwd)"},
+    {"posterior_pair", posterior_pair, METH_VARARGS,
+     "dense f64 posterior decode of one pair -> (ppM, ppI, ppN, ppJ, ppC)"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef mod = {PyModuleDef_HEAD_INIT, "_domaindef",

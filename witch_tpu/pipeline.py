@@ -97,17 +97,30 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         codes[i, :len(c)] = c
         lens[i] = len(c)
 
-    # calibration seqs share the padding layout; drawn iid from the REAL
-    # scoring background (p7_Tau semantics — matters for amino, where
-    # bg != uniform)
-    from .hmm.priors import get_background
-    K = ens.backbone.alphabet.K
-    cal = random_calibration_seqs(
-        K, bg=get_background(cores[0].molecule) if cores else None)
-    cal_w = max(Lmax, cal.shape[1])
-    cal_codes = np.zeros((cal.shape[0], cal_w), np.int32)
-    cal_codes[:, :cal.shape[1]] = cal
-    cal_lens = np.full(cal.shape[0], cal.shape[1], np.int32)
+    # The tau calibration pass (Forward-scoring 200 random sequences per
+    # model, p7_Tau semantics) only feeds the fallback pre>=tau gate:
+    # with the native domaindef engine present, the exact reporting gate
+    # replaces it, so the pass is skipped entirely (it costs a device
+    # sweep comparable to scoring 40% of the real queries, plus extra
+    # kernel shapes).
+    try:
+        from .native import _domaindef  # noqa: F401
+        have_native = True
+    except ImportError:
+        have_native = False
+    cal_codes = cal_lens = None
+    if not have_native:
+        # calibration seqs share the padding layout; drawn iid from the
+        # REAL scoring background (p7_Tau semantics — matters for amino,
+        # where bg != uniform)
+        from .hmm.priors import get_background
+        K = ens.backbone.alphabet.K
+        cal = random_calibration_seqs(
+            K, bg=get_background(cores[0].molecule) if cores else None)
+        cal_w = max(Lmax, cal.shape[1])
+        cal_codes = np.zeros((cal.shape[0], cal_w), np.int32)
+        cal_codes[:, :cal.shape[1]] = cal
+        cal_lens = np.full(cal.shape[0], cal.shape[1], np.int32)
 
     # multi-device: shard the query batch over the data mesh (production
     # path; bit-identical to single-device, see parallel/dist.py)
@@ -126,14 +139,17 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         t0 = time.time()
         bits = score_bank(b, codes, lens, q_chunk=q_chunk, mesh=mesh)
         t1 = time.time()
-        sim = score_bank(b, cal_codes, cal_lens, q_chunk=q_chunk,
-                         mesh=mesh)
+        sim = None
+        if cal_codes is not None:
+            sim = score_bank(b, cal_codes, cal_lens, q_chunk=q_chunk,
+                             mesh=mesh)
         t2 = time.time()
         for j, idx in enumerate(b.hmm_indices):
             col = col_of[int(idx)]
             pre[:, col] = bits[:, j]
-            lam = forward_lambda(ens.cores[int(idx)])
-            tau[col] = tau_from_scores(sim[:, j], lam)
+            if sim is not None:
+                lam = forward_lambda(ens.cores[int(idx)])
+                tau[col] = tau_from_scores(sim[:, j], lam)
         Configs.runtime(
             "  scoring: bank Mp=%d H=%d queries %.2fs cal %.2fs "
             "tau-fit %.2fs" % (b.em_odds.shape[1], len(b.hmm_indices),
