@@ -190,6 +190,28 @@ def align_backbone(names: List[str], seqs: List[str], molecule: str,
                 log("backbone seed group: %d seqs -> %d cols"
                     % (len(near), cur.n_cols))
 
+    return refine_from_seed(cur, names, seqs, molecule, n_iters=n_iters,
+                            use_device=use_device, log=log,
+                            support_frac=support_frac)
+
+
+def refine_from_seed(seed_aln: PackedAlignment, names: List[str],
+                     seqs: List[str], molecule: str, n_iters: int = 3,
+                     use_device: bool = True, log=None,
+                     support_frac: float = 0.15) -> PackedAlignment:
+    """Iterative HMM-refinement from a seed alignment.
+
+    Each iteration builds a profile from the current match-filtered
+    columns, realigns EVERY sequence (posterior-OA), and overlays the
+    results into a fresh MSA whose width is bounded by
+    M + per-gap max insert runs — private insert columns cannot
+    accumulate across iterations (the structural fix for the
+    progressive-merge width blowup on hard data)."""
+    alphabet = ALPHABETS[molecule]
+    seqs = [s.upper() for s in seqs]
+    codes = [alphabet.encode(s) for s in seqs]
+    med_len = float(np.median([len(s) for s in seqs]))
+    cur = seed_aln
     cur_full = cur
     prev_width = None
     for it in range(n_iters):
@@ -226,6 +248,10 @@ def align_backbone(names: List[str], seqs: List[str], molecule: str,
 
 
 def _align_all(core, codes: List[np.ndarray], use_device: bool):
+    try:
+        return _align_all_native(core, codes)
+    except ImportError:
+        pass
     if use_device:
         try:
             return _align_all_device(core, codes)
@@ -235,6 +261,31 @@ def _align_all(core, codes: List[np.ndarray], use_device: bool):
     from .hmm.profile import configure
     prof = configure(core, multihit=False)
     return [aligned_columns(prof, c) for c in codes]
+
+
+def _align_all_native(core, codes: List[np.ndarray]):
+    """f64 posterior + OA per sequence via the native engine, threaded
+    (identical results to the device/numpy paths; no device round-trip)."""
+    from concurrent.futures import ThreadPoolExecutor
+    from .native import _domaindef
+    from .hmm.align_ref import oa_columns_from_pp
+    from .hmm.profile import configure
+
+    prof = configure(core, multihit=False)
+    args = [np.ascontiguousarray(prof.msc, np.float64)] + [
+        np.ascontiguousarray(getattr(prof, a), np.float64)
+        for a in ("t_mm", "t_mi", "t_md", "t_im", "t_ii",
+                  "t_dm", "t_dd", "bm")]
+
+    def one(c):
+        c = np.ascontiguousarray(c, np.int32)
+        ppM, ppI, ppN, ppJ, ppC = _domaindef.posterior_pair(
+            *args, c, len(c), 0)
+        return oa_columns_from_pp(
+            prof, dict(M=ppM, I=ppI, N=ppN, J=ppJ, C=ppC))[:len(c)]
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        return list(ex.map(one, codes))
 
 
 def _align_all_device(core, codes: List[np.ndarray], chunk: int = 16):

@@ -229,7 +229,32 @@ def align_backbone_magus(names: List[str], seqs: List[str], molecule: str,
         if log:
             log("magus-lite: merged -> %d seqs, %d cols"
                 % (acc.n_seqs, acc.n_cols))
+    # Refinement pass: the progressive merge can accumulate private
+    # insert columns on hard (highly diverged, indel-rich) data — width
+    # grows with every join. Re-profile the merged alignment's
+    # SUPPORTED columns and realign every sequence against it
+    # (refine_from_seed): the overlay's width is bounded by
+    # M + per-gap max insert runs, and the merge quality seeds the
+    # profile far better than any single sequence could.
+    from .backbone import refine_from_seed
+    support = acc.nongaps_per_column()
+    n_acc = acc.n_seqs
+    med_len = float(np.median([len(s) for s in seqs]))
+    thresh = max(2, int(round(0.15 * n_acc)))
+    keep = np.flatnonzero(support >= thresh)
+    if keep.size < med_len:
+        keep = np.sort(np.argsort(-support)[:int(med_len)])
+    m_cap = int(np.ceil(2.0 * med_len))
+    if keep.size > m_cap:
+        keep = np.sort(np.argsort(-support)[:m_cap])
+    seed = PackedAlignment(acc.names, acc.codes[:, keep], alphabet)
+    if log:
+        log("magus-lite: merge width %d -> seed profile %d cols; "
+            "refining" % (acc.n_cols, seed.n_cols))
+    refined = refine_from_seed(seed, acc.names, [
+        seqs[names.index(nm)] for nm in acc.names], molecule,
+        use_device=use_device, log=log)
     # restore input order
-    order = {nm: t for t, nm in enumerate(acc.names)}
+    order = {nm: t for t, nm in enumerate(refined.names)}
     rows = [order[nm] for nm in names]
-    return PackedAlignment(names, acc.codes[rows], alphabet)
+    return PackedAlignment(names, refined.codes[rows], alphabet)
