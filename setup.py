@@ -18,13 +18,15 @@ setup(
             "witch_tpu.native._oa",
             sources=["witch_tpu/native/oa_kernel.cpp"],
             include_dirs=[numpy.get_include()],
-            extra_compile_args=["-O3", "-std=c++17"],
+            extra_compile_args=["-O3", "-std=c++17", "-march=native",
+                                "-funroll-loops"],
         ),
         Extension(
             "witch_tpu.native._domaindef",
             sources=["witch_tpu/native/domaindef_kernel.cpp"],
             include_dirs=[numpy.get_include()],
-            extra_compile_args=["-O3", "-std=c++17"],
+            extra_compile_args=["-O3", "-std=c++17", "-march=native",
+                                "-funroll-loops"],
         ),
     ],
     python_requires=">=3.10",

@@ -192,7 +192,11 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         gate_ok = np.ones((Q, H), bool)
         evaluated = np.zeros((Q, H), bool)
         nthreads = max(1, min(8, Configs.num_cpus))
-        for j, qlist in sorted(by_j.items()):
+        from concurrent.futures import ThreadPoolExecutor
+        from .hmm.profile import null1_score
+
+        def eval_model(item):
+            j, qlist = item
             prof = _configure(ens.cores[int(indices[j])], multihit=True)
             args = [np.ascontiguousarray(prof.msc, np.float64)] + \
                 [np.ascontiguousarray(getattr(prof, a), np.float64)
@@ -200,18 +204,24 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                            "t_dm", "t_dd", "bm")]
             codes_list = [np.ascontiguousarray(qcodes[q], np.int32)
                           for q in qlist]
-            nreg, nenv, sbias, fwdn = _domaindef.evaluate_targets(
-                *args, codes_list, 42, 200, 1, nthreads)
-            n_pairs += len(qlist)
-            from .hmm.profile import null1_score
-            for t, q in enumerate(qlist):
-                # f64-exact reported score: the Pallas pre is a coarse
-                # ranker; near 0.05-bit print boundaries its f32 error
-                # can flip the rounding (3 rows of the example oracle)
-                null1 = null1_score(len(qcodes[q]))
-                reported[q, j] = (fwdn[t] - null1 - sbias[t]) / np.log(2.0)
-                gate_ok[q, j] = bool(nreg[t] > 0 and nenv[t] > 0)
-                evaluated[q, j] = True
+            return j, qlist, _domaindef.evaluate_targets(
+                *args, codes_list, 42, 200, 1, 1)
+
+        # parallelize across models (the engine releases the GIL); each
+        # model's batch runs single-threaded inside
+        with ThreadPoolExecutor(max_workers=nthreads) as ex:
+            for j, qlist, (nreg, nenv, sbias, fwdn) in ex.map(
+                    eval_model, sorted(by_j.items())):
+                n_pairs += len(qlist)
+                for t, q in enumerate(qlist):
+                    # f64-exact reported score: the Pallas pre is a
+                    # coarse ranker; near 0.05-bit print boundaries its
+                    # f32 error can flip the rounding
+                    null1 = null1_score(len(qcodes[q]))
+                    reported[q, j] = (fwdn[t] - null1 - sbias[t]) \
+                        / np.log(2.0)
+                    gate_ok[q, j] = bool(nreg[t] > 0 and nenv[t] > 0)
+                    evaluated[q, j] = True
         Configs.runtime("  scoring: native domaindef %d pairs (s): %f"
                         % (n_pairs, time.time() - t0))
         # walk each query's candidates in weight-rank order; drop gated
