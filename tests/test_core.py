@@ -98,3 +98,31 @@ def test_decompose_balanced():
     sizes = sorted(len(s) for s in subsets)
     assert sizes[-1] == 8  # full set recorded first
     assert all(len(s) >= 2 for s in subsets)
+
+
+def test_nni_refine_improves_parsimony():
+    """Fitch-parsimony NNI: monotone improvement, taxa preserved."""
+    import numpy as np
+    from witch_tpu.core.alignment import PackedAlignment
+    from witch_tpu.tree_estimate import (estimate_tree, nni_refine,
+                                         neighbor_joining,
+                                         pairwise_distances)
+    rng = np.random.default_rng(11)
+    AB = "ACGT"
+    anc = "".join(rng.choice(list(AB), 120))
+    def ev(s, p):
+        return "".join(AB[rng.integers(4)] if rng.random() < p else c
+                       for c in s)
+    clades = [ev(anc, 0.2) for _ in range(4)]
+    names, seqs = [], []
+    for i in range(24):
+        names.append("x%d" % i)
+        seqs.append(ev(clades[i % 4], 0.1))
+    aln = PackedAlignment.from_records(list(zip(names, seqs)),
+                                       alphabet=None, molecule="dna")
+    d = pairwise_distances(aln, use_device=False)
+    nwk = neighbor_joining(d, names)
+    refined = nni_refine(nwk, aln)
+    import re
+    taxa = set(re.findall(r"[\(,](x\d+):", refined))
+    assert taxa == set(names)
