@@ -167,3 +167,19 @@ def test_amino_scenario_c(tmp_path):
     import re
     log = (outdir / "log.txt").read_text()
     assert "amino" in log
+
+
+def test_scenario_b_no_weight(tiny_problem, tmp_path):
+    """-w 0 (scenario B): raw ranked bitscores instead of weights; every
+    query still aligns and the weight file holds score tuples."""
+    bb, q = tiny_problem
+    outdir = tmp_path / "outb"
+    out = _run(["-b", str(bb), "-q", str(q), "-d", str(outdir),
+                "-o", "aligned.fasta", "-w", "0", "--save-weight", "1"])
+    rows = dict(read_fasta(out))
+    qnames = [n for n, _ in read_fasta(str(q))]
+    for n in qnames:
+        assert n in rows
+    # scores saved instead of normalized weights: entries need not sum ~1
+    wpath = os.path.join(str(outdir), "weights.txt")
+    assert os.path.exists(wpath)

@@ -288,7 +288,6 @@ def nni_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 30,
                 continue
             C = sibs[0]
             # D = everything above u plus u's other children beyond C
-            SD = down[v]  # includes C; need "above v minus ..." — use
             # the quartet {A, B, C, rest}: rest = down of u combined
             # with u's children other than v and C
             acc = None
@@ -303,7 +302,6 @@ def nni_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 30,
             SA, SB, SC, SR = up[A], up[B], up[C], acc
             sAB, cAB = pair_cost(SA, SB)
             sCR, cCR = pair_cost(SC, SR)
-            cur = cAB * 0  # recompute below for symmetry
             _, c3 = pair_cost(sAB, sCR)
             cost_cur = int((cAB + cCR + c3).sum())
             sAC, cAC = pair_cost(SA, SC)
