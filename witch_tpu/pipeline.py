@@ -181,12 +181,18 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         from .native import _domaindef
         from .hmm.profile import configure as _configure
         TOPT = min(H, max(18, int(Configs.num_hmms) + 8))
+        NEAR = min(H, int(Configs.num_hmms) + 4)
         t0 = time.time()
-        # per-HMM batches of this HMM's TOPT pairs
+        # per-HMM batches of this HMM's candidate pairs. Queries whose
+        # NEAR top candidates are all above GATE_SAFE cannot lose a
+        # list slot to the gate, so only NEAR candidates need exact
+        # evaluation; junk-heavy queries evaluate the full TOPT so that
+        # promoted replacements also get exact scores.
         by_j: Dict[int, List[int]] = {}
         for q in range(Q):
             top = np.argsort(-adj[q], kind="stable")[:TOPT]
-            for j in top:
+            depth = NEAR if np.all(pre[q, top[:NEAR]] >= GATE_SAFE)                 else TOPT
+            for j in top[:depth]:
                 by_j.setdefault(int(j), []).append(q)
         n_pairs = 0
         gate_ok = np.ones((Q, H), bool)

@@ -1,0 +1,153 @@
+"""Resident serving mode: one long-lived process runs many alignment
+jobs, keeping compiled device programs (and the accelerator server's
+program cache) warm between jobs.
+
+Motivation: launching a fresh process per run pays program
+compilation/load on every invocation — on remote-accelerator hosts this
+can dominate wall clock (observed: identical back-to-back scoring runs
+238.8 s cold-load vs 12.8 s warm in the same process lineage). The
+reference has no equivalent (it is subprocess-per-job throughout); this
+is the TPU-native replacement for "keep a worker pool around".
+
+Protocol (filesystem; works over NFS like the reference's MAGUS task
+files, witch_msa/tools/magus/tasks/manager.py):
+
+    jobs/<name>.job      JSON: {"argv": ["-b", ..., "-d", ...]}
+    jobs/<name>.running  written when picked up
+    jobs/<name>.done     JSON: {"ok": bool, "output": path|None,
+                                "error": str|None, "seconds": float}
+
+Usage:
+    python -m witch_tpu serve -d JOBS_DIR            # the worker
+    python -m witch_tpu submit -d JOBS_DIR -- ARGS   # enqueue + wait
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+
+def _run_job(argv):
+    from .cli import init_parser
+    from .config import build_configs
+    from .pipeline import main_alignment_process
+    build_configs(init_parser(), argv)
+    return main_alignment_process()
+
+
+def serve(jobs_dir: str, poll_s: float = 0.5,
+          max_idle_s: float = 0.0) -> None:
+    os.makedirs(jobs_dir, exist_ok=True)
+    print("witch-tpu server: watching %s" % jobs_dir, flush=True)
+    last_work = time.time()
+    while True:
+        picked = None
+        for fn in sorted(os.listdir(jobs_dir)):
+            if not fn.endswith(".job"):
+                continue
+            base = fn[:-4]
+            run_marker = os.path.join(jobs_dir, base + ".running")
+            done_marker = os.path.join(jobs_dir, base + ".done")
+            if os.path.exists(run_marker) or os.path.exists(done_marker):
+                continue
+            # claim atomically (O_EXCL): safe with multiple workers on a
+            # shared filesystem
+            try:
+                fd = os.open(run_marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+            except FileExistsError:
+                continue
+            picked = base
+            break
+        if picked is None:
+            if max_idle_s and time.time() - last_work > max_idle_s:
+                print("witch-tpu server: idle limit reached, exiting",
+                      flush=True)
+                return
+            time.sleep(poll_s)
+            continue
+        last_work = time.time()
+        job_path = os.path.join(jobs_dir, picked + ".job")
+        t0 = time.time()
+        result = {"ok": False, "output": None, "error": None}
+        try:
+            with open(job_path) as f:
+                spec = json.load(f)
+            print("witch-tpu server: job %s %s" % (picked, spec["argv"]),
+                  flush=True)
+            result["output"] = _run_job(spec["argv"])
+            result["ok"] = True
+        except SystemExit as e:
+            result["error"] = "exit: %s" % e
+        except Exception:
+            result["error"] = traceback.format_exc()
+        result["seconds"] = round(time.time() - t0, 2)
+        tmp = os.path.join(jobs_dir, picked + ".done.tmp")
+        with open(tmp, "w") as f:
+            json.dump(result, f)
+        os.replace(tmp, os.path.join(jobs_dir, picked + ".done"))
+        print("witch-tpu server: job %s %s in %.1fs"
+              % (picked, "ok" if result["ok"] else "FAILED",
+                 result["seconds"]), flush=True)
+
+
+def submit(jobs_dir: str, argv, timeout_s: float = 0.0,
+           poll_s: float = 0.5):
+    """Enqueue a job and wait for its .done marker; returns the result
+    dict (raises TimeoutError after timeout_s if set)."""
+    os.makedirs(jobs_dir, exist_ok=True)
+    name = "job-%d-%d" % (os.getpid(), int(time.time() * 1000))
+    tmp = os.path.join(jobs_dir, name + ".job.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"argv": list(argv)}, f)
+    os.replace(tmp, os.path.join(jobs_dir, name + ".job"))
+    done = os.path.join(jobs_dir, name + ".done")
+    t0 = time.time()
+    while not os.path.exists(done):
+        if timeout_s and time.time() - t0 > timeout_s:
+            raise TimeoutError("job %s not finished in %.0fs"
+                               % (name, timeout_s))
+        time.sleep(poll_s)
+    with open(done) as f:
+        return json.load(f)
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] not in ("serve", "submit"):
+        print(__doc__)
+        return 2
+    mode = argv[0]
+    rest = argv[1:]
+    jobs_dir = None
+    max_idle = 0.0
+    i = 0
+    while i < len(rest):
+        if rest[i] in ("-d", "--jobs-dir"):
+            jobs_dir = rest[i + 1]
+            i += 2
+        elif rest[i] == "--max-idle":
+            max_idle = float(rest[i + 1])
+            i += 2
+        elif rest[i] == "--":
+            i += 1
+            break
+        else:
+            break
+    if jobs_dir is None:
+        print("need -d JOBS_DIR")
+        return 2
+    if mode == "serve":
+        serve(jobs_dir, max_idle_s=max_idle)
+        return 0
+    result = submit(jobs_dir, rest[i:])
+    print(json.dumps(result))
+    return 0 if result.get("ok") else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
