@@ -103,6 +103,16 @@ def init_parser() -> ArgumentParser:
     witch.add_argument("--keep-decomposition", type=int, default=1,
                        metavar="{0,1}",
                        help="Keep tree decomposition artifacts. Default: 1")
+    witch.add_argument("--full-search-results", type=int, default=0,
+                       metavar="{0,1}",
+                       help="witch-tpu extension: evaluate the reporting "
+                            "gate and exact scores for EVERY (query, HMM) "
+                            "pair so the persisted hmmsearch.results.* "
+                            "files list the complete reported set, as the "
+                            "reference's hmmsearch runs would (several "
+                            "minutes of host compute on large grids). "
+                            "Default: 0 (evaluate only the pairs that can "
+                            "affect weights)")
     witch.add_argument("-k", "--num-hmms", type=int, default=10,
                        help="Max top-scored HMMs per query (adaptive "
                             "inclusion to weight 0.999). Default: 10")

@@ -29,6 +29,7 @@ class Configs:
 
     keeptemp: bool = False
     keep_decomposition: bool = True
+    full_search_results: bool = False
 
     # WITCH options
     mode: str = "witch-ng"
@@ -235,6 +236,8 @@ def build_configs(parser, cmdline_args: List[str]) -> Namespace:
 
     Configs.keeptemp = bool(args.keeptemp)
     Configs.keep_decomposition = args.keep_decomposition == 1
+    Configs.full_search_results = \
+        getattr(args, "full_search_results", 0) == 1
     if _explicit("mode"):
         Configs.mode = args.mode
     if _explicit("num_hmms") and args.num_hmms > 0:

@@ -189,11 +189,20 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         # evaluation; junk-heavy queries evaluate the full TOPT so that
         # promoted replacements also get exact scores.
         by_j: Dict[int, List[int]] = {}
-        for q in range(Q):
-            top = np.argsort(-adj[q], kind="stable")[:TOPT]
-            depth = NEAR if np.all(pre[q, top[:NEAR]] >= GATE_SAFE)                 else TOPT
-            for j in top[:depth]:
-                by_j.setdefault(int(j), []).append(q)
+        if getattr(Configs, "full_search_results", False):
+            # --full-search-results: evaluate the complete grid so the
+            # persisted hmmsearch.results.* files match what the
+            # reference's hmmsearch runs would contain
+            for j in range(H):
+                by_j[j] = list(range(Q))
+        else:
+            for q in range(Q):
+                top = np.argsort(-adj[q], kind="stable")[:TOPT]
+                depth = (NEAR
+                         if np.all(pre[q, top[:NEAR]] >= GATE_SAFE)
+                         else TOPT)
+                for j in top[:depth]:
+                    by_j.setdefault(int(j), []).append(q)
         n_pairs = 0
         gate_ok = np.ones((Q, H), bool)
         evaluated = np.zeros((Q, H), bool)
@@ -231,7 +240,14 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         Configs.runtime("  scoring: native domaindef %d pairs (s): %f"
                         % (n_pairs, time.time() - t0))
         # walk each query's candidates in weight-rank order; drop gated
-        # pairs until num_hmms survivors are found
+        # pairs until num_hmms survivors are found. With
+        # --full-search-results every pair was evaluated, so valid IS
+        # the complete reported set (exactly what the reference's
+        # hmmsearch output files would contain).
+        if getattr(Configs, "full_search_results", False):
+            valid = gate_ok.copy()
+            reported = np.round(reported, 1)
+            return reported, valid, indices, tau
         adj_rep = reported + np.log2(size_arr)[None, :]
         for q in range(Q):
             top = np.argsort(-adj_rep[q], kind="stable")[:TOPT]
