@@ -27,7 +27,7 @@ from .ensemble import (Ensemble, build_ensemble, read_ensemble_dir,
                        write_decomposition, write_search_results)
 from .hmm.bank import build_banks
 from .hmm.calibrate import (forward_lambda, random_calibration_seqs,
-                            tau_from_scores, CAL_TAILP)
+                            tau_from_scores)
 from .hmm.forward import OMEGA, score_bank
 from .io.fasta import read_fasta, write_fasta
 from .merger import merge_rows, remove_insertion_columns
