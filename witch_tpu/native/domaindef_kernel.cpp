@@ -85,6 +85,9 @@ struct Model {
     const double *t_mm, *t_mi, *t_md, *t_im, *t_ii, *t_dm, *t_dd, *bm;
     /* odds-space copies */
     std::vector<double> em;                    /* [M+1, K] */
+    std::vector<double> emX;                   /* [K, M+1] transposed:
+                                                  contiguous per-residue
+                                                  rows for the DP loops */
     std::vector<double> mm, mi, md, im, ii, dm, dd, bmo;
     double loop, move;                         /* length model (odds) */
 
@@ -98,6 +101,10 @@ struct Model {
     void prepare(int Lseq) {
         em.resize((size_t)(M + 1) * K);
         for (size_t i = 0; i < em.size(); i++) em[i] = std::exp(msc[i]);
+        emX.resize((size_t)K * (M + 1));
+        for (int k = 0; k <= M; k++)
+            for (int x = 0; x < K; x++)
+                emX[(size_t)x * (M + 1) + k] = em[(size_t)k * K + x];
         auto cv = [&](const double *src, std::vector<double> &dst) {
             dst.resize(M + 1);
             for (int k = 0; k <= M; k++) dst[k] = std::exp(src[k]);
@@ -146,13 +153,13 @@ static void forward_region(const Model &m, const int32_t *codes, int L,
         double *ci = f->rowI(i);
         double *cd = f->rowD(i);
         int x = codes[i - 1];
-        const double *emx = &m.em[(size_t)0 * m.K + x]; /* stride K */
+        const double *ex = &m.emX[(size_t)x * (M + 1)];
         double Bprev = f->B[i - 1];
         double esum = 0.0;
         for (int k = 1; k <= M; k++) {
             double src = pm[k - 1] * m.mm[k - 1] + pi[k - 1] * m.im[k - 1]
                        + pd[k - 1] * m.dm[k - 1] + Bprev * m.bmo[k];
-            double v = src * emx[(size_t)k * m.K];
+            double v = src * ex[k];
             cm[k] = v;
             esum += v;
         }
@@ -463,11 +470,11 @@ static void backward_full(const Model &m, const int32_t *codes, int L,
         const double *Mn = b->rowM(i + 1);
         const double *In = b->rowI(i + 1);
         int x = codes[i];
-        const double *emx = &m.em[(size_t)0 * m.K + x];
+        const double *ex = &m.emX[(size_t)x * (M + 1)];
         double sr = 1.0;   /* next-row scale folded into this row's scale */
         double Bv = 0.0;
         for (int k = 1; k <= M; k++)
-            Bv += m.bmo[k] * emx[(size_t)k * m.K] * Mn[k];
+            Bv += m.bmo[k] * ex[k] * Mn[k];
         b->B[i] = Bv;
         b->N[i] = b->N[i + 1] * m.loop + Bv * m.move;
         b->J[i] = b->J[i + 1] * m.loop + Bv * m.move;
@@ -477,7 +484,7 @@ static void backward_full(const Model &m, const int32_t *codes, int L,
            + E (E exit from D) */
         Dk[M] = b->E[i];
         for (int k = M - 1; k >= 1; k--)
-            Dk[k] = Mn[k + 1] * emx[(size_t)(k + 1) * m.K] * m.dm[k]
+            Dk[k] = Mn[k + 1] * ex[k + 1] * m.dm[k]
                   + Dk[k + 1] * m.dd[k] + b->E[i];
         double *bm_ = b->rowM(i);
         double *bi_ = b->rowI(i);
@@ -485,10 +492,11 @@ static void backward_full(const Model &m, const int32_t *codes, int L,
         for (int k = 1; k <= M; k++) {
             double v = b->E[i];
             if (k < M) {
-                v += Mn[k + 1] * emx[(size_t)(k + 1) * m.K] * m.mm[k]
+                double mnx = Mn[k + 1] * ex[k + 1];
+                v += mnx * m.mm[k]
                    + In[k] * m.mi[k]
                    + Dk[k + 1] * m.md[k];
-                bi_[k] = Mn[k + 1] * emx[(size_t)(k + 1) * m.K] * m.im[k]
+                bi_[k] = mnx * m.im[k]
                        + In[k] * m.ii[k];
             } else {
                 bi_[k] = 0.0;
@@ -580,13 +588,13 @@ static void null2_expectation(const Model &m_in, const int32_t *codes,
         double *ci = f.rowI(i);
         double *cd = f.rowD(i);
         int x = sub[i - 1];
-        const double *emx = &m.em[(size_t)0 * m.K + x];
+        const double *ex = &m.emX[(size_t)x * (M + 1)];
         double Bprev = f.B[i - 1];
         double esum = 0.0;
         for (int k = 1; k <= M; k++) {
             double v = (pm[k - 1] * m.mm[k - 1] + pi[k - 1] * m.im[k - 1]
                       + pd[k - 1] * m.dm[k - 1] + Bprev * m.bmo[k])
-                     * emx[(size_t)k * m.K];
+                     * ex[k];
             cm[k] = v; esum += v;
         }
         for (int k = 1; k < M; k++)
@@ -629,17 +637,17 @@ static void null2_expectation(const Model &m_in, const int32_t *codes,
         const double *Mn = &bM[(size_t)(i + 1) * (M + 1)];
         const double *In = &bI[(size_t)(i + 1) * (M + 1)];
         int x = sub[i];
-        const double *emx = &m.em[(size_t)0 * m.K + x];
+        const double *ex = &m.emX[(size_t)x * (M + 1)];
         double Bv = 0.0;
         for (int k = 1; k <= M; k++)
-            Bv += m.bmo[k] * emx[(size_t)k * m.K] * Mn[k];
+            Bv += m.bmo[k] * ex[k] * Mn[k];
         bB[i] = Bv;
         bN[i] = bN[i + 1] * m.loop + Bv * m.move;
         bC[i] = bC[i + 1] * m.loop;
         bE[i] = bC[i];                          /* E->C move = 1 */
         Dk[M] = bE[i];
         for (int k = M - 1; k >= 1; k--)
-            Dk[k] = Mn[k + 1] * emx[(size_t)(k + 1) * m.K] * m.dm[k]
+            Dk[k] = Mn[k + 1] * ex[k + 1] * m.dm[k]
                   + Dk[k + 1] * m.dd[k] + bE[i];
         double *bm_ = &bM[(size_t)i * (M + 1)];
         double *bi_ = &bI[(size_t)i * (M + 1)];
@@ -647,9 +655,10 @@ static void null2_expectation(const Model &m_in, const int32_t *codes,
         for (int k = 1; k <= M; k++) {
             double v = bE[i];
             if (k < M) {
-                v += Mn[k + 1] * emx[(size_t)(k + 1) * m.K] * m.mm[k]
+                double mnx = Mn[k + 1] * ex[k + 1];
+                v += mnx * m.mm[k]
                    + In[k] * m.mi[k] + Dk[k + 1] * m.md[k];
-                bi_[k] = Mn[k + 1] * emx[(size_t)(k + 1) * m.K] * m.im[k]
+                bi_[k] = mnx * m.im[k]
                        + In[k] * m.ii[k];
             } else bi_[k] = 0.0;
             bm_[k] = v;
@@ -1188,13 +1197,13 @@ static PyObject *posterior_pair(PyObject *, PyObject *args) {
                 double *ci = f.rowI(i);
                 double *cd = f.rowD(i);
                 int x = codes[i - 1];
-                const double *emx = &mo.em[(size_t)0 * mo.K + x];
+                const double *ex = &mo.emX[(size_t)x * (M + 1)];
                 double Bprev = f.B[i - 1];
                 double esum = 0.0;
                 for (int k = 1; k <= M; k++) {
                     double v = (pm[k-1]*mo.mm[k-1] + pi2[k-1]*mo.im[k-1]
                               + pd[k-1]*mo.dm[k-1] + Bprev*mo.bmo[k])
-                             * emx[(size_t)k * mo.K];
+                             * ex[k];
                     cm[k] = v; esum += v;
                 }
                 for (int k = 1; k < M; k++)
@@ -1236,17 +1245,17 @@ static PyObject *posterior_pair(PyObject *, PyObject *args) {
                 const double *Mn = &bM[(size_t)(i+1)*(M+1)];
                 const double *In = &bI[(size_t)(i+1)*(M+1)];
                 int x = codes[i];
-                const double *emx = &mo.em[(size_t)0*mo.K + x];
+                const double *ex = &mo.emX[(size_t)x * (M + 1)];
                 double Bv = 0.0;
                 for (int k = 1; k <= M; k++)
-                    Bv += mo.bmo[k]*emx[(size_t)k*mo.K]*Mn[k];
+                    Bv += mo.bmo[k]*ex[k]*Mn[k];
                 bB[i] = Bv;
                 bN[i] = bN[i+1]*mo.loop + Bv*mo.move;
                 bC[i] = bC[i+1]*mo.loop;
                 bE[i] = bC[i];
                 Dk[M] = bE[i];
                 for (int k = M-1; k >= 1; k--)
-                    Dk[k] = Mn[k+1]*emx[(size_t)(k+1)*mo.K]*mo.dm[k]
+                    Dk[k] = Mn[k+1]*ex[k+1]*mo.dm[k]
                           + Dk[k+1]*mo.dd[k] + bE[i];
                 double *bm_ = &bM[(size_t)i*(M+1)];
                 double *bi_ = &bI[(size_t)i*(M+1)];
@@ -1254,9 +1263,10 @@ static PyObject *posterior_pair(PyObject *, PyObject *args) {
                 for (int k = 1; k <= M; k++) {
                     double v = bE[i];
                     if (k < M) {
-                        v += Mn[k+1]*emx[(size_t)(k+1)*mo.K]*mo.mm[k]
+                        double mnx = Mn[k+1]*ex[k+1];
+                        v += mnx*mo.mm[k]
                            + In[k]*mo.mi[k] + Dk[k+1]*mo.md[k];
-                        bi_[k] = Mn[k+1]*emx[(size_t)(k+1)*mo.K]*mo.im[k]
+                        bi_[k] = mnx*mo.im[k]
                                + In[k]*mo.ii[k];
                     } else bi_[k] = 0.0;
                     bm_[k] = v;
