@@ -135,6 +135,42 @@ def main():
 
     pairs_per_s = total_pairs / dt
     baseline_pairs_per_s = 70500 / (236.2 / 4)
+
+    # secondary metric: the native domaindef engine (reporting gate +
+    # exact null2 + f64 Forward) on one model vs all queries
+    dd_pairs_per_s = None
+    try:
+        from witch_tpu.native import _domaindef
+        b0 = banks[0]
+        h0 = 0
+        from witch_tpu.hmm.profile import configure
+        # rebuild a single-core profile from the bank is not possible;
+        # instead reuse the committed assets' first model via the repo
+        # oracle-free path: skip if profiles unavailable
+        prof = None
+        try:
+            from make_bench_assets import load_profile0
+            prof = load_profile0(os.path.join(HERE, "bench_assets.npz"))
+        except Exception:
+            prof = None
+        if prof is not None:
+            args = [np.ascontiguousarray(prof.msc, np.float64)] + [
+                np.ascontiguousarray(getattr(prof, a), np.float64)
+                for a in ("t_mm", "t_mi", "t_md", "t_im", "t_ii",
+                          "t_dm", "t_dd", "bm")]
+            clist = [np.ascontiguousarray(codes[i, :lens[i]], np.int32)
+                     for i in range(min(Q, 100))]
+            t0 = time.time()
+            _domaindef.evaluate_targets(*args, clist, 42, 200, 1, 4)
+            dd = time.time() - t0
+            dd_pairs_per_s = round(len(clist) / dd, 1)
+            log("domaindef: %d pairs in %.2fs" % (len(clist), dd))
+    except Exception as e:
+        log("domaindef metric skipped: %s" % e)
+
+    extra = {}
+    if dd_pairs_per_s is not None:
+        extra["domaindef_pairs_per_s_4t"] = dd_pairs_per_s
     print(json.dumps({
         "metric": "forward_scoring_pairs_per_s",
         "value": round(pairs_per_s, 1),
@@ -144,6 +180,7 @@ def main():
         "gcups_padded": round(padded_cells / dt / 1e9, 2),
         "seconds_per_full_grid": round(dt, 3),
         "backend": "pallas-tpu" if on_tpu else "xla",
+        **extra,
     }), flush=True)
 
 

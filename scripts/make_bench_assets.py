@@ -85,3 +85,25 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+class _Prof:
+    pass
+
+
+def load_profile0(path):
+    """Reconstruct a log-space profile view of the first bank row (for
+    the native domaindef engine benchmark): the bank stores odds = exp
+    of the profile logs, so log() recovers them exactly."""
+    banks, _ = load_banks(path)
+    b = banks[0]
+    M = int(b.M[0])
+    p = _Prof()
+    with np.errstate(divide="ignore"):
+        p.msc = np.log(np.asarray(b.em_odds[0][:M + 1], np.float64))
+        for f in ("t_mm", "t_mi", "t_md", "t_im", "t_ii", "t_dm",
+                  "t_dd", "bm"):
+            setattr(p, f, np.log(np.asarray(
+                getattr(b, f)[0][:M + 1], np.float64)))
+    p.M = M
+    return p
