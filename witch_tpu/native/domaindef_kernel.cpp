@@ -62,9 +62,20 @@ struct EselRng {
         x = 69069u * x + 1u;   /* mod 2^32 via wraparound */
         return (double)x * (1.0 / 4294967296.0);
     }
-    /* esl_rnd_FChoose over float candidates: double-accumulated CDF of
-     * the f32 entries divided by their in-order double sum. */
-    inline int fchoose(const float *p, int n) {
+    /* The binary calls esl_vec_FNorm (f32 in-order sum + f32 division)
+     * on the candidate vector, then esl_rnd_FChoose (double-accumulated
+     * CDF over the f32 entries / their double sum). Emulating the f32
+     * normalization step matters only for boundary rolls, but those are
+     * exactly where the marginal gate decisions live. */
+    inline int fchoose(const float *p_in, int n) {
+        float fs = 0.0f;
+        for (int i = 0; i < n; i++) fs += p_in[i];
+        float p[8];
+        if (fs != 0.0f && n <= 8) {
+            for (int i = 0; i < n; i++) p[i] = p_in[i] / fs;
+        } else {
+            for (int i = 0; i < n && i < 8; i++) p[i] = p_in[i];
+        }
         double norm = 0.0;
         for (int i = 0; i < n; i++) norm += (double)p[i];
         double roll = random();
