@@ -562,25 +562,26 @@ struct TargetResult {
     int nenvelopes = 0;
     double seqbias_nats = 0.0;          /* FLogsum(0, ln w + sum n2sc) */
     double fwd_nats = 0.0;              /* full-sequence Forward */
+    /* p7_pipeline.c sum_score ("reconstruction") inputs: over domains
+     * with envsc - domcorrection > 0: sum of envsc (nats), sum of
+     * domcorrection (nats), and total envelope length Ld. */
+    double sum_env_nats = 0.0;
+    double sum_bias_nats = 0.0;
+    int ld = 0;
     std::vector<double> n2sc;
 };
 
 /* null2 by expectation over envelope [i..j] (1-based) using the
  * isolated unihit decode with length model Lseq (rescore semantics for
  * the hmmsearch path: om stays ReconfigUnihit(L_seq)). */
-static void null2_expectation(const Model &m_in, const int32_t *codes,
-                              int Lfull, int ei, int ej,
-                              std::vector<double> *n2sc) {
-    Model m = m_in;                     /* copy; cheap (vectors shared? no
-                                           -- vectors copy; fine, reuse) */
-    m.set_length(Lfull, false);         /* unihit, L = full sequence */
-    int Ld = ej - ei + 1;
-    const int32_t *sub = codes + (ei - 1);
-    /* unihit forward/backward on the envelope subsequence */
-    Fwd f;
-    /* unihit: J never entered; reuse forward_region but with
-       eloop=0/emove=1 handled below via a flag-free trick: we recompute
-       J as 0 by zeroing its recurrence -- simplest: specialized pass */
+/* Isolated unihit Forward on a subsequence (p7_domaindef.c
+ * rescore_isolated_domain's p7_Forward call: om stays configured
+ * unihit with the FULL sequence length model). Fills *f and returns
+ * the envelope score in nats (the binary's raw `envsc` output;
+ * p7_pipeline.c reads dcl[d].envsc uncorrected). */
+static double unihit_forward(const Model &m, const int32_t *sub, int Ld,
+                             Fwd *fp) {
+    Fwd &f = *fp;
     int M = m.M;
     f.L = Ld; f.M = M;
     f.Mx.assign((size_t)(Ld + 1) * (M + 1), 0.0);
@@ -630,6 +631,24 @@ static void null2_expectation(const Model &m_in, const int32_t *codes,
             }
         }
     }
+    return std::log(std::max(f.C[Ld], 1e-300)) + std::log(m.move)
+         + f.scale_log[Ld];
+}
+
+static void null2_expectation(const Model &m_in, const int32_t *codes,
+                              int Lfull, int ei, int ej,
+                              std::vector<double> *n2sc,
+                              double *envsc_out) {
+    Model m = m_in;                     /* copy; cheap (vectors shared? no
+                                           -- vectors copy; fine, reuse) */
+    m.set_length(Lfull, false);         /* unihit, L = full sequence */
+    int Ld = ej - ei + 1;
+    const int32_t *sub = codes + (ei - 1);
+    int M = m.M;
+    /* unihit forward/backward on the envelope subsequence */
+    Fwd f;
+    double envsc = unihit_forward(m, sub, Ld, &f);
+    if (envsc_out) *envsc_out = envsc;
     /* unihit backward */
     std::vector<double> bN(Ld + 1, 0.0), bB(Ld + 1, 0.0), bE(Ld + 1, 0.0),
         bC(Ld + 1, 0.0), bsl(Ld + 1, 0.0);
@@ -771,8 +790,19 @@ static void evaluate_target(const Model &mo_in, const int32_t *codes,
         if (best < 0.20f) {
             /* deterministic single envelope = the region */
             res->nenvelopes += 1;
-            if (want_null2)
-                null2_expectation(mo_in, codes, L, rg.i, rg.j, &res->n2sc);
+            if (want_null2) {
+                double envsc = 0.0;
+                null2_expectation(mo_in, codes, L, rg.i, rg.j,
+                                  &res->n2sc, &envsc);
+                double domcorr = 0.0;
+                for (int p = rg.i; p <= rg.j; p++)
+                    domcorr += res->n2sc[p];
+                if (envsc - domcorr > 0.0) {
+                    res->sum_env_nats += envsc;
+                    res->sum_bias_nats += domcorr;
+                    res->ld += rg.j - rg.i + 1;
+                }
+            }
             continue;
         }
         /* multidomain: re-seeded trace ensemble on the region */
@@ -823,6 +853,26 @@ static void evaluate_target(const Model &mo_in, const int32_t *codes,
                 float v = (float)(n2acc[pos] / (double)nsamples);
                 res->n2sc[rg.i + pos - 1] =
                     (double)std::log(std::max(v, 1e-30f));
+            }
+            /* per-envelope rescore for the reconstruction score
+             * (rescore_isolated_domain with null2_is_done: envsc =
+             * isolated unihit Forward, domcorrection = sum of the
+             * ByTrace n2sc over the envelope) */
+            Model miso = mo_in;
+            miso.set_length(L, false);
+            for (const Cluster &c : cls) {
+                int ie = rg.i + c.i - 1, je = rg.i + c.j - 1;
+                Fwd ef;
+                double envsc = unihit_forward(miso, codes + (ie - 1),
+                                              je - ie + 1, &ef);
+                double domcorr = 0.0;
+                for (int p = ie; p <= je; p++)
+                    domcorr += res->n2sc[p];
+                if (envsc - domcorr > 0.0) {
+                    res->sum_env_nats += envsc;
+                    res->sum_bias_nats += domcorr;
+                    res->ld += je - ie + 1;
+                }
             }
         }
     }
@@ -987,7 +1037,9 @@ static PyObject *ensemble_region(PyObject *, PyObject *args) {
 /* evaluate_targets(msc2d, tmm..bm, codes_list, seed, nsamples,
  *                  want_null2, nthreads)
  * One model vs many targets; returns (nregions i32[N], nenvelopes
- * i32[N], seqbias f64[N] in nats). */
+ * i32[N], seqbias f64[N] in nats, plus the p7_pipeline sum_score
+ * ("reconstruction") inputs sum_env f64[N] / sum_bias f64[N] / ld
+ * i32[N]). */
 static PyObject *evaluate_targets(PyObject *, PyObject *args) {
     PyObject *omsc, *ot[8], *olist;
     int seed, nsamples, want_null2, nthreads;
@@ -1042,8 +1094,9 @@ static PyObject *evaluate_targets(PyObject *, PyObject *args) {
             }
         }
     }
-    std::vector<int> nreg(N, 0), nenv(N, 0);
-    std::vector<double> bias(N, 0.0), fwd(N, 0.0);
+    std::vector<int> nreg(N, 0), nenv(N, 0), ld(N, 0);
+    std::vector<double> bias(N, 0.0), fwd(N, 0.0),
+        senv(N, 0.0), sbias(N, 0.0);
     {
         Py_BEGIN_ALLOW_THREADS
         mo.prepare(100);   /* length set per target inside evaluate */
@@ -1062,6 +1115,9 @@ static PyObject *evaluate_targets(PyObject *, PyObject *args) {
                 nenv[n] = tr.nenvelopes;
                 bias[n] = tr.seqbias_nats;
                 fwd[n] = tr.fwd_nats;
+                senv[n] = tr.sum_env_nats;
+                sbias[n] = tr.sum_bias_nats;
+                ld[n] = tr.ld;
             }
         };
         if (nt == 1) work();
@@ -1080,9 +1136,16 @@ static PyObject *evaluate_targets(PyObject *, PyObject *args) {
                                                              NPY_FLOAT64);
     PyArrayObject *afwd = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
                                                              NPY_FLOAT64);
-    if (!areg || !aenv || !abia || !afwd) {
+    PyArrayObject *asen = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                             NPY_FLOAT64);
+    PyArrayObject *asbi = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                             NPY_FLOAT64);
+    PyArrayObject *ald = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                            NPY_INT32);
+    if (!areg || !aenv || !abia || !afwd || !asen || !asbi || !ald) {
         Py_XDECREF(areg); Py_XDECREF(aenv); Py_XDECREF(abia);
-        Py_XDECREF(afwd);
+        Py_XDECREF(afwd); Py_XDECREF(asen); Py_XDECREF(asbi);
+        Py_XDECREF(ald);
         return NULL;
     }
     for (Py_ssize_t n = 0; n < N; n++) {
@@ -1090,10 +1153,16 @@ static PyObject *evaluate_targets(PyObject *, PyObject *args) {
         ((int32_t *)PyArray_DATA(aenv))[n] = nenv[n];
         ((double *)PyArray_DATA(abia))[n] = bias[n];
         ((double *)PyArray_DATA(afwd))[n] = fwd[n];
+        ((double *)PyArray_DATA(asen))[n] = senv[n];
+        ((double *)PyArray_DATA(asbi))[n] = sbias[n];
+        ((int32_t *)PyArray_DATA(ald))[n] = ld[n];
     }
-    PyObject *ret = PyTuple_Pack(4, (PyObject *)areg, (PyObject *)aenv,
-                                 (PyObject *)abia, (PyObject *)afwd);
+    PyObject *ret = PyTuple_Pack(7, (PyObject *)areg, (PyObject *)aenv,
+                                 (PyObject *)abia, (PyObject *)afwd,
+                                 (PyObject *)asen, (PyObject *)asbi,
+                                 (PyObject *)ald);
     Py_DECREF(areg); Py_DECREF(aenv); Py_DECREF(abia); Py_DECREF(afwd);
+    Py_DECREF(asen); Py_DECREF(asbi); Py_DECREF(ald);
     return ret;
 }
 
@@ -1323,7 +1392,8 @@ static PyMethodDef methods[] = {
     {"ensemble_region", ensemble_region, METH_VARARGS,
      "stochastic trace ensemble for one region -> (clusters, n2acc)"},
     {"evaluate_targets", evaluate_targets, METH_VARARGS,
-     "one model vs many targets -> (nregions, nenvelopes, seqbias, fwd)"},
+     "one model vs many targets -> (nregions, nenvelopes, seqbias, fwd,"
+     " sum_env, sum_bias, ld)"},
     {"posterior_pair", posterior_pair, METH_VARARGS,
      "dense f64 posterior decode of one pair -> (ppM, ppI, ppN, ppJ, ppC)"},
     {NULL, NULL, 0, NULL}};

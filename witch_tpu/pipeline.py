@@ -225,16 +225,29 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         # parallelize across models (the engine releases the GIL); each
         # model's batch runs single-threaded inside
         with ThreadPoolExecutor(max_workers=nthreads) as ex:
-            for j, qlist, (nreg, nenv, sbias, fwdn) in ex.map(
-                    eval_model, sorted(by_j.items())):
+            for j, qlist, (nreg, nenv, sbias, fwdn, senv, sbsum, ld) \
+                    in ex.map(eval_model, sorted(by_j.items())):
                 n_pairs += len(qlist)
                 for t, q in enumerate(qlist):
                     # f64-exact reported score: the Pallas pre is a
                     # coarse ranker; near 0.05-bit print boundaries its
                     # f32 error can flip the rounding
-                    null1 = null1_score(len(qcodes[q]))
-                    reported[q, j] = (fwdn[t] - null1 - sbias[t]) \
-                        / np.log(2.0)
+                    Lq = len(qcodes[q])
+                    null1 = null1_score(Lq)
+                    seq = (fwdn[t] - null1 - sbias[t]) / np.log(2.0)
+                    if ld[t] > 0:
+                        # p7_pipeline.c "reconstruction score"
+                        # substitution: sum of qualifying envelope
+                        # scores with its own null2, replacing the
+                        # Forward score when larger
+                        sum_nats = senv[t] + (Lq - ld[t]) \
+                            * np.log(Lq / (Lq + 3.0))
+                        bias2 = np.logaddexp(
+                            0.0, np.log(1.0 / 256.0) + sbsum[t])
+                        sumsc = (sum_nats - null1 - bias2) / np.log(2.0)
+                        if sumsc > seq:
+                            seq = sumsc
+                    reported[q, j] = seq
                     gate_ok[q, j] = bool(nreg[t] > 0 and nenv[t] > 0)
                     evaluated[q, j] = True
         Configs.runtime("  scoring: native domaindef %d pairs (s): %f"

@@ -349,8 +349,261 @@ def nni_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 30,
     return t.newick()
 
 
+def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 8,
+              log=None) -> str:
+    """Jukes-Cantor maximum-likelihood NNI refinement.
+
+    Approximates what the reference gets from FastTree2's ML stage
+    (witch_msa/gcmm/backbone.py:296-319) without shelling out: per-node
+    conditional likelihood vectors over compressed site patterns, one
+    branch-length pass plus one NNI pass per sweep.
+
+    The JC structure collapses every P(t)-matvec to
+    ``e*v + (1-e)/K * sum(v)`` with ``e = exp(-K t/(K-1))``, so both
+    passes are pure vector ops over [patterns, K] arrays.  NNI
+    candidates around an internal edge share the four subtree CLVs, so
+    per-site scaling factors cancel and the three pairings are compared
+    by exact conditional likelihood with the central branch length
+    re-optimized (golden-section over e) for each pairing.
+    """
+    K = aln.alphabet.K
+    t = _Tree.parse(newick)
+    n_nodes = len(t.children)
+    root = next(i for i in range(n_nodes) if t.parent[i] < 0)
+    name_to_row = {nm: r for r, nm in enumerate(aln.names)}
+    # site-pattern compression: identical columns share one CLV slot
+    pat, w = np.unique(aln.codes.T, axis=0, return_counts=True)
+    P = pat.shape[0]
+    w = w.astype(np.float64)
+    E_MIN = float(np.exp(-K / (K - 1) * 10.0))    # t <= 10
+    E_MAX = 1.0 - 1e-9                            # t >= ~0
+
+    def make_leaf(i):
+        row = pat[:, name_to_row[t.name[i]]]
+        m = np.ones((P, K))
+        ok = row < K
+        m[ok] = 0.0
+        m[ok, row[ok]] = 1.0
+        return m
+
+    def e_of(blen):
+        b = min(max(float(blen), 1e-8), 10.0)
+        return float(np.exp(-K / (K - 1) * b))
+
+    def t_of(e):
+        return -(K - 1) / K * float(np.log(min(max(e, E_MIN), E_MAX)))
+
+    def pv(clv, e):
+        return e * clv + (1.0 - e) / K * clv.sum(-1, keepdims=True)
+
+    def opt_e(a, bk, e0):
+        """maximize f(e) = w . log(e*a + (1-e)*bk); golden section."""
+        lo, hi = E_MIN, E_MAX
+
+        def f(e):
+            return float(w @ np.log(np.maximum(e * a + (1 - e) * bk,
+                                               1e-300)))
+        gr = 0.6180339887498949
+        c = hi - gr * (hi - lo)
+        d_ = lo + gr * (hi - lo)
+        fc, fd = f(c), f(d_)
+        for _ in range(28):
+            if fc >= fd:
+                hi, d_, fd = d_, c, fc
+                c = hi - gr * (hi - lo)
+                fc = f(c)
+            else:
+                lo, c, fc = c, d_, fd
+                d_ = lo + gr * (hi - lo)
+                fd = f(d_)
+        e = 0.5 * (lo + hi)
+        fe = f(e)
+        f0 = f(e0)
+        # strict improvement only: on a flat objective the bracket
+        # drifts toward an arbitrary end -- keep the current length
+        return (e, fe) if fe > f0 + 1e-9 else (e0, f0)
+
+    def orders():
+        seen = []
+        stack = [root]
+        while stack:
+            x = stack.pop()
+            seen.append(x)
+            stack.extend(t.children[x])
+        return seen                                # pre-order
+
+    def passes():
+        pre = orders()
+        up = np.empty((n_nodes, P, K))
+        slog = np.zeros((n_nodes, P))
+        for x in pre[::-1]:
+            if not t.children[x]:
+                up[x] = make_leaf(x)
+                slog[x] = 0.0
+                continue
+            acc = None
+            sl = np.zeros(P)
+            for c in t.children[x]:
+                pc = pv(up[c], e_of(t.blen[c]))
+                acc = pc if acc is None else acc * pc
+                sl += slog[c]
+            m = np.maximum(acc.max(-1), 1e-300)
+            up[x] = acc / m[:, None]
+            slog[x] = sl + np.log(m)
+        down = np.ones((n_nodes, P, K))
+        dlog = np.zeros((n_nodes, P))
+        for x in pre:
+            p = t.parent[x]
+            if p < 0:
+                continue
+            acc = None
+            sl = np.zeros(P)
+            if t.parent[p] >= 0:
+                acc = pv(down[p], e_of(t.blen[p]))
+                sl += dlog[p]
+            for sib in t.children[p]:
+                if sib == x:
+                    continue
+                ps = pv(up[sib], e_of(t.blen[sib]))
+                acc = ps if acc is None else acc * ps
+                sl += slog[sib]
+            m = np.maximum(acc.max(-1), 1e-300)
+            down[x] = acc / m[:, None]
+            dlog[x] = sl + np.log(m)
+        return up, slog, down, dlog
+
+    def total_loglik(up, slog):
+        like = up[root].sum(-1) / K
+        return float(w @ (np.log(np.maximum(like, 1e-300)) + slog[root]))
+
+    def save_state():
+        return ([list(c) for c in t.children], list(t.parent),
+                list(t.blen))
+
+    def restore_state(st):
+        t.children = [list(c) for c in st[0]]
+        t.parent = list(st[1])
+        t.blen = list(st[2])
+
+    def bl_pass():
+        """One Jacobi round of per-edge length optimization on frozen
+        CLVs (edges interact, so the outer loop verifies globally)."""
+        up, slog, down, dlog = passes()
+        for x in orders():
+            if t.parent[x] < 0:
+                continue
+            a = (up[x] * down[x]).sum(-1)
+            bk = up[x].sum(-1) * down[x].sum(-1) / K
+            e, _ = opt_e(a, bk, e_of(t.blen[x]))
+            t.blen[x] = t_of(e)
+
+    def nni_pass(max_swaps):
+        up, slog, down, dlog = passes()
+        swaps = 0
+        dirty = set()
+        for v in range(n_nodes):
+            u = t.parent[v]
+            if u < 0 or len(t.children[v]) != 2:
+                continue
+            if v in dirty or u in dirty:
+                continue
+            A, B = t.children[v]
+            sibs = [c for c in t.children[u] if c != v]
+            if not sibs:
+                continue
+            C = sibs[0]
+            acc = None
+            if t.parent[u] >= 0:
+                acc = pv(down[u], e_of(t.blen[u]))
+            for c in t.children[u]:
+                if c in (v, C):
+                    continue
+                pc = pv(up[c], e_of(t.blen[c]))
+                acc = pc if acc is None else acc * pc
+            if acc is None:
+                continue
+            UA = pv(up[A], e_of(t.blen[A]))
+            UB = pv(up[B], e_of(t.blen[B]))
+            UC = pv(up[C], e_of(t.blen[C]))
+            UR = acc
+            e0 = e_of(t.blen[v])
+            res = []
+            for x_, y_ in ((UA * UB, UC * UR), (UA * UC, UB * UR),
+                           (UB * UC, UA * UR)):
+                a = (x_ * y_).sum(-1)
+                bk = x_.sum(-1) * y_.sum(-1) / K
+                res.append(opt_e(a, bk, e0))
+            cur, alt_a = res[0], res[1]
+            best = max(res, key=lambda r: r[1])
+            if best[1] <= cur[1] + 1e-4:
+                continue
+            swap_child = B if best is alt_a else A
+            t.children[v].remove(swap_child)
+            t.children[u].remove(C)
+            t.children[v].append(C)
+            t.children[u].append(swap_child)
+            t.parent[C] = v
+            t.parent[swap_child] = u
+            t.blen[v] = t_of(best[0])
+            swaps += 1
+            if swaps >= max_swaps:
+                break
+            # CLVs are stale after a swap everywhere on the path to the
+            # root; lock the immediate neighborhood and let the outer
+            # monotone guard catch cross-talk between distant swaps
+            dirty.update((u, v, t.parent[u]))
+            dirty.update(t.children[u])
+            dirty.update(t.children[v])
+        return swaps
+
+    def current_ll():
+        up, slog, _, _ = passes()
+        return total_loglik(up, slog)
+
+    # monotone outer loop: every phase is verified against the exact
+    # recomputed likelihood and reverted if it regressed (Jacobi branch
+    # updates and batched stale-CLV swaps are only locally optimal)
+    ll_cur = current_ll()
+    for sweep in range(max_sweeps):
+        st = save_state()
+        bl_pass()
+        ll_new = current_ll()
+        if ll_new > ll_cur + 1e-9:
+            ll_cur = ll_new
+        else:
+            restore_state(st)
+        st = save_state()
+        swaps = nni_pass(n_nodes)
+        progressed = False
+        if swaps:
+            ll_new = current_ll()
+            if ll_new > ll_cur + 1e-9:
+                ll_cur = ll_new
+                progressed = True
+            else:
+                # batch conflicted; retry with the single best swap
+                restore_state(st)
+                if nni_pass(1):
+                    ll_new = current_ll()
+                    if ll_new > ll_cur + 1e-9:
+                        ll_cur = ll_new
+                        progressed = True
+                        swaps = 1
+                    else:
+                        restore_state(st)
+        if log:
+            log("ml sweep %d: logL %.2f, %d swaps%s"
+                % (sweep, ll_cur, swaps if progressed else 0,
+                   "" if progressed or not swaps else " (reverted)"))
+        if not progressed:
+            break
+    if log:
+        log("ml refinement: final logL %.2f" % ll_cur)
+    return t.newick()
+
+
 def estimate_tree(aln: PackedAlignment, out_path: Optional[str] = None,
-                  nni: bool = True, log=None) -> str:
+                  nni: bool = True, ml: bool = False, log=None) -> str:
     d = pairwise_distances(aln)
     nwk = neighbor_joining(d, aln.names)
     if nni:
@@ -359,6 +612,12 @@ def estimate_tree(aln: PackedAlignment, out_path: Optional[str] = None,
         except Exception as e:
             if log:
                 log("nni refinement skipped (%s)" % e)
+    if ml:
+        try:
+            nwk = ml_refine(nwk, aln, log=log)
+        except Exception as e:
+            if log:
+                log("ml refinement skipped (%s)" % e)
     if out_path:
         with open(out_path, "w") as f:
             f.write(nwk + "\n")
