@@ -126,3 +126,56 @@ def test_nni_refine_improves_parsimony():
     import re
     taxa = set(re.findall(r"[\(,](x\d+):", refined))
     assert taxa == set(names)
+
+
+def test_ml_refine_recovers_clades():
+    """HKY+Gamma ML NNI (tree_estimate.ml_refine): repairs cross-clade
+    leaf swaps in a clean 4-clade synthetic and preserves the taxa."""
+    import numpy as np
+    from witch_tpu.core.alignment import PackedAlignment
+    from witch_tpu.tree_estimate import (ml_refine, neighbor_joining,
+                                         pairwise_distances, _Tree)
+    rng = np.random.default_rng(7)
+    AB = "ACGT"
+    anc = "".join(rng.choice(list(AB), 160))
+
+    def ev(s, p):
+        return "".join(AB[rng.integers(4)] if rng.random() < p else c
+                       for c in s)
+    clades = [ev(anc, 0.25) for _ in range(4)]
+    names, seqs = [], []
+    for i in range(24):
+        names.append("x%d" % i)
+        seqs.append(ev(clades[i % 4], 0.08))
+    aln = PackedAlignment.from_records(list(zip(names, seqs)),
+                                       alphabet=None, molecule="dna")
+    d = pairwise_distances(aln, use_device=False)
+    nwk = neighbor_joining(d, names)
+    # break two clades by swapping leaves across them
+    nwk = (nwk.replace("x0:", "TMP:").replace("x1:", "x0:")
+              .replace("TMP:", "x1:"))
+    nwk = (nwk.replace("x6:", "TMP:").replace("x7:", "x6:")
+              .replace("TMP:", "x7:"))
+    refined = ml_refine(nwk, aln)
+    t = _Tree.parse(refined)
+    taxa = {nm for nm in t.name if nm}
+    assert taxa == set(names)
+    # every clade must be a clan (some edge splits exactly it off)
+    n_nodes = len(t.children)
+    below = [set() for _ in range(n_nodes)]
+    order = []
+    stack = [next(i for i in range(n_nodes) if t.parent[i] < 0)]
+    while stack:
+        x = stack.pop()
+        order.append(x)
+        stack.extend(t.children[x])
+    for x in order[::-1]:
+        if not t.children[x]:
+            below[x] = {t.name[x]}
+        else:
+            below[x] = set().union(*(below[c] for c in t.children[x]))
+    splits = {frozenset(b) for b in below} | {
+        frozenset(taxa - b) for b in below}
+    for c in range(4):
+        clade = frozenset(names[i] for i in range(24) if i % 4 == c)
+        assert clade in splits, "clade %d not recovered" % c

@@ -349,22 +349,27 @@ def nni_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 30,
     return t.newick()
 
 
-def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 8,
+def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 16,
               log=None) -> str:
-    """Jukes-Cantor maximum-likelihood NNI refinement.
+    """Maximum-likelihood NNI refinement under HKY+Gamma(4).
 
     Approximates what the reference gets from FastTree2's ML stage
-    (witch_msa/gcmm/backbone.py:296-319) without shelling out: per-node
-    conditional likelihood vectors over compressed site patterns, one
-    branch-length pass plus one NNI pass per sweep.
+    (witch_msa/gcmm/backbone.py:296-319) without shelling out.  Any
+    reversible model works through one eigendecomposition of the
+    symmetrized rate matrix: P(t) = A diag(exp(lambda r t)) Ainv, so
+    CLV propagation is two [K,K] matmuls per edge per rate category.
+    For DNA the exchangeabilities are HKY (kappa grid-estimated on the
+    start tree); other alphabets get equal-input (F81) with empirical
+    frequencies.  Rate heterogeneity uses 4 equal-probability gamma
+    categories (Yang 1994 median rates), alpha grid-estimated.
 
-    The JC structure collapses every P(t)-matvec to
-    ``e*v + (1-e)/K * sum(v)`` with ``e = exp(-K t/(K-1))``, so both
-    passes are pure vector ops over [patterns, K] arrays.  NNI
-    candidates around an internal edge share the four subtree CLVs, so
-    per-site scaling factors cancel and the three pairings are compared
-    by exact conditional likelihood with the central branch length
-    re-optimized (golden-section over e) for each pairing.
+    Conditional likelihoods are kept per site pattern with one shared
+    per-site scale across categories; NNI candidates around an edge
+    share the four subtree CLVs so scales cancel and the three
+    pairings compare by exact conditional likelihood with the central
+    branch re-optimized (golden section over log t) per pairing.
+    Sweeps are verified against the recomputed total likelihood and
+    reverted when batched stale-CLV updates regress it.
     """
     K = aln.alphabet.K
     t = _Tree.parse(newick)
@@ -375,8 +380,40 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 8,
     pat, w = np.unique(aln.codes.T, axis=0, return_counts=True)
     P = pat.shape[0]
     w = w.astype(np.float64)
-    E_MIN = float(np.exp(-K / (K - 1) * 10.0))    # t <= 10
-    E_MAX = 1.0 - 1e-9                            # t >= ~0
+    cnt = np.bincount(aln.codes[aln.codes < K].ravel(),
+                      minlength=K).astype(np.float64) + 1.0
+    pi = cnt / cnt.sum()
+    T_MIN, T_MAX = 1e-6, 10.0
+    S_MIN, S_MAX = np.log(T_MIN), np.log(T_MAX)
+
+    def gamma_rates(alpha, C=4):
+        if not np.isfinite(alpha):
+            return np.ones(1)
+        from scipy.stats import gamma as _gamma
+        qs = (np.arange(C) + 0.5) / C
+        r = _gamma.ppf(qs, alpha, scale=1.0 / alpha)
+        return np.maximum(r / r.mean(), 1e-6)
+
+    # model state (rebuilt by set_model)
+    mdl = {}
+
+    def set_model(kappa, alpha):
+        S = np.ones((K, K))
+        if K == 4 and kappa is not None:
+            S[0, 2] = S[2, 0] = kappa      # A<->G (canonical "ACGT")
+            S[1, 3] = S[3, 1] = kappa      # C<->T
+        Q = S * pi[None, :]
+        np.fill_diagonal(Q, 0.0)
+        np.fill_diagonal(Q, -Q.sum(1))
+        Q /= -(pi * np.diag(Q)).sum()      # 1 expected subst / unit t
+        d = np.sqrt(pi)
+        B = Q * d[:, None] / d[None, :]
+        lam, U = np.linalg.eigh(0.5 * (B + B.T))
+        mdl["lam"] = lam
+        mdl["A"] = U / d[:, None]          # P(t) = A e^{lam t} Ainv
+        mdl["Ainv"] = U.T * d[None, :]
+        mdl["rates"] = gamma_rates(alpha)
+        mdl["C"] = len(mdl["rates"])
 
     def make_leaf(i):
         row = pat[:, name_to_row[t.name[i]]]
@@ -384,30 +421,31 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 8,
         ok = row < K
         m[ok] = 0.0
         m[ok, row[ok]] = 1.0
-        return m
+        return np.broadcast_to(m, (mdl["C"], P, K))
 
-    def e_of(blen):
-        b = min(max(float(blen), 1e-8), 10.0)
-        return float(np.exp(-K / (K - 1) * b))
+    def pv(clv, blen):
+        b = min(max(float(blen), T_MIN), T_MAX)
+        scale = np.exp(np.outer(mdl["rates"], mdl["lam"]) * b)
+        y = clv @ mdl["Ainv"].T
+        y = y * scale[:, None, :]
+        return np.maximum(y @ mdl["A"].T, 0.0)
 
-    def t_of(e):
-        return -(K - 1) / K * float(np.log(min(max(e, E_MIN), E_MAX)))
+    def opt_t(coeff, t0):
+        """maximize f(t) = w . log(mean_c sum_m coeff[c,:,m] e^{lam_m
+        r_c t}) by golden section over log t; keep t0 unless strictly
+        better (flat objectives drift to a bracket end)."""
+        lam, rates = mdl["lam"], mdl["rates"]
 
-    def pv(clv, e):
-        return e * clv + (1.0 - e) / K * clv.sum(-1, keepdims=True)
-
-    def opt_e(a, bk, e0):
-        """maximize f(e) = w . log(e*a + (1-e)*bk); golden section."""
-        lo, hi = E_MIN, E_MAX
-
-        def f(e):
-            return float(w @ np.log(np.maximum(e * a + (1 - e) * bk,
-                                               1e-300)))
+        def f(s):
+            e = np.exp(np.outer(rates, lam) * np.exp(s))
+            v = np.einsum("cpm,cm->p", coeff, e) / mdl["C"]
+            return float(w @ np.log(np.maximum(v, 1e-300)))
+        lo, hi = S_MIN, S_MAX
         gr = 0.6180339887498949
         c = hi - gr * (hi - lo)
         d_ = lo + gr * (hi - lo)
         fc, fd = f(c), f(d_)
-        for _ in range(28):
+        for _ in range(24):
             if fc >= fd:
                 hi, d_, fd = d_, c, fc
                 c = hi - gr * (hi - lo)
@@ -416,12 +454,18 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 8,
                 lo, c, fc = c, d_, fd
                 d_ = lo + gr * (hi - lo)
                 fd = f(d_)
-        e = 0.5 * (lo + hi)
-        fe = f(e)
-        f0 = f(e0)
-        # strict improvement only: on a flat objective the bracket
-        # drifts toward an arbitrary end -- keep the current length
-        return (e, fe) if fe > f0 + 1e-9 else (e0, f0)
+        s = 0.5 * (lo + hi)
+        fs = f(s)
+        s0 = np.log(min(max(float(t0), T_MIN), T_MAX))
+        f0 = f(s0)
+        return (np.exp(s), fs) if fs > f0 + 1e-9 else (float(t0), f0)
+
+    def edge_coeff(x, y):
+        """coefficients for the edge likelihood between CLVs x
+        (gets the pi prior) and y: f(t) = sum_m u_m v_m e^{lam r t}"""
+        u = (pi * x) @ mdl["A"]
+        v = y @ mdl["Ainv"].T
+        return u * v
 
     def orders():
         seen = []
@@ -432,9 +476,10 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 8,
             stack.extend(t.children[x])
         return seen                                # pre-order
 
-    def passes():
+    def passes(need_down=True):
         pre = orders()
-        up = np.empty((n_nodes, P, K))
+        C = mdl["C"]
+        up = np.empty((n_nodes, C, P, K))
         slog = np.zeros((n_nodes, P))
         for x in pre[::-1]:
             if not t.children[x]:
@@ -444,13 +489,15 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 8,
             acc = None
             sl = np.zeros(P)
             for c in t.children[x]:
-                pc = pv(up[c], e_of(t.blen[c]))
+                pc = pv(up[c], t.blen[c])
                 acc = pc if acc is None else acc * pc
                 sl += slog[c]
-            m = np.maximum(acc.max(-1), 1e-300)
-            up[x] = acc / m[:, None]
+            m = np.maximum(acc.max((0, 2)), 1e-300)
+            up[x] = acc / m[None, :, None]
             slog[x] = sl + np.log(m)
-        down = np.ones((n_nodes, P, K))
+        if not need_down:
+            return up, slog, None, None
+        down = np.ones((n_nodes, C, P, K))
         dlog = np.zeros((n_nodes, P))
         for x in pre:
             p = t.parent[x]
@@ -459,22 +506,26 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 8,
             acc = None
             sl = np.zeros(P)
             if t.parent[p] >= 0:
-                acc = pv(down[p], e_of(t.blen[p]))
+                acc = pv(down[p], t.blen[p])
                 sl += dlog[p]
             for sib in t.children[p]:
                 if sib == x:
                     continue
-                ps = pv(up[sib], e_of(t.blen[sib]))
+                ps = pv(up[sib], t.blen[sib])
                 acc = ps if acc is None else acc * ps
                 sl += slog[sib]
-            m = np.maximum(acc.max(-1), 1e-300)
-            down[x] = acc / m[:, None]
+            m = np.maximum(acc.max((0, 2)), 1e-300)
+            down[x] = acc / m[None, :, None]
             dlog[x] = sl + np.log(m)
         return up, slog, down, dlog
 
     def total_loglik(up, slog):
-        like = up[root].sum(-1) / K
+        like = (pi * up[root]).sum(-1).mean(0)
         return float(w @ (np.log(np.maximum(like, 1e-300)) + slog[root]))
+
+    def current_ll():
+        up, slog, _, _ = passes(need_down=False)
+        return total_loglik(up, slog)
 
     def save_state():
         return ([list(c) for c in t.children], list(t.parent),
@@ -492,10 +543,8 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 8,
         for x in orders():
             if t.parent[x] < 0:
                 continue
-            a = (up[x] * down[x]).sum(-1)
-            bk = up[x].sum(-1) * down[x].sum(-1) / K
-            e, _ = opt_e(a, bk, e_of(t.blen[x]))
-            t.blen[x] = t_of(e)
+            co = edge_coeff(up[x], down[x])
+            t.blen[x], _ = opt_t(co, t.blen[x])
 
     def nni_pass(max_swaps):
         up, slog, down, dlog = passes()
@@ -507,44 +556,41 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 8,
                 continue
             if v in dirty or u in dirty:
                 continue
-            A, B = t.children[v]
+            A_, B_ = t.children[v]
             sibs = [c for c in t.children[u] if c != v]
             if not sibs:
                 continue
-            C = sibs[0]
+            C_ = sibs[0]
             acc = None
             if t.parent[u] >= 0:
-                acc = pv(down[u], e_of(t.blen[u]))
+                acc = pv(down[u], t.blen[u])
             for c in t.children[u]:
-                if c in (v, C):
+                if c in (v, C_):
                     continue
-                pc = pv(up[c], e_of(t.blen[c]))
+                pc = pv(up[c], t.blen[c])
                 acc = pc if acc is None else acc * pc
             if acc is None:
                 continue
-            UA = pv(up[A], e_of(t.blen[A]))
-            UB = pv(up[B], e_of(t.blen[B]))
-            UC = pv(up[C], e_of(t.blen[C]))
+            UA = pv(up[A_], t.blen[A_])
+            UB = pv(up[B_], t.blen[B_])
+            UC = pv(up[C_], t.blen[C_])
             UR = acc
-            e0 = e_of(t.blen[v])
             res = []
             for x_, y_ in ((UA * UB, UC * UR), (UA * UC, UB * UR),
                            (UB * UC, UA * UR)):
-                a = (x_ * y_).sum(-1)
-                bk = x_.sum(-1) * y_.sum(-1) / K
-                res.append(opt_e(a, bk, e0))
+                res.append(opt_t(edge_coeff(x_, y_), t.blen[v]))
             cur, alt_a = res[0], res[1]
             best = max(res, key=lambda r: r[1])
             if best[1] <= cur[1] + 1e-4:
                 continue
-            swap_child = B if best is alt_a else A
+            swap_child = B_ if best is alt_a else A_
             t.children[v].remove(swap_child)
-            t.children[u].remove(C)
-            t.children[v].append(C)
+            t.children[u].remove(C_)
+            t.children[v].append(C_)
             t.children[u].append(swap_child)
-            t.parent[C] = v
+            t.parent[C_] = v
             t.parent[swap_child] = u
-            t.blen[v] = t_of(best[0])
+            t.blen[v] = best[0]
             swaps += 1
             if swaps >= max_swaps:
                 break
@@ -556,14 +602,163 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 8,
             dirty.update(t.children[v])
         return swaps
 
-    def current_ll():
-        up, slog, _, _ = passes()
-        return total_loglik(up, slog)
+    def detach_leaf(x):
+        """Prune leaf x; its parent p is parked (parent=-2, no
+        children) for regrafting.  Returns restore info, or None when
+        x hangs off the root or a polytomy."""
+        p = t.parent[x]
+        if p < 0 or t.parent[p] < 0 or len(t.children[p]) != 2:
+            return None
+        g = t.parent[p]
+        ch = t.children[p]
+        s = ch[0] if ch[1] == x else ch[1]
+        info = (x, p, g, s, t.blen[s], t.blen[p], list(t.children[g]))
+        t.children[g][t.children[g].index(p)] = s
+        t.parent[s] = g
+        t.blen[s] = t.blen[s] + t.blen[p]
+        t.children[p] = []
+        t.parent[p] = -2
+        return info
+
+    def undo_detach(info):
+        x, p, g, s, bs, bp, gch = info
+        t.children[g] = list(gch)
+        t.parent[p] = g
+        t.children[p] = [s, x]
+        t.parent[s] = p
+        t.parent[x] = p
+        t.blen[s] = bs
+        t.blen[p] = bp
+
+    def regraft(x, p, c):
+        """Reinsert parked node p (carrying leaf x) into edge above c."""
+        g2 = t.parent[c]
+        t.children[g2][t.children[g2].index(c)] = p
+        t.parent[p] = g2
+        t.children[p] = [c, x]
+        t.parent[c] = p
+        t.parent[x] = p
+        half = max(t.blen[c] * 0.5, T_MIN)
+        t.blen[p] = half
+        t.blen[c] = half
+
+    def spr_pass(ll_now, max_moves=6):
+        """Single-leaf SPR: prune-and-regraft for leaves that NNI
+        cannot walk out of a wrong clade (each NNI step through the
+        intervening edges is individually non-improving, so pure NNI
+        stalls; FastTree escapes the same way).  Candidates are the
+        longest terminal branches -- a misplaced leaf gets stretched.
+        Each candidate is pruned exactly, every edge of the pruned
+        tree is scored by the exact three-way joint at the insertion
+        point (per-edge scale logs included so scores compare across
+        edges), and the winning regraft is kept only if the exact
+        recomputed total likelihood improves."""
+        leaves = [i for i in range(n_nodes)
+                  if not t.children[i] and t.name[i] is not None
+                  and t.parent[i] >= 0]
+        leaves.sort(key=lambda i: -t.blen[i])
+        cand = leaves[:min(25, max(4, len(leaves) // 10))]
+        moves = 0
+        for x in cand:
+            if moves >= max_moves:
+                break
+            info = detach_leaf(x)
+            if info is None:
+                continue
+            up, slog, down, dlog = passes()
+            X = pv(np.array(make_leaf(x)), t.blen[x])
+            best_c, best_val, stay_val = None, -np.inf, -np.inf
+            for c in orders():
+                if t.parent[c] < 0:
+                    continue
+                half = max(t.blen[c] * 0.5, T_MIN)
+                inside = pv(up[c], half) * X
+                like = (pi * inside * pv(down[c], half)).sum(-1).mean(0)
+                val = float(w @ (np.log(np.maximum(like, 1e-300))
+                                 + slog[c] + dlog[c]))
+                if c == info[3]:
+                    stay_val = val
+                if val > best_val:
+                    best_val, best_c = val, c
+            if best_c is None or best_c == info[3] \
+                    or best_val <= stay_val + 1e-2:
+                undo_detach(info)
+                continue
+            regraft(x, info[1], best_c)
+            ll_new = current_ll()
+            if ll_new > ll_now + 1e-6:
+                ll_now = ll_new
+                moves += 1
+                if log:
+                    log("ml spr: regrafted %s (logL %.2f)"
+                        % (t.name[x], ll_now))
+            else:
+                detach_leaf(x)
+                undo_detach(info)
+        return moves, ll_now
+
+    # model selection: kappa x alpha grid, then golden refinement of
+    # each parameter (in log space); repeated mid-refinement because
+    # the optimal rates shift as the topology and lengths improve
+    state = {"kappa": 4.0 if K == 4 else None, "alpha": 1.0}
+
+    def tune_model():
+        if K == 4:
+            grid = [(ka, al) for ka in (1.0, 2.0, 4.0, 8.0)
+                    for al in (0.25, 0.5, 1.0, np.inf)]
+        else:
+            grid = [(None, al) for al in (0.25, 0.5, 1.0, np.inf)]
+        best = None
+        for ka, al in grid:
+            set_model(ka, al)
+            ll = current_ll()
+            if best is None or ll > best[0]:
+                best = (ll, ka, al)
+        ll_b, ka, al = best
+
+        def golden(setter, lo, hi, x0, f0):
+            gr = 0.6180339887498949
+            c = hi - gr * (hi - lo)
+            d_ = lo + gr * (hi - lo)
+
+            def f(x):
+                setter(x)
+                return current_ll()
+            fc, fd = f(c), f(d_)
+            for _ in range(6):
+                if fc >= fd:
+                    hi, d_, fd = d_, c, fc
+                    c = hi - gr * (hi - lo)
+                    fc = f(c)
+                else:
+                    lo, c, fc = c, d_, fd
+                    d_ = lo + gr * (hi - lo)
+                    fd = f(d_)
+            x = 0.5 * (lo + hi)
+            fx = f(x)
+            return (x, fx) if fx > f0 else (x0, f0)
+
+        if np.isfinite(al):
+            al, ll_b = golden(lambda a: set_model(ka, np.exp(a)),
+                              np.log(0.05), np.log(8.0),
+                              np.log(al), ll_b)
+            al = float(np.exp(al))
+        if ka is not None:
+            ka, ll_b = golden(lambda k: set_model(np.exp(k), al),
+                              np.log(0.5), np.log(32.0),
+                              np.log(ka), ll_b)
+            ka = float(np.exp(ka))
+        state["kappa"], state["alpha"] = ka, al
+        set_model(ka, al)
+        if log:
+            log("ml model: kappa=%s alpha=%s logL %.2f" % (ka, al, ll_b))
+        return ll_b
+
+    ll_cur = tune_model()
 
     # monotone outer loop: every phase is verified against the exact
     # recomputed likelihood and reverted if it regressed (Jacobi branch
     # updates and batched stale-CLV swaps are only locally optimal)
-    ll_cur = current_ll()
     for sweep in range(max_sweeps):
         st = save_state()
         bl_pass()
@@ -591,12 +786,20 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 8,
                         swaps = 1
                     else:
                         restore_state(st)
+        if not progressed:
+            # NNI converged; try escaping with single-leaf SPR
+            moves, ll_spr = spr_pass(ll_cur)
+            if moves:
+                ll_cur = ll_spr
+                progressed = True
         if log:
             log("ml sweep %d: logL %.2f, %d swaps%s"
                 % (sweep, ll_cur, swaps if progressed else 0,
                    "" if progressed or not swaps else " (reverted)"))
         if not progressed:
             break
+        if sweep == 3:
+            ll_cur = max(ll_cur, tune_model())
     if log:
         log("ml refinement: final logL %.2f" % ll_cur)
     return t.newick()
