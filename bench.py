@@ -64,7 +64,29 @@ def main():
     sys.path.insert(0, HERE)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.join(HERE, ".jax_cache"))
+    # device health probe in a subprocess: a dead remote-TPU tunnel
+    # reports devices but fails at remote_compile, which would kill the
+    # bench before it prints its JSON line. Fall back to CPU instead.
+    import subprocess
+    probe_ok = False
+    if not os.environ.get("WITCH_TPU_PLATFORM"):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, numpy\n"
+                 "x = jax.numpy.zeros(8) + 1\n"
+                 "assert float(numpy.asarray(x).sum()) == 8.0\n"],
+                capture_output=True, text=True, timeout=180)
+            probe_ok = r.returncode == 0
+        except Exception:
+            probe_ok = False
     import jax
+    if os.environ.get("WITCH_TPU_PLATFORM"):
+        jax.config.update("jax_platforms",
+                          os.environ["WITCH_TPU_PLATFORM"])
+    elif not probe_ok:
+        jax.config.update("jax_platforms", "cpu")
+        log("accelerator probe failed; benching on CPU fallback")
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(HERE, ".jax_cache"))
@@ -121,17 +143,24 @@ def main():
             _ = float(np.asarray(run()))
         dt = (time.time() - t0) / reps
     else:
+        # CPU fallback: time a query subset once and extrapolate (the
+        # XLA scan path is ~100x slower than the TPU kernel; a full
+        # 3-rep grid would take ~40 min and the throughput is linear
+        # in queries)
         from witch_tpu.hmm.forward import score_bank
+        nq = min(Q, 96)
+        sub_c, sub_l = codes[:nq], lens[:nq]
         for b in banks:
-            _ = score_bank(b, codes, lens, backend="xla")
-        log("warm; timing")
+            _ = score_bank(b, sub_c, sub_l, backend="xla")
+        log("warm; timing %d-query subset" % nq)
         t0 = time.time()
         padded_cells = 0
         Lmax = codes.shape[1]
         for b in banks:
-            _ = score_bank(b, codes, lens, backend="xla")
-            padded_cells += Q * Lmax * b.H * (b.M_max + 1)
-        dt = time.time() - t0
+            _ = score_bank(b, sub_c, sub_l, backend="xla")
+            padded_cells += nq * Lmax * b.H * (b.M_max + 1)
+        dt = (time.time() - t0) * (Q / nq)
+        padded_cells = int(padded_cells * (Q / nq))
 
     pairs_per_s = total_pairs / dt
     baseline_pairs_per_s = 70500 / (236.2 / 4)

@@ -16,6 +16,31 @@ def witch_runner(argv=None):
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
+    else:
+        # Device health probe: a remote-TPU tunnel can die mid-session
+        # (observed: "remote_compile: Connection refused" after the
+        # relay dropped), which would otherwise kill the run at the
+        # first compile. Probe in a subprocess so a broken backend
+        # never contaminates this process, and fall back to CPU.
+        import subprocess
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, numpy\n"
+                 "d = jax.devices()\n"
+                 "x = jax.numpy.zeros(8) + 1\n"
+                 "assert float(numpy.asarray(x).sum()) == 8.0\n"
+                 "print(d[0].platform)"],
+                capture_output=True, text=True, timeout=120)
+            ok = r.returncode == 0
+        except Exception:
+            ok = False
+        if not ok:
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            sys.stderr.write(
+                "WARNING: accelerator probe failed; falling back to "
+                "CPU (set WITCH_TPU_PLATFORM to override)\n")
     try:
         import jax
         jax.config.update(

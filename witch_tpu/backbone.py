@@ -383,5 +383,5 @@ class BackboneJob:
         aln.write(bb_path)
         write_fasta(queries, q_path)
         from .tree_estimate import estimate_tree
-        estimate_tree(aln, tree_path)
+        estimate_tree(aln, tree_path, ml=True, log=self.log)
         return bb_path, q_path, tree_path

@@ -420,13 +420,14 @@ def main_alignment_process(args=None):
         if not (Configs.backbone_tree_path and
                 os.path.exists(Configs.backbone_tree_path)):
             # scenario C: estimate the backbone tree (reference runs
-            # FastTree2 here; we use device distances + NJ)
+            # FastTree2 here; we use device distances + NJ + Fitch NNI
+            # + HKY+Gamma ML refinement with leaf-SPR)
             from .tree_estimate import estimate_tree
             tree_dir = os.path.join(Configs.outdir, "tree_decomp")
             os.makedirs(tree_dir, exist_ok=True)
             tree_path = os.path.join(tree_dir, "backbone.est.tre")
             s2 = time.time()
-            estimate_tree(backbone, tree_path)
+            estimate_tree(backbone, tree_path, ml=True, log=Configs.log)
             Configs.runtime("Time to estimate backbone tree (s): %f"
                             % (time.time() - s2))
             Configs.log("Estimated backbone tree (NJ): %s" % tree_path)
