@@ -132,28 +132,44 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
             Configs.log("Scoring on %d-device data mesh"
                         % int(mesh.shape["data"]))
 
+    # Without a TPU the XLA-scan pre-scorer is the slowest stage
+    # (~700 s for the example grid vs ~150 s for the native engine's
+    # f64 Forward, which the gate stage needs anyway) — so on CPU the
+    # native engine evaluates the full grid and the device pre-score
+    # pass is skipped entirely.
+    native_prescore = False
+    if have_native and not os.environ.get("WITCH_TPU_DEVICE_PRESCORE"):
+        try:
+            import jax
+            native_prescore = jax.default_backend() != "tpu"
+        except Exception:
+            native_prescore = True
     H = len(indices)
     pre = np.zeros((Q, H), np.float64)
     tau = np.zeros(H, np.float64)
-    for b in banks:
-        t0 = time.time()
-        bits = score_bank(b, codes, lens, q_chunk=q_chunk, mesh=mesh)
-        t1 = time.time()
-        sim = None
-        if cal_codes is not None:
-            sim = score_bank(b, cal_codes, cal_lens, q_chunk=q_chunk,
-                             mesh=mesh)
-        t2 = time.time()
-        for j, idx in enumerate(b.hmm_indices):
-            col = col_of[int(idx)]
-            pre[:, col] = bits[:, j]
-            if sim is not None:
-                lam = forward_lambda(ens.cores[int(idx)])
-                tau[col] = tau_from_scores(sim[:, j], lam)
-        Configs.runtime(
-            "  scoring: bank Mp=%d H=%d queries %.2fs cal %.2fs "
-            "tau-fit %.2fs" % (b.em_odds.shape[1], len(b.hmm_indices),
-                               t1 - t0, t2 - t1, time.time() - t2))
+    if native_prescore:
+        Configs.runtime("  scoring: non-TPU backend; full grid via the "
+                        "native engine (device pre-score skipped)")
+    else:
+        for b in banks:
+            t0 = time.time()
+            bits = score_bank(b, codes, lens, q_chunk=q_chunk, mesh=mesh)
+            t1 = time.time()
+            sim = None
+            if cal_codes is not None:
+                sim = score_bank(b, cal_codes, cal_lens, q_chunk=q_chunk,
+                                 mesh=mesh)
+            t2 = time.time()
+            for j, idx in enumerate(b.hmm_indices):
+                col = col_of[int(idx)]
+                pre[:, col] = bits[:, j]
+                if sim is not None:
+                    lam = forward_lambda(ens.cores[int(idx)])
+                    tau[col] = tau_from_scores(sim[:, j], lam)
+            Configs.runtime(
+                "  scoring: bank Mp=%d H=%d queries %.2fs cal %.2fs "
+                "tau-fit %.2fs" % (b.em_odds.shape[1], len(b.hmm_indices),
+                                   t1 - t0, t2 - t1, time.time() - t2))
     # Exact null2 bias + reporting gate via the native domaindef engine.
     #
     # hmmsearch only prints a target when domain definition yields >= 1
@@ -189,10 +205,13 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         # evaluation; junk-heavy queries evaluate the full TOPT so that
         # promoted replacements also get exact scores.
         by_j: Dict[int, List[int]] = {}
-        if getattr(Configs, "full_search_results", False):
+        if getattr(Configs, "full_search_results", False) \
+                or native_prescore:
             # --full-search-results: evaluate the complete grid so the
             # persisted hmmsearch.results.* files match what the
-            # reference's hmmsearch runs would contain
+            # reference's hmmsearch runs would contain. The CPU
+            # native-prescore path also evaluates everything (there is
+            # no cheap ranker to pre-select candidates with).
             for j in range(H):
                 by_j[j] = list(range(Q))
         else:
@@ -234,6 +253,8 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                     # f32 error can flip the rounding
                     Lq = len(qcodes[q])
                     null1 = null1_score(Lq)
+                    if native_prescore:
+                        pre[q, j] = (fwdn[t] - null1) / np.log(2.0)
                     seq = (fwdn[t] - null1 - sbias[t]) / np.log(2.0)
                     if ld[t] > 0:
                         # p7_pipeline.c "reconstruction score"
