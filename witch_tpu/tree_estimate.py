@@ -350,7 +350,7 @@ def nni_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 30,
 
 
 def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 16,
-              log=None) -> str:
+              tune: bool = True, log=None) -> str:
     """Maximum-likelihood NNI refinement under HKY+Gamma(4).
 
     Approximates what the reference gets from FastTree2's ML stage
@@ -715,6 +715,13 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 16,
             if best is None or ll > best[0]:
                 best = (ll, ka, al)
         ll_b, ka, al = best
+        if not tune:
+            state["kappa"], state["alpha"] = ka, al
+            set_model(ka, al)
+            if log:
+                log("ml model: kappa=%s alpha=%s logL %.2f (grid)"
+                    % (ka, al, ll_b))
+            return ll_b
 
         def golden(setter, lo, hi, x0, f0):
             gr = 0.6180339887498949
@@ -798,7 +805,7 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 16,
                    "" if progressed or not swaps else " (reverted)"))
         if not progressed:
             break
-        if sweep == 3:
+        if sweep == 3 and tune:
             ll_cur = max(ll_cur, tune_model())
     if log:
         log("ml refinement: final logL %.2f" % ll_cur)
@@ -817,7 +824,11 @@ def estimate_tree(aln: PackedAlignment, out_path: Optional[str] = None,
                 log("nni refinement skipped (%s)" % e)
     if ml:
         try:
-            nwk = ml_refine(nwk, aln, log=log)
+            # measured config (docs/CALIBRATION.md): grid-selected
+            # model + 8 sweeps scores best on the e2e oracle-rows
+            # proxy; continuous kappa/alpha tuning raises logL but
+            # walks away from FastTree-like optima (710 vs 671/1000)
+            nwk = ml_refine(nwk, aln, max_sweeps=8, tune=False, log=log)
         except Exception as e:
             if log:
                 log("ml refinement skipped (%s)" % e)
