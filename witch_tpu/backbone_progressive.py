@@ -1,0 +1,279 @@
+"""Progressive profile-profile backbone alignment (scenario A/B).
+
+Replaces the reference's vendored-MAGUS backbone aligner
+(witch_msa/gcmm/backbone.py:200-221 invoking
+witch_msa/tools/magus/align/merge/*) with the classic progressive-MSA
+architecture (MUSCLE/MAFFT shape), built for this codebase's array
+conventions:
+
+  1. k-mer cosine distances between sequences (host numpy);
+  2. a UPGMA guide tree over those distances;
+  3. profile-profile alignment at every internal node: full-width column
+     frequency profiles, expected-substitution-score column pairs,
+     affine gaps with occupancy-scaled penalties (native pp_affine DP);
+  4. optional polish iterations via the profile-HMM realigner
+     (backbone.refine_from_seed).
+
+The key structural property vs the earlier "match-columns-only" merge:
+EVERY column participates in the DP, so co-alignable low-occupancy
+columns pair up instead of each becoming a private output column —
+merged width stays O(alignment width), not O(sum of private inserts).
+
+Width after each merge is len(path) <= WA + WB and in practice
+~max(WA, WB) + indel columns, so the root width is comparable to a
+standard MSA of the input (the reference example: 500 seqs -> 2574
+cols via MAGUS; this aligner lands in the same regime).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .core.alignment import PackedAlignment
+from .core.alphabet import ALPHABETS, Alphabet
+
+
+def upgma_merges(D: np.ndarray) -> List[Tuple[int, int]]:
+    """UPGMA join order for a condensed-free [n, n] distance matrix.
+
+    Returns n-1 (node_a, node_b) pairs; leaves are 0..n-1, the i-th
+    merge creates node n+i. Average-linkage update, deterministic
+    first-minimum tie-breaking.
+    """
+    n = D.shape[0]
+    if n == 1:
+        return []
+    W = D.astype(np.float64).copy()
+    np.fill_diagonal(W, np.inf)
+    ids = np.arange(n)
+    sizes = np.ones(n)
+    merges = []
+    m = n
+    nxt = n
+    for _ in range(n - 1):
+        k = int(np.argmin(W[:m, :m]))
+        i, j = divmod(k, m)
+        if i > j:
+            i, j = j, i
+        merges.append((int(ids[i]), int(ids[j])))
+        si, sj = sizes[i], sizes[j]
+        newrow = (si * W[i, :m] + sj * W[j, :m]) / (si + sj)
+        W[i, :m] = newrow
+        W[:m, i] = newrow
+        W[i, i] = np.inf
+        ids[i] = nxt
+        sizes[i] = si + sj
+        nxt += 1
+        # swap the last active slot into j
+        last = m - 1
+        if j != last:
+            W[j, :m] = W[last, :m]
+            W[:m, j] = W[:m, last]
+            W[j, j] = np.inf
+            ids[j] = ids[last]
+            sizes[j] = sizes[last]
+        m -= 1
+    return merges
+
+
+def substitution_matrix(molecule: str, match: float = 5.0,
+                        mismatch: float = -4.0) -> np.ndarray:
+    """[K, K] column-pair substitution scores.
+
+    Nucleic: match/mismatch constants (megablast-like ratio by default).
+    Amino: log2-odds of the joint emission under the repo's Dirichlet
+    mixture prior vs independent background draws — a principled
+    substitute for an external matrix, derived from data this codebase
+    already carries for hmmbuild parity.
+    """
+    if molecule in ("dna", "rna"):
+        K = 4
+        S = np.full((K, K), mismatch, np.float64)
+        np.fill_diagonal(S, match)
+        return S
+    from .hmm.priors import get_background, get_emission_prior
+    prior = get_emission_prior(molecule)
+    bg = get_background(molecule)
+    alphas = np.asarray(prior.alphas, np.float64)      # [k, K]
+    weights = np.asarray(prior.weights, np.float64)    # [k]
+    weights = weights / weights.sum()
+    A0 = alphas.sum(axis=1)                            # [k]
+    # E_k[p_a p_b] for Dirichlet(alpha_k)
+    joint = np.zeros((alphas.shape[1], alphas.shape[1]))
+    for k in range(len(weights)):
+        a = alphas[k]
+        jk = np.outer(a, a) + np.diag(a)
+        joint += weights[k] * jk / (A0[k] * (A0[k] + 1.0))
+    S = np.log2(joint / np.outer(bg, bg))
+    # scale so the average diagonal sits near the nucleic match score
+    S *= match / max(np.mean(np.diag(S)), 1e-9)
+    return S
+
+
+def _column_profile(codes: np.ndarray, alphabet: Alphabet
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """(freq [W, K] residue distribution, occ [W] non-gap fraction)."""
+    expand = alphabet.expansion_matrix()               # [codes, K]
+    Wd = codes.shape[1]
+    counts = np.zeros((Wd, alphabet.K), np.float64)
+    for c in range(expand.shape[0]):
+        if not expand[c].any():
+            continue
+        nc = (codes == c).sum(axis=0).astype(np.float64)
+        if nc.any():
+            counts += nc[:, None] * expand[c][None, :]
+    tot = counts.sum(axis=1)
+    occ = tot / max(codes.shape[0], 1)
+    freq = counts / np.maximum(tot, 1e-9)[:, None]
+    return freq, occ
+
+
+def _pp_align_ops(codesA: np.ndarray, codesB: np.ndarray,
+                  alphabet: Alphabet, SUB: np.ndarray,
+                  gap_open: float, gap_extend: float) -> np.ndarray:
+    fA, occA = _column_profile(codesA, alphabet)
+    fB, occB = _column_profile(codesB, alphabet)
+    # fold occupancy into the frequency vectors: one [WA,K]@[K,K] and one
+    # [WA,K]@[K,WB] BLAS call, no [WA,WB] elementwise outer product
+    S = ((fA * occA[:, None]) @ SUB) @ (fB * occB[:, None]).T
+    S = np.ascontiguousarray(S, np.float64)
+    gA = np.ascontiguousarray(gap_open * occA, np.float64)
+    eA = np.ascontiguousarray(gap_extend * occA, np.float64)
+    gB = np.ascontiguousarray(gap_open * occB, np.float64)
+    eB = np.ascontiguousarray(gap_extend * occB, np.float64)
+    try:
+        from .native import _oa
+        return np.asarray(_oa.pp_affine(S, gA, eA, gB, eB), np.int8)
+    except ImportError:
+        return _pp_affine_numpy(S, gA, eA, gB, eB)
+
+
+def _pp_affine_numpy(S, gA, eA, gB, eB):
+    """Row-sweep numpy fallback of native pp_affine (same semantics)."""
+    MA, MB = S.shape
+    NEG = -np.inf
+    Mp = np.full(MB + 1, NEG)
+    Xp = np.full(MB + 1, NEG)
+    Yp = np.full(MB + 1, NEG)
+    Mp[0] = 0.0
+    Yp[1:] = np.cumsum(eB)
+    ptr = np.zeros((MA + 1, MB + 1), np.uint8)
+    ptr[0, 1:] = 2 << 4
+    for i in range(1, MA + 1):
+        Mc = np.full(MB + 1, NEG)
+        Xc = np.full(MB + 1, NEG)
+        Yc = np.full(MB + 1, NEG)
+        Xc[0] = (eA[0] if i == 1 else Xp[0] + eA[i - 1])
+        pr = ptr[i]
+        pr[0] = 1 << 2
+        ga, ea = gA[i - 1], eA[i - 1]
+        # M and X rows vectorize; Y needs the left-to-right scan
+        stackM = np.stack([Mp[:-1], Xp[:-1], Yp[:-1]])
+        pm = np.argmax(stackM, axis=0)
+        Mc[1:] = stackM[pm, np.arange(MB)] + S[i - 1]
+        gox = np.full(MB, ga)
+        gox[-1] = ea
+        stackX = np.stack([Mp[1:] + gox, Xp[1:] + ea, Yp[1:] + gox])
+        px = np.argmax(stackX, axis=0)
+        Xc[1:] = stackX[px, np.arange(MB)]
+        py = np.zeros(MB, np.uint8)
+        for j in range(1, MB + 1):
+            gb, eb = gB[j - 1], eB[j - 1]
+            goy = eb if i == MA else gb
+            cands = (Mc[j - 1] + goy, Xc[j - 1] + goy, Yc[j - 1] + eb)
+            p = int(np.argmax(cands))
+            Yc[j] = cands[p]
+            py[j - 1] = p
+        pr[1:] = pm | (px << 2) | (py << 4)
+        Mp, Xp, Yp = Mc, Xc, Yc
+    st = int(np.argmax([Mp[MB], Xp[MB], Yp[MB]]))
+    ops = []
+    i, j = MA, MB
+    while i > 0 or j > 0:
+        p = ptr[i, j]
+        if j == 0:
+            st = 1
+        elif i == 0:
+            st = 2
+        if st == 0:
+            ops.append(0)
+            st = p & 3
+            i -= 1
+            j -= 1
+        elif st == 1:
+            ops.append(1)
+            st = (p >> 2) & 3
+            i -= 1
+        else:
+            ops.append(2)
+            st = (p >> 4) & 3
+            j -= 1
+    return np.asarray(ops[::-1], np.int8)
+
+
+def _splice(codesA: np.ndarray, codesB: np.ndarray, ops: np.ndarray,
+            gap_code: int) -> np.ndarray:
+    nA, nB = codesA.shape[0], codesB.shape[0]
+    W = len(ops)
+    out = np.full((nA + nB, W), gap_code, np.uint8)
+    out[:nA, np.flatnonzero(ops != 2)] = codesA
+    out[nA:, np.flatnonzero(ops != 1)] = codesB
+    return out
+
+
+def progressive_align(names: List[str], seqs: List[str], molecule: str,
+                      gap_open: float = -11.0, gap_extend: float = -0.8,
+                      match: float = 5.0, mismatch: float = -4.0,
+                      seed: int = 0, log=None) -> PackedAlignment:
+    """Guide-tree progressive profile alignment of the backbone set."""
+    from .backbone import _kmer_profiles
+
+    alphabet = ALPHABETS[molecule]
+    seqs = [s.upper() for s in seqs]
+    n = len(seqs)
+    codes = [alphabet.encode(s) for s in seqs]
+    if n == 1:
+        return PackedAlignment(list(names), codes[0][None, :], alphabet)
+    prof = _kmer_profiles(codes, alphabet.K)
+    D = 1.0 - prof @ prof.T
+    merges = upgma_merges(D)
+    SUB = substitution_matrix(molecule, match=match, mismatch=mismatch)
+    node_codes = {i: codes[i][None, :] for i in range(n)}
+    node_names = {i: [names[i]] for i in range(n)}
+    for t, (a, b) in enumerate(merges):
+        ca, cb = node_codes.pop(a), node_codes.pop(b)
+        if ca.shape[0] < cb.shape[0]:
+            ca, cb = cb, ca
+            a, b = b, a
+        ops = _pp_align_ops(ca, cb, alphabet, SUB, gap_open, gap_extend)
+        node_codes[n + t] = _splice(ca, cb, ops, alphabet.gap_code)
+        node_names[n + t] = node_names.pop(a) + node_names.pop(b)
+        if log and (t + 1) % 100 == 0:
+            log("progressive: %d/%d merges, width %d"
+                % (t + 1, len(merges), node_codes[n + t].shape[1]))
+    root = n + len(merges) - 1
+    aln = PackedAlignment(node_names[root], node_codes[root], alphabet)
+    aln, _ = aln.delete_all_gap_columns()
+    # restore input row order
+    order = {nm: t for t, nm in enumerate(aln.names)}
+    rows = [order[nm] for nm in names]
+    return PackedAlignment(list(names), aln.codes[rows], alphabet)
+
+
+def align_backbone_progressive(names: List[str], seqs: List[str],
+                               molecule: str, refine_iters: int = 1,
+                               use_device: bool = True, log=None,
+                               **kwargs) -> PackedAlignment:
+    """Progressive alignment + optional profile-HMM polish passes."""
+    aln = progressive_align(names, seqs, molecule, log=log, **kwargs)
+    if log:
+        log("progressive backbone: %d seqs -> %d cols"
+            % (aln.n_seqs, aln.n_cols))
+    if refine_iters > 0:
+        from .backbone import refine_from_seed
+        aln = refine_from_seed(aln, list(names), list(seqs), molecule,
+                               n_iters=refine_iters,
+                               use_device=use_device, log=log)
+    return aln

@@ -347,11 +347,140 @@ static PyObject *pp_nw(PyObject *self, PyObject *args) {
     return (PyObject *)out;
 }
 
+/* Affine-gap profile-profile global alignment with position-dependent
+ * gap costs (the progressive backbone merger, backbone_progressive.py).
+ *
+ * Inputs: S [MA, MB] float64 column-pair scores; gA/eA [MA] gap-open /
+ * gap-extend costs charged when consuming an A column against a gap in
+ * B (normally occA * open / occA * extend, both negative); gB/eB [MB]
+ * likewise for B columns. Terminal gaps are charged extend-only.
+ *
+ * 3-state max DP:
+ *   M[i,j] = S[i-1,j-1] + max(M,X,Y)[i-1,j-1]
+ *   X[i,j] = max(M[i-1,j]+gA, X[i-1,j]+eA, Y[i-1,j]+gA)   (A col, B gap)
+ *   Y[i,j] = max(M[i,j-1]+gB, X[i,j-1]+gB, Y[i,j-1]+eB)   (B col, A gap)
+ *
+ * Returns int8 ops (0 diag, 1 up/A-only, 2 left/B-only) in path order.
+ * Replaces the reference's MAGUS graph merge behaviorally
+ * (witch_msa/tools/magus/align/merge/) with a classic profile SP
+ * alignment; see backbone_progressive.py for the surrounding design.
+ */
+static PyObject *pp_affine(PyObject *self, PyObject *args) {
+    PyObject *So, *gAo, *eAo, *gBo, *eBo;
+    if (!PyArg_ParseTuple(args, "OOOOO", &So, &gAo, &eAo, &gBo, &eBo))
+        return NULL;
+    View2D S;
+    if (!get2d(So, &S)) return NULL;
+    npy_intp MA = S.rows, MB = S.cols;
+    const double *gA, *eA, *gB, *eB;
+    npy_intp n1 = 0;
+    if (!get1d(gAo, &gA, &n1)) return NULL;
+    if (n1 != MA) {
+        PyErr_SetString(PyExc_ValueError, "gA shape mismatch");
+        return NULL;
+    }
+    if (!get1d(eAo, &eA, &n1)) return NULL;
+    if (n1 != MA) {
+        PyErr_SetString(PyExc_ValueError, "eA shape mismatch");
+        return NULL;
+    }
+    if (!get1d(gBo, &gB, &n1)) return NULL;
+    if (n1 != MB) {
+        PyErr_SetString(PyExc_ValueError, "gB shape mismatch");
+        return NULL;
+    }
+    if (!get1d(eBo, &eB, &n1)) return NULL;
+    if (n1 != MB) {
+        PyErr_SetString(PyExc_ValueError, "eB shape mismatch");
+        return NULL;
+    }
+    size_t W = (size_t)MB + 1;
+    std::vector<signed char> ops;
+    Py_BEGIN_ALLOW_THREADS
+    std::vector<double> Mp(W), Xp(W), Yp(W), Mc(W), Xc(W), Yc(W);
+    /* ptr packing per cell: bits0-1 pred of M (0=M,1=X,2=Y),
+     * bits2-3 pred of X, bits4-5 pred of Y */
+    std::vector<unsigned char> ptr((size_t)(MA + 1) * W, 0);
+    Mp[0] = 0.0; Xp[0] = NEG; Yp[0] = NEG;
+    for (npy_intp j = 1; j <= MB; j++) {
+        /* terminal top row: all-A-gapped prefix of B, extend-only */
+        Mp[j] = NEG; Xp[j] = NEG;
+        Yp[j] = (j == 1 ? 0.0 : Yp[j - 1]) + eB[j - 1];
+        ptr[j] = (unsigned char)(2 << 4);
+    }
+    for (npy_intp i = 1; i <= MA; i++) {
+        Mc[0] = NEG; Yc[0] = NEG;
+        Xc[0] = (i == 1 ? 0.0 : Xp[0]) + eA[i - 1];
+        if (i == 1) Xc[0] = eA[0];
+        unsigned char *pr = ptr.data() + (size_t)i * W;
+        pr[0] = (unsigned char)(1 << 2);
+        const double *Si = S.p + (size_t)(i - 1) * MB;
+        const double ga = gA[i - 1], ea = eA[i - 1];
+        for (npy_intp j = 1; j <= MB; j++) {
+            /* M */
+            double bm = Mp[j - 1]; unsigned char pm = 0;
+            if (Xp[j - 1] > bm) { bm = Xp[j - 1]; pm = 1; }
+            if (Yp[j - 1] > bm) { bm = Yp[j - 1]; pm = 2; }
+            Mc[j] = bm + Si[j - 1];
+            /* X: consume A col i-1 against gap in B; terminal if j==MB */
+            double gox = (j == MB) ? ea : ga;
+            double bx = Mp[j] + gox; unsigned char px = 0;
+            if (Xp[j] + ea > bx) { bx = Xp[j] + ea; px = 1; }
+            if (Yp[j] + gox > bx) { bx = Yp[j] + gox; px = 2; }
+            Xc[j] = bx;
+            /* Y: consume B col j-1 against gap in A; terminal if i==MA */
+            double gb = gB[j - 1], eb = eB[j - 1];
+            double goy = (i == MA) ? eb : gb;
+            double by = Mc[j - 1] + goy; unsigned char py = 0;
+            if (Xc[j - 1] + goy > by) { by = Xc[j - 1] + goy; py = 1; }
+            if (Yc[j - 1] + eb > by) { by = Yc[j - 1] + eb; py = 2; }
+            Yc[j] = by;
+            pr[j] = (unsigned char)(pm | (px << 2) | (py << 4));
+        }
+        std::swap(Mp, Mc); std::swap(Xp, Xc); std::swap(Yp, Yc);
+    }
+    /* traceback from best end state */
+    int st = 0;
+    double best = Mp[MB];
+    if (Xp[MB] > best) { best = Xp[MB]; st = 1; }
+    if (Yp[MB] > best) { best = Yp[MB]; st = 2; }
+    ops.reserve((size_t)(MA + MB));
+    npy_intp i = MA, j = MB;
+    while (i > 0 || j > 0) {
+        unsigned char p = ptr[(size_t)i * W + j];
+        if (j == 0) st = 1;
+        else if (i == 0) st = 2;
+        if (st == 0) {
+            ops.push_back(0);
+            st = (p & 3);
+            i--; j--;
+        } else if (st == 1) {
+            ops.push_back(1);
+            st = ((p >> 2) & 3);
+            i--;
+        } else {
+            ops.push_back(2);
+            st = ((p >> 4) & 3);
+            j--;
+        }
+    }
+    Py_END_ALLOW_THREADS
+    npy_intp n = (npy_intp)ops.size();
+    PyArrayObject *out =
+        (PyArrayObject *)PyArray_SimpleNew(1, &n, NPY_INT8);
+    if (!out) return NULL;
+    signed char *op = (signed char *)PyArray_DATA(out);
+    for (npy_intp t = 0; t < n; t++) op[t] = ops[(size_t)(n - 1 - t)];
+    return (PyObject *)out;
+}
+
 static PyMethodDef methods[] = {
     {"oa_align", oa_align, METH_VARARGS,
      "Optimal-accuracy fill+traceback -> aligned columns"},
     {"pp_nw", pp_nw, METH_VARARGS,
      "Profile-profile global NW -> ops (0 diag, 1 up, 2 left)"},
+    {"pp_affine", pp_affine, METH_VARARGS,
+     "Affine profile-profile NW with per-column gap costs -> ops"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef mod = {PyModuleDef_HEAD_INIT, "_oa",
