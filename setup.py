@@ -22,6 +22,13 @@ setup(
                                 "-funroll-loops"],
         ),
         Extension(
+            "witch_tpu.native._pairhmm",
+            sources=["witch_tpu/native/pairhmm_kernel.cpp"],
+            include_dirs=[numpy.get_include()],
+            extra_compile_args=["-O3", "-std=c++17", "-march=native",
+                                "-funroll-loops"],
+        ),
+        Extension(
             "witch_tpu.native._domaindef",
             sources=["witch_tpu/native/domaindef_kernel.cpp"],
             include_dirs=[numpy.get_include()],

@@ -1,0 +1,329 @@
+/* Pair-HMM posterior kernel (host CPU production path).
+ *
+ * 3-state global pair-HMM (M / X=gap-in-B / Y=gap-in-A), forward +
+ * backward in emission-odds space with per-row rescaling, returning
+ * the match-state posterior P(a_i ~ b_j) as sparse (i, j, p) cells
+ * plus the expected-accuracy score of the posterior-optimal pairwise
+ * alignment (used for guide-tree distances).
+ *
+ * This is the numerical core of the consistency (ProbCons-style)
+ * backbone aligner in witch_tpu/backbone_consistency.py — the
+ * TPU-native replacement for the reference's vendored-MAGUS /
+ * MAFFT L-INS-i backbone path (witch_msa/gcmm/backbone.py:200-221).
+ * The same recurrence is the TPU Pallas kernel target; this C++
+ * version is the single-chip-dead / CPU fallback and the test oracle.
+ *
+ * CPython C API + numpy only.
+ */
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
+#include <numpy/arrayobject.h>
+
+#include <cmath>
+#include <cstdint>
+#include <vector>
+
+namespace {
+
+struct PairParams {
+    const double *em;   /* [C, C] match emission odds p(a,b)/(q(a)q(b)) */
+    npy_intp C;
+    double delta;       /* gap open  (M->X, M->Y) */
+    double eps;         /* gap extend (X->X, Y->Y) */
+};
+
+/* forward/backward storage: [ (LA+1) * (LB+1) ] row-major */
+static void pairhmm_posterior(const int32_t *A, npy_intp LA,
+                              const int32_t *B, npy_intp LB,
+                              const PairParams &pp,
+                              std::vector<float> &postM,
+                              double *ea_score) {
+    const double t_mm = 1.0 - 2.0 * pp.delta;
+    const double t_mg = pp.delta;        /* M -> X or Y */
+    const double t_gm = 1.0 - pp.eps;    /* X/Y -> M */
+    const double t_gg = pp.eps;
+    const size_t W = (size_t)LB + 1;
+    const size_t N = (size_t)(LA + 1) * W;
+    std::vector<double> fM(N, 0.0), fX(N, 0.0), fY(N, 0.0);
+    std::vector<double> scale((size_t)LA + 1, 1.0);
+
+    /* emission odds row pointers for A codes */
+    auto em = [&](npy_intp i, npy_intp j) -> double {
+        return pp.em[(size_t)A[i - 1] * pp.C + B[j - 1]];
+    };
+
+    /* ---- forward ---- */
+    fM[0] = 1.0;
+    /* row 0: only Y moves (consume B) */
+    for (npy_intp j = 1; j <= LB; j++) {
+        fY[j] = (j == 1 ? t_mg * fM[0] : t_gg * fY[j - 1]);
+    }
+    for (npy_intp i = 1; i <= LA; i++) {
+        double *fMi = fM.data() + (size_t)i * W;
+        double *fXi = fX.data() + (size_t)i * W;
+        double *fYi = fY.data() + (size_t)i * W;
+        const double *fMp = fM.data() + (size_t)(i - 1) * W;
+        const double *fXp = fX.data() + (size_t)(i - 1) * W;
+        const double *fYp = fY.data() + (size_t)(i - 1) * W;
+        /* j = 0: only X moves */
+        fXi[0] = (i == 1 ? t_mg * fMp[0] : t_gg * fXp[0]);
+        double rowmax = fXi[0];
+        const double *emrow = pp.em + (size_t)A[i - 1] * pp.C;
+        for (npy_intp j = 1; j <= LB; j++) {
+            const double e = emrow[B[j - 1]];
+            const double m = e * (t_mm * fMp[j - 1] + t_gm * fXp[j - 1] +
+                                  t_gm * fYp[j - 1]);
+            const double x = t_mg * fMp[j] + t_gg * fXp[j];
+            const double y = t_mg * fMi[j - 1] + t_gg * fYi[j - 1];
+            fMi[j] = m;
+            fXi[j] = x;
+            fYi[j] = y;
+            const double mx = m > x ? (m > y ? m : y) : (x > y ? x : y);
+            if (mx > rowmax) rowmax = mx;
+        }
+        if (rowmax <= 0.0) rowmax = 1.0;
+        scale[(size_t)i] = rowmax;
+        const double inv = 1.0 / rowmax;
+        for (npy_intp j = 0; j <= LB; j++) {
+            fMi[j] *= inv;
+            fXi[j] *= inv;
+            fYi[j] *= inv;
+        }
+    }
+    const double totP = fM[N - 1] + fX[N - 1] + fY[N - 1];
+
+    /* ---- backward (same scales) ---- */
+    std::vector<double> bM(N, 0.0), bX(N, 0.0), bY(N, 0.0);
+    bM[N - 1] = 1.0;
+    bX[N - 1] = 1.0;
+    bY[N - 1] = 1.0;
+    /* last row: only Y moves remain (X cannot reach Y: no X->Y) */
+    {
+        double *bMi = bM.data() + (size_t)LA * W;
+        double *bXi = bX.data() + (size_t)LA * W;
+        double *bYi = bY.data() + (size_t)LA * W;
+        for (npy_intp j = LB - 1; j >= 0; j--) {
+            bMi[j] = t_mg * bYi[j + 1];
+            bXi[j] = 0.0;
+            bYi[j] = t_gg * bYi[j + 1];
+        }
+    }
+    for (npy_intp i = LA - 1; i >= 0; i--) {
+        double *bMi = bM.data() + (size_t)i * W;
+        double *bXi = bX.data() + (size_t)i * W;
+        double *bYi = bY.data() + (size_t)i * W;
+        const double *bMn = bM.data() + (size_t)(i + 1) * W;
+        const double *bXn = bX.data() + (size_t)(i + 1) * W;
+        const double *bYn = bY.data() + (size_t)(i + 1) * W;
+        const double inv = 1.0 / scale[(size_t)i + 1];
+        const double *emrow = pp.em + (size_t)A[i] * pp.C;
+        /* j = LB: only X moves (Y cannot reach X: no Y->X) */
+        bMi[LB] = t_mg * bXn[LB] * inv;
+        bXi[LB] = t_gg * bXn[LB] * inv;
+        bYi[LB] = 0.0;
+        for (npy_intp j = LB - 1; j >= 0; j--) {
+            const double e = emrow[B[j]];
+            const double md = e * bMn[j + 1] * inv;  /* diag M arrival */
+            const double xd = bXn[j] * inv;          /* down X arrival */
+            const double yd = bYi[j + 1];            /* right Y arrival */
+            bMi[j] = t_mm * md + t_mg * xd + t_mg * yd;
+            bXi[j] = t_gm * md + t_gg * xd;
+            bYi[j] = t_gm * md + t_gg * yd;
+        }
+    }
+
+    /* ---- match posterior ---- */
+    postM.assign(N, 0.0f);
+    if (totP > 0.0) {
+        const double invT = 1.0 / totP;
+        for (npy_intp i = 1; i <= LA; i++) {
+            const double *fMi = fM.data() + (size_t)i * W;
+            const double *bMi = bM.data() + (size_t)i * W;
+            float *po = postM.data() + (size_t)i * W;
+            for (npy_intp j = 1; j <= LB; j++) {
+                double p = fMi[j] * bMi[j] * invT;
+                po[j] = (float)(p > 1.0 ? 1.0 : p);
+            }
+        }
+    }
+
+    /* ---- expected-accuracy NW over the posterior (gap cost 0) ---- */
+    if (ea_score) {
+        std::vector<double> prev(W, 0.0), cur(W, 0.0);
+        for (npy_intp i = 1; i <= LA; i++) {
+            const float *po = postM.data() + (size_t)i * W;
+            cur[0] = 0.0;
+            for (npy_intp j = 1; j <= LB; j++) {
+                double d = prev[j - 1] + po[j];
+                double u = prev[j];
+                double l = cur[j - 1];
+                cur[j] = d > u ? (d > l ? d : l) : (u > l ? u : l);
+            }
+            std::swap(prev, cur);
+        }
+        npy_intp mn = LA < LB ? LA : LB;
+        *ea_score = mn > 0 ? prev[LB] / (double)mn : 0.0;
+    }
+}
+
+static bool as_i32(PyObject *o, const int32_t **p, npy_intp *n) {
+    PyArrayObject *a = (PyArrayObject *)o;
+    if (!PyArray_Check(o) || PyArray_TYPE(a) != NPY_INT32 ||
+        PyArray_NDIM(a) != 1 || !PyArray_IS_C_CONTIGUOUS(a)) {
+        PyErr_SetString(PyExc_TypeError, "expected contiguous int32 1D");
+        return false;
+    }
+    *p = (const int32_t *)PyArray_DATA(a);
+    *n = PyArray_DIM(a, 0);
+    return true;
+}
+
+/* posterior(codesA, codesB, em [C,C] float64, delta, eps, cutoff)
+ *   -> (I int32, J int32, P float32, ea float) */
+static PyObject *posterior(PyObject *, PyObject *args) {
+    PyObject *Ao, *Bo, *Eo;
+    double delta, eps, cutoff;
+    if (!PyArg_ParseTuple(args, "OOOddd", &Ao, &Bo, &Eo, &delta, &eps,
+                          &cutoff))
+        return NULL;
+    const int32_t *A, *B;
+    npy_intp LA, LB;
+    if (!as_i32(Ao, &A, &LA) || !as_i32(Bo, &B, &LB)) return NULL;
+    PyArrayObject *E = (PyArrayObject *)Eo;
+    if (!PyArray_Check(Eo) || PyArray_TYPE(E) != NPY_FLOAT64 ||
+        PyArray_NDIM(E) != 2 || !PyArray_IS_C_CONTIGUOUS(E) ||
+        PyArray_DIM(E, 0) != PyArray_DIM(E, 1)) {
+        PyErr_SetString(PyExc_TypeError, "em must be square float64");
+        return NULL;
+    }
+    PairParams pp;
+    pp.em = (const double *)PyArray_DATA(E);
+    pp.C = PyArray_DIM(E, 0);
+    pp.delta = delta;
+    pp.eps = eps;
+    /* validate codes < C */
+    for (npy_intp i = 0; i < LA; i++)
+        if (A[i] < 0 || A[i] >= pp.C) {
+            PyErr_SetString(PyExc_ValueError, "code out of range");
+            return NULL;
+        }
+    for (npy_intp j = 0; j < LB; j++)
+        if (B[j] < 0 || B[j] >= pp.C) {
+            PyErr_SetString(PyExc_ValueError, "code out of range");
+            return NULL;
+        }
+
+    std::vector<float> postM;
+    double ea = 0.0;
+    Py_BEGIN_ALLOW_THREADS
+    pairhmm_posterior(A, LA, B, LB, pp, postM, &ea);
+    Py_END_ALLOW_THREADS
+
+    /* sparsify */
+    std::vector<int32_t> Is, Js;
+    std::vector<float> Ps;
+    const size_t W = (size_t)LB + 1;
+    for (npy_intp i = 1; i <= LA; i++) {
+        const float *po = postM.data() + (size_t)i * W;
+        for (npy_intp j = 1; j <= LB; j++) {
+            if (po[j] >= cutoff) {
+                Is.push_back((int32_t)(i - 1));
+                Js.push_back((int32_t)(j - 1));
+                Ps.push_back(po[j]);
+            }
+        }
+    }
+    npy_intp n = (npy_intp)Is.size();
+    PyArrayObject *Io = (PyArrayObject *)PyArray_SimpleNew(1, &n, NPY_INT32);
+    PyArrayObject *Jo = (PyArrayObject *)PyArray_SimpleNew(1, &n, NPY_INT32);
+    PyArrayObject *Po =
+        (PyArrayObject *)PyArray_SimpleNew(1, &n, NPY_FLOAT32);
+    if (!Io || !Jo || !Po) {
+        Py_XDECREF(Io);
+        Py_XDECREF(Jo);
+        Py_XDECREF(Po);
+        return NULL;
+    }
+    if (n) {
+        memcpy(PyArray_DATA(Io), Is.data(), (size_t)n * 4);
+        memcpy(PyArray_DATA(Jo), Js.data(), (size_t)n * 4);
+        memcpy(PyArray_DATA(Po), Ps.data(), (size_t)n * 4);
+    }
+    return Py_BuildValue("NNNd", Io, Jo, Po, ea);
+}
+
+/* ea_align(S [WA, WB] float64 sparse-accumulated scores) -> ops int8
+ * Plain NW, gap cost 0, maximizing total score (expected accuracy).
+ * Tie order: diag > up > left. */
+static PyObject *ea_align(PyObject *, PyObject *args) {
+    PyObject *So;
+    if (!PyArg_ParseTuple(args, "O", &So)) return NULL;
+    PyArrayObject *S = (PyArrayObject *)So;
+    if (!PyArray_Check(So) || PyArray_TYPE(S) != NPY_FLOAT64 ||
+        PyArray_NDIM(S) != 2 || !PyArray_IS_C_CONTIGUOUS(S)) {
+        PyErr_SetString(PyExc_TypeError, "S must be 2D float64");
+        return NULL;
+    }
+    npy_intp MA = PyArray_DIM(S, 0), MB = PyArray_DIM(S, 1);
+    const double *sp = (const double *)PyArray_DATA(S);
+    std::vector<signed char> ops;
+    Py_BEGIN_ALLOW_THREADS
+    size_t W = (size_t)MB + 1;
+    std::vector<double> prev(W, 0.0), cur(W, 0.0);
+    std::vector<unsigned char> ptr((size_t)(MA + 1) * W, 0);
+    for (npy_intp j = 0; j <= MB; j++) ptr[j] = 2;
+    for (npy_intp i = 1; i <= MA; i++) {
+        unsigned char *pr = ptr.data() + (size_t)i * W;
+        pr[0] = 1;
+        cur[0] = 0.0;
+        const double *Si = sp + (size_t)(i - 1) * MB;
+        for (npy_intp j = 1; j <= MB; j++) {
+            double d = prev[j - 1] + Si[j - 1];
+            double u = prev[j];
+            double l = cur[j - 1];
+            double best = d;
+            unsigned char p = 0;
+            if (u > best) { best = u; p = 1; }
+            if (l > best) { best = l; p = 2; }
+            cur[j] = best;
+            pr[j] = p;
+        }
+        std::swap(prev, cur);
+    }
+    npy_intp i = MA, j = MB;
+    ops.reserve((size_t)(MA + MB));
+    while (i > 0 || j > 0) {
+        unsigned char p = ptr[(size_t)i * W + j];
+        if (i > 0 && j > 0 && p == 0) { ops.push_back(0); i--; j--; }
+        else if (i > 0 && (j == 0 || p == 1)) { ops.push_back(1); i--; }
+        else { ops.push_back(2); j--; }
+    }
+    Py_END_ALLOW_THREADS
+    npy_intp n = (npy_intp)ops.size();
+    PyArrayObject *out =
+        (PyArrayObject *)PyArray_SimpleNew(1, &n, NPY_INT8);
+    if (!out) return NULL;
+    signed char *op = (signed char *)PyArray_DATA(out);
+    for (npy_intp t = 0; t < n; t++) op[t] = ops[(size_t)(n - 1 - t)];
+    return (PyObject *)out;
+}
+
+static PyMethodDef methods[] = {
+    {"posterior", posterior, METH_VARARGS,
+     "pair-HMM match posteriors (sparse) + expected-accuracy score"},
+    {"ea_align", ea_align, METH_VARARGS,
+     "NW over accumulated posterior scores, gap 0 -> ops"},
+    {NULL, NULL, 0, NULL}};
+
+static struct PyModuleDef mod = {PyModuleDef_HEAD_INIT, "_pairhmm",
+                                 "pair-HMM posterior kernels", -1,
+                                 methods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__pairhmm(void) {
+    import_array();
+    return PyModule_Create(&mod);
+}
