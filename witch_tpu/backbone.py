@@ -369,8 +369,16 @@ class BackboneJob:
                  % (len(backbone), len(queries)))
         backend = os.environ.get(
             "WITCH_TPU_BACKBONE",
-            "magus" if self.method == "magus" else "iterhmm")
-        if backend == "magus":
+            "consistency" if self.method == "magus" else "iterhmm")
+        if backend == "consistency":
+            # production path: probabilistic-consistency aligner
+            # (MAGUS/L-INS-i quality class; see backbone_consistency.py)
+            from .backbone_consistency import align_backbone_consistency
+            aln = align_backbone_consistency(
+                [n for n, _ in backbone], [s for _, s in backbone],
+                self.molecule, seed=self.seed, log=self.log)
+        elif backend == "magus":
+            # legacy round-1 divide-and-conquer profile merge
             from .backbone_magus import align_backbone_magus
             aln = align_backbone_magus([n for n, _ in backbone],
                                        [s for _, s in backbone],

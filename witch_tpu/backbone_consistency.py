@@ -97,15 +97,47 @@ def _get(post, s, t):
         return None
     if (s, t) in post:
         return post[(s, t)]
-    return post[(t, s)].T.tocsr()
+    if (t, s) in post:
+        return post[(t, s)].T.tocsr()
+    return None
 
 
 def consistency_transform(post, n: int, cutoff: float = 0.01,
-                          workers: int = 8):
-    """One round of P'_xz = (2 P_xz + sum_{y!=x,z} P_xy P_yz) / n."""
+                          workers: int = 8, lens=None):
+    """One round of P'_xz = (2 P_xz + sum_{y!=x,z} P_xy P_yz) / n.
+
+    Uses the native threaded SpGEMM (pairhmm_kernel.cpp:transform);
+    falls back to scipy when the extension is absent.
+    """
     import scipy.sparse as sp
 
     keys = list(post.keys())
+    try:
+        from .native import _pairhmm
+        if lens is None:
+            ln = {}
+            for (s, t), m in post.items():
+                ln[s], ln[t] = m.shape
+            lens = np.zeros(n, np.int32)
+            for s, L in ln.items():
+                lens[s] = L
+        ks = np.ascontiguousarray([k[0] for k in keys], np.int32)
+        kt = np.ascontiguousarray([k[1] for k in keys], np.int32)
+        ipl = [np.ascontiguousarray(post[k].indptr, np.int64)
+               for k in keys]
+        ixl = [np.ascontiguousarray(post[k].indices, np.int32)
+               for k in keys]
+        vl = [np.ascontiguousarray(post[k].data, np.float32)
+              for k in keys]
+        res = _pairhmm.transform(n, ks, kt, ipl, ixl, vl,
+                                 np.ascontiguousarray(lens, np.int32),
+                                 float(cutoff), int(workers))
+        out = {}
+        for k, (ip, ix, va) in zip(keys, res):
+            out[k] = sp.csr_matrix((va, ix, ip), shape=post[k].shape)
+        return out
+    except ImportError:
+        pass
 
     def one(key):
         x, z = key
@@ -145,7 +177,7 @@ def _group_score(post, rowsA: Sequence[int], colsA: List[np.ndarray],
         ca = colsA[ai]
         for bi, t in enumerate(rowsB):
             m = _get(post, s, t)
-            if m.nnz == 0:
+            if m is None or m.nnz == 0:
                 continue
             coo = m.tocoo()
             idx = ca[coo.row] * WB + colsB[bi][coo.col]
@@ -177,7 +209,7 @@ def _ea_objective(post, rows, codes_mat, gap_code) -> float:
     for ai in range(n):
         for bi in range(ai + 1, n):
             m = _get(post, rows[ai], rows[bi])
-            if m.nnz == 0:
+            if m is None or m.nnz == 0:
                 continue
             coo = m.tocoo()
             hit = cols[ai][coo.row] == cols[bi][coo.col]
@@ -185,53 +217,60 @@ def _ea_objective(post, rows, codes_mat, gap_code) -> float:
     return total
 
 
-def consistency_align(names: List[str], seqs: List[str], molecule: str,
-                      match_p: float = 0.35, delta: float = 0.04,
-                      eps: float = 0.75, rounds: int = 2,
-                      refine_rounds: int = 50, cutoff: float = 0.01,
-                      seed: int = 0, workers: int = 8,
-                      log=None) -> PackedAlignment:
-    """ProbCons-style alignment of up to ~80 sequences."""
-    from .backbone_progressive import upgma_merges
+def estimate_params(codes: List[np.ndarray], alphabet: Alphabet,
+                    workers: int = 8, seed: int = 0,
+                    sample: int = 12) -> Tuple[float, float, float]:
+    """Adaptive pair-HMM parameters from a probe pass.
 
-    alphabet = ALPHABETS[molecule]
-    seqs = [s.upper() for s in seqs]
-    n = len(seqs)
-    codes = [alphabet.encode(s) for s in seqs]
-    gap_code = alphabet.gap_code
-    if n == 1:
-        return PackedAlignment(list(names), codes[0][None, :], alphabet)
+    Aligns a small sample of sequence pairs at fixed probe parameters
+    and maps the mean expected accuracy (fraction of confidently
+    alignable residues — a divergence proxy that separates data
+    classes far better than raw identity) linearly onto
+    (match_p, delta). Calibrated on the example 16S twilight-zone set
+    (EA 0.36 -> mp 0.12, de 0.010) and a moderately diverged synthetic
+    family (EA 0.61 -> mp 0.52, de 0.050); the midpoint was validated
+    to land on the recall plateau.
 
-    post, D = pairwise_posteriors(codes, alphabet, match_p=match_p,
-                                  delta=delta, eps=eps, cutoff=cutoff,
-                                  workers=workers)
-    if log:
-        log("consistency: %d pair posteriors, mean EA dist %.3f"
-            % (len(post), float(D[np.triu_indices(n, 1)].mean())))
-    for r in range(rounds):
-        post = consistency_transform(post, n, cutoff=cutoff,
-                                     workers=workers)
-        if log:
-            log("consistency: transform round %d done" % (r + 1))
-
-    merges = upgma_merges(D)
-    node: Dict[int, Tuple[List[int], np.ndarray]] = {
-        i: ([i], codes[i][None, :].astype(np.uint8)) for i in range(n)}
-    for t, (a, b) in enumerate(merges):
-        (ra, ca), (rb, cb) = node.pop(a), node.pop(b)
-        merged, rows, _ = _align_groups(post, ra, ca, rb, cb, gap_code)
-        node[n + t] = (rows, merged)
-    rows, mat = node[n + len(merges) - 1]
-
-    # iterative refinement: random bipartition, re-project, realign
+    Returns (match_p, delta, mean_ea).
+    """
+    n = len(codes)
     rng = np.random.default_rng(seed)
+    idx = rng.choice(n, min(sample, n), replace=False)
+    sub = [codes[i] for i in idx]
+    _, D = pairwise_posteriors(sub, alphabet, match_p=0.3, delta=0.02,
+                               eps=0.75, cutoff=0.05, workers=workers)
+    m = len(sub)
+    if m < 2:
+        return 0.3, 0.02, 0.5
+    e = 1.0 - float(D[np.triu_indices(m, 1)].mean())
+    mp = float(np.clip(0.12 + 1.6 * (e - 0.36), 0.10, 0.60))
+    de = float(np.clip(0.01 + 0.16 * (e - 0.36), 0.008, 0.06))
+    return mp, de, e
+
+
+def refine_bipartitions(post, rows, mat, gap_code, rounds: int,
+                        rng, groups: Optional[List[np.ndarray]] = None):
+    """Randomized EA refinement: bipartition rows, re-project, realign.
+
+    `groups` (optional) gives additional structured bipartitions to try
+    (e.g. one subset vs the rest) before the random ones.
+    """
+    n = len(rows)
+    if n < 3:
+        return rows, mat, _ea_objective(post, rows, mat, gap_code)
     cur_obj = _ea_objective(post, rows, mat, gap_code)
-    for r in range(refine_rounds):
-        if n < 3:
-            break
-        mask = rng.random(n) < 0.5
-        if mask.all() or (~mask).any() is False or mask.sum() in (0, n):
-            continue
+    splits = []
+    if groups:
+        for g in groups:
+            m = np.zeros(n, bool)
+            m[g] = True
+            if 0 < m.sum() < n:
+                splits.append(m)
+    while len(splits) < rounds:
+        m = rng.random(n) < 0.5
+        if 0 < m.sum() < n:
+            splits.append(m)
+    for mask in splits:
         ia = np.flatnonzero(mask)
         ib = np.flatnonzero(~mask)
         A_codes = mat[ia]
@@ -245,9 +284,211 @@ def consistency_align(names: List[str], seqs: List[str], molecule: str,
         new_obj = _ea_objective(post, new_rows, merged, gap_code)
         if new_obj > cur_obj:
             rows, mat, cur_obj = new_rows, merged, new_obj
+    return rows, mat, cur_obj
+
+
+def consistency_align_core(codes: List[np.ndarray], alphabet: Alphabet,
+                           match_p: Optional[float] = None,
+                           delta: Optional[float] = None,
+                           eps: float = 0.75, rounds: int = 2,
+                           refine_rounds: int = 50, cutoff: float = 0.01,
+                           seed: int = 0, workers: int = 8, log=None):
+    """ProbCons-style alignment core.
+
+    match_p/delta default to adaptive estimation (estimate_params).
+    Returns (rows, mat, post, D): row order (indices into codes), the
+    aligned uint8 matrix, the transformed posteriors, and the pairwise
+    EA distance matrix.
+    """
+    from .backbone_progressive import upgma_merges
+
+    n = len(codes)
+    gap_code = alphabet.gap_code
+    if n == 1:
+        return [0], codes[0][None, :].astype(np.uint8), {}, \
+            np.zeros((1, 1))
+    if match_p is None or delta is None:
+        mp_e, de_e, e = estimate_params(codes, alphabet, workers=workers,
+                                        seed=seed)
+        match_p = mp_e if match_p is None else match_p
+        delta = de_e if delta is None else delta
+        if log:
+            log("consistency: adaptive params mean_ea=%.3f -> "
+                "match_p=%.3f delta=%.3f" % (e, match_p, delta))
+
+    post, D = pairwise_posteriors(codes, alphabet, match_p=match_p,
+                                  delta=delta, eps=eps, cutoff=cutoff,
+                                  workers=workers)
+    if log:
+        log("consistency: %d pair posteriors, mean EA dist %.3f"
+            % (len(post), float(D[np.triu_indices(n, 1)].mean())))
+    for r in range(rounds):
+        post = consistency_transform(post, n, cutoff=cutoff,
+                                     workers=workers)
+
+    merges = upgma_merges(D)
+    node: Dict[int, Tuple[List[int], np.ndarray]] = {
+        i: ([i], codes[i][None, :].astype(np.uint8)) for i in range(n)}
+    for t, (a, b) in enumerate(merges):
+        (ra, ca), (rb, cb) = node.pop(a), node.pop(b)
+        merged, rows, _ = _align_groups(post, ra, ca, rb, cb, gap_code)
+        node[n + t] = (rows, merged)
+    rows, mat = node[n + len(merges) - 1]
+
+    rng = np.random.default_rng(seed)
+    rows, mat, cur_obj = refine_bipartitions(post, rows, mat, gap_code,
+                                             refine_rounds, rng)
     if log:
         log("consistency: %d seqs -> %d cols (EA obj %.1f)"
             % (n, mat.shape[1], cur_obj))
+    return rows, mat, post, D
+
+
+def consistency_align(names: List[str], seqs: List[str], molecule: str,
+                      match_p: Optional[float] = None,
+                      delta: Optional[float] = None,
+                      eps: float = 0.75, rounds: int = 2,
+                      refine_rounds: int = 50, cutoff: float = 0.01,
+                      seed: int = 0, workers: int = 8,
+                      log=None) -> PackedAlignment:
+    """ProbCons-style alignment of up to ~80 sequences."""
+    alphabet = ALPHABETS[molecule]
+    seqs = [s.upper() for s in seqs]
+    codes = [alphabet.encode(s) for s in seqs]
+    rows, mat, _, _ = consistency_align_core(
+        codes, alphabet, match_p=match_p, delta=delta, eps=eps,
+        rounds=rounds, refine_rounds=refine_rounds, cutoff=cutoff,
+        seed=seed, workers=workers, log=log)
+    aln = PackedAlignment([names[i] for i in rows], mat, alphabet)
+    aln, _ = aln.delete_all_gap_columns()
+    order = {nm: i for i, nm in enumerate(aln.names)}
+    sel = [order[nm] for nm in names]
+    return PackedAlignment(list(names), aln.codes[sel], alphabet)
+
+
+def _medoid_reps(D: np.ndarray, r: int) -> np.ndarray:
+    """Medoid + farthest-point representative selection."""
+    n = D.shape[0]
+    if n <= r:
+        return np.arange(n)
+    sel = [int(np.argmin(D.sum(axis=1)))]
+    dmin = D[sel[0]].copy()
+    for _ in range(r - 1):
+        nxt = int(np.argmax(dmin))
+        sel.append(nxt)
+        dmin = np.minimum(dmin, D[nxt])
+    return np.asarray(sorted(set(sel)))
+
+
+def align_backbone_consistency(names: List[str], seqs: List[str],
+                               molecule: str, subset_size: int = 50,
+                               reps: int = 4,
+                               match_p: Optional[float] = None,
+                               delta: Optional[float] = None,
+                               eps: float = 0.75,
+                               rounds: int = 2, refine_rounds: int = 50,
+                               cutoff: float = 0.01, seed: int = 0,
+                               workers: int = 8, log=None
+                               ) -> PackedAlignment:
+    """Full-backbone alignment: decompose, align subsets with the
+    consistency engine, merge subset alignments along a subset-level
+    guide tree using cross-subset representative posteriors.
+
+    The same divide-and-merge shape as the reference's MAGUS
+    (decompose -> L-INS-i subsets -> graph merge,
+    witch_msa/tools/magus/align/aligner.py) with the graph replaced by
+    posterior mass between subset representatives.
+    """
+    from .backbone import _kmer_profiles
+    from .backbone_progressive import upgma_merges
+
+    alphabet = ALPHABETS[molecule]
+    seqs = [s.upper() for s in seqs]
+    n = len(seqs)
+    if n <= int(1.3 * subset_size):
+        return consistency_align(names, seqs, molecule, match_p=match_p,
+                                 delta=delta, eps=eps, rounds=rounds,
+                                 refine_rounds=refine_rounds,
+                                 cutoff=cutoff, seed=seed,
+                                 workers=workers, log=log)
+    codes = [alphabet.encode(s) for s in seqs]
+    gap_code = alphabet.gap_code
+    if match_p is None or delta is None:
+        mp_e, de_e, e = estimate_params(codes, alphabet, workers=workers,
+                                        seed=seed)
+        match_p = mp_e if match_p is None else match_p
+        delta = de_e if delta is None else delta
+        if log:
+            log("backbone: adaptive params mean_ea=%.3f -> "
+                "match_p=%.3f delta=%.3f" % (e, match_p, delta))
+
+    from .backbone_magus import kmer_kmeans
+    profiles = _kmer_profiles(codes, alphabet.K)
+    n_clusters = max(2, -(-n // subset_size))
+    clusters = kmer_kmeans(profiles, n_clusters, seed=seed)
+    # split oversized clusters
+    split = []
+    for idx in clusters:
+        if len(idx) > int(1.5 * subset_size):
+            k = -(-len(idx) // subset_size)
+            split.extend(np.array_split(idx, k))
+        else:
+            split.append(idx)
+    clusters = [c for c in split if len(c)]
+    if log:
+        log("backbone: %d subsets (sizes %s)"
+            % (len(clusters),
+               sorted((len(c) for c in clusters), reverse=True)))
+
+    # align each subset
+    subs = []   # (global_rows, mat, rep_global_ids)
+    for ci, idx in enumerate(clusters):
+        sub_codes = [codes[i] for i in idx]
+        rows, mat, _, D = consistency_align_core(
+            sub_codes, alphabet, match_p=match_p, delta=delta, eps=eps,
+            rounds=rounds, refine_rounds=refine_rounds, cutoff=cutoff,
+            seed=seed + ci, workers=workers)
+        grows = [int(idx[r]) for r in rows]
+        rsel = _medoid_reps(D, reps)
+        subs.append((grows, mat, [int(idx[r]) for r in rsel]))
+        if log:
+            log("backbone: subset %d/%d aligned (%d seqs, %d cols)"
+                % (ci + 1, len(clusters), mat.shape[0], mat.shape[1]))
+
+    # cross-subset representative posteriors (+ one consistency round)
+    rep_ids = sorted({r for _, _, rs in subs for r in rs})
+    rep_codes = [codes[i] for i in rep_ids]
+    rep_post_local, repD = pairwise_posteriors(
+        rep_codes, alphabet, match_p=match_p, delta=delta, eps=eps,
+        cutoff=cutoff, workers=workers)
+    if rounds > 0:
+        rep_post_local = consistency_transform(
+            rep_post_local, len(rep_ids), cutoff=cutoff, workers=workers)
+    post = {(rep_ids[a], rep_ids[b]): m
+            for (a, b), m in rep_post_local.items()}
+    if log:
+        log("backbone: %d rep posteriors across %d reps"
+            % (len(post), len(rep_ids)))
+
+    # subset-level UPGMA over mean rep EA distance
+    S = len(subs)
+    rep_pos = {r: i for i, r in enumerate(rep_ids)}
+    DS = np.zeros((S, S))
+    for a in range(S):
+        for b in range(a + 1, S):
+            da = [repD[rep_pos[x], rep_pos[y]]
+                  for x in subs[a][2] for y in subs[b][2]]
+            DS[a, b] = DS[b, a] = float(np.mean(da))
+    merges = upgma_merges(DS)
+    node = {i: (subs[i][0], subs[i][1]) for i in range(S)}
+    for t, (a, b) in enumerate(merges):
+        (ra, ca), (rb, cb) = node.pop(a), node.pop(b)
+        merged, rws, _ = _align_groups(post, ra, ca, rb, cb, gap_code)
+        node[S + t] = (rws, merged)
+        if log:
+            log("backbone: merged %d+%d seqs -> %d cols"
+                % (len(ra), len(rb), merged.shape[1]))
+    rows, mat = node[S + len(merges) - 1]
 
     aln = PackedAlignment([names[i] for i in rows], mat, alphabet)
     aln, _ = aln.delete_all_gap_columns()

@@ -21,8 +21,12 @@
 #define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
 #include <numpy/arrayobject.h>
 
+#include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -310,11 +314,207 @@ static PyObject *ea_align(PyObject *, PyObject *args) {
     return (PyObject *)out;
 }
 
+/* ---- consistency transform (SpGEMM over all pairs) ----
+ *
+ * transform(n, ks int32[P], kt int32[P], indptrs, idxs, vals,
+ *           lens int32[n], cutoff, nthreads)
+ *   -> list of (indptr int64, idx int32, val float32) per input key
+ *
+ * Computes P'_xz = (2 P_xz + sum_{y != x,z} P_xy P_yz) / n for every
+ * input pair (x, z), x < z. indptrs/idxs/vals are Python lists of
+ * numpy arrays (CSR rows over the first index). Transposes for the
+ * reverse orientation are built internally. Dense row accumulator
+ * SpGEMM, std::thread parallel over pairs.
+ */
+
+
+struct CsrMat {
+    std::vector<int64_t> indptr;
+    std::vector<int32_t> idx;
+    std::vector<float> val;
+    npy_intp rows = 0, cols = 0;
+};
+
+static void transpose_csr(const CsrMat &a, CsrMat &out) {
+    out.rows = a.cols;
+    out.cols = a.rows;
+    out.indptr.assign((size_t)a.cols + 1, 0);
+    out.idx.resize(a.val.size());
+    out.val.resize(a.val.size());
+    for (size_t k = 0; k < a.idx.size(); k++) out.indptr[(size_t)a.idx[k] + 1]++;
+    for (size_t c = 0; c < (size_t)a.cols; c++) out.indptr[c + 1] += out.indptr[c];
+    std::vector<int64_t> fill(out.indptr.begin(), out.indptr.end() - 1);
+    for (npy_intp r = 0; r < a.rows; r++) {
+        for (int64_t k = a.indptr[(size_t)r]; k < a.indptr[(size_t)r + 1]; k++) {
+            int32_t c = a.idx[(size_t)k];
+            int64_t pos = fill[(size_t)c]++;
+            out.idx[(size_t)pos] = (int32_t)r;
+            out.val[(size_t)pos] = a.val[(size_t)k];
+        }
+    }
+}
+
+static PyObject *transform(PyObject *, PyObject *args) {
+    int n, nthreads;
+    PyObject *kso, *kto, *ipl, *ixl, *vl, *lenso;
+    double cutoff;
+    if (!PyArg_ParseTuple(args, "iOOOOOOdi", &n, &kso, &kto, &ipl, &ixl,
+                          &vl, &lenso, &cutoff, &nthreads))
+        return NULL;
+    const int32_t *ks, *kt, *lens;
+    npy_intp P, nn;
+    if (!as_i32(kso, &ks, &P) || !as_i32(kto, &kt, &nn)) return NULL;
+    if (!as_i32(lenso, &lens, &nn) || nn != n) {
+        PyErr_SetString(PyExc_ValueError, "lens mismatch");
+        return NULL;
+    }
+    if (!PyList_Check(ipl) || !PyList_Check(ixl) || !PyList_Check(vl) ||
+        PyList_Size(ipl) != P || PyList_Size(ixl) != P ||
+        PyList_Size(vl) != P) {
+        PyErr_SetString(PyExc_TypeError, "CSR lists must match key count");
+        return NULL;
+    }
+    /* load CSR inputs (copy; GIL held) */
+    std::vector<CsrMat> mats((size_t)P);
+    for (npy_intp p = 0; p < P; p++) {
+        PyArrayObject *ip = (PyArrayObject *)PyList_GetItem(ipl, p);
+        PyArrayObject *ix = (PyArrayObject *)PyList_GetItem(ixl, p);
+        PyArrayObject *va = (PyArrayObject *)PyList_GetItem(vl, p);
+        if (PyArray_TYPE(ip) != NPY_INT64 || PyArray_TYPE(ix) != NPY_INT32 ||
+            PyArray_TYPE(va) != NPY_FLOAT32) {
+            PyErr_SetString(PyExc_TypeError,
+                            "CSR arrays must be int64/int32/float32");
+            return NULL;
+        }
+        CsrMat &m = mats[(size_t)p];
+        npy_intp nr = PyArray_DIM(ip, 0) - 1;
+        npy_intp ne = PyArray_DIM(ix, 0);
+        m.rows = nr;
+        m.cols = lens[kt[p]];
+        if (nr != lens[ks[p]]) {
+            PyErr_SetString(PyExc_ValueError, "CSR row count mismatch");
+            return NULL;
+        }
+        const int64_t *ipd = (const int64_t *)PyArray_DATA(ip);
+        const int32_t *ixd = (const int32_t *)PyArray_DATA(ix);
+        const float *vad = (const float *)PyArray_DATA(va);
+        m.indptr.assign(ipd, ipd + nr + 1);
+        m.idx.assign(ixd, ixd + ne);
+        m.val.assign(vad, vad + ne);
+    }
+
+    std::vector<CsrMat> outs((size_t)P);
+    Py_BEGIN_ALLOW_THREADS
+    {
+        /* orientation table M[a][b] -> CsrMat*  */
+        std::vector<const CsrMat *> table((size_t)n * n, nullptr);
+        std::vector<CsrMat> trans((size_t)P);
+        for (npy_intp p = 0; p < P; p++) {
+            transpose_csr(mats[(size_t)p], trans[(size_t)p]);
+            table[(size_t)ks[p] * n + kt[p]] = &mats[(size_t)p];
+            table[(size_t)kt[p] * n + ks[p]] = &trans[(size_t)p];
+        }
+        std::atomic<npy_intp> next(0);
+        auto worker = [&]() {
+            std::vector<double> acc;
+            std::vector<int32_t> touched;
+            for (;;) {
+                npy_intp p = next.fetch_add(1);
+                if (p >= P) break;
+                int x = ks[p], z = kt[p];
+                const CsrMat &pxz = mats[(size_t)p];
+                npy_intp Lx = lens[x], Lz = lens[z];
+                CsrMat &out = outs[(size_t)p];
+                out.rows = Lx;
+                out.cols = Lz;
+                out.indptr.assign((size_t)Lx + 1, 0);
+                acc.assign((size_t)Lz, 0.0);
+                touched.clear();
+                const double invn = 1.0 / (double)n;
+                for (npy_intp i = 0; i < Lx; i++) {
+                    /* direct term (x2) */
+                    for (int64_t k = pxz.indptr[(size_t)i];
+                         k < pxz.indptr[(size_t)i + 1]; k++) {
+                        int32_t c = pxz.idx[(size_t)k];
+                        if (acc[(size_t)c] == 0.0) touched.push_back(c);
+                        acc[(size_t)c] += 2.0 * pxz.val[(size_t)k];
+                    }
+                    /* sum over intermediates */
+                    for (int y = 0; y < n; y++) {
+                        if (y == x || y == z) continue;
+                        const CsrMat *pxy = table[(size_t)x * n + y];
+                        const CsrMat *pyz = table[(size_t)y * n + z];
+                        if (!pxy || !pyz) continue;
+                        for (int64_t k = pxy->indptr[(size_t)i];
+                             k < pxy->indptr[(size_t)i + 1]; k++) {
+                            int32_t j = pxy->idx[(size_t)k];
+                            double v = pxy->val[(size_t)k];
+                            for (int64_t q = pyz->indptr[(size_t)j];
+                                 q < pyz->indptr[(size_t)j + 1]; q++) {
+                                int32_t c = pyz->idx[(size_t)q];
+                                if (acc[(size_t)c] == 0.0)
+                                    touched.push_back(c);
+                                acc[(size_t)c] += v * pyz->val[(size_t)q];
+                            }
+                        }
+                    }
+                    /* emit row */
+                    std::sort(touched.begin(), touched.end());
+                    for (int32_t c : touched) {
+                        double v = acc[(size_t)c] * invn;
+                        acc[(size_t)c] = 0.0;
+                        if (v >= cutoff) {
+                            out.idx.push_back(c);
+                            out.val.push_back((float)v);
+                        }
+                    }
+                    touched.clear();
+                    out.indptr[(size_t)i + 1] = (int64_t)out.idx.size();
+                }
+            }
+        };
+        int nt = nthreads > 0 ? nthreads : 4;
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nt; t++) pool.emplace_back(worker);
+        for (auto &th : pool) th.join();
+    }
+    Py_END_ALLOW_THREADS
+
+    PyObject *res = PyList_New(P);
+    if (!res) return NULL;
+    for (npy_intp p = 0; p < P; p++) {
+        CsrMat &m = outs[(size_t)p];
+        npy_intp nr = m.rows + 1, ne = (npy_intp)m.idx.size();
+        PyArrayObject *ip =
+            (PyArrayObject *)PyArray_SimpleNew(1, &nr, NPY_INT64);
+        PyArrayObject *ix =
+            (PyArrayObject *)PyArray_SimpleNew(1, &ne, NPY_INT32);
+        PyArrayObject *va =
+            (PyArrayObject *)PyArray_SimpleNew(1, &ne, NPY_FLOAT32);
+        if (!ip || !ix || !va) {
+            Py_XDECREF(ip);
+            Py_XDECREF(ix);
+            Py_XDECREF(va);
+            Py_DECREF(res);
+            return NULL;
+        }
+        memcpy(PyArray_DATA(ip), m.indptr.data(), (size_t)nr * 8);
+        if (ne) {
+            memcpy(PyArray_DATA(ix), m.idx.data(), (size_t)ne * 4);
+            memcpy(PyArray_DATA(va), m.val.data(), (size_t)ne * 4);
+        }
+        PyList_SET_ITEM(res, p, Py_BuildValue("NNN", ip, ix, va));
+    }
+    return res;
+}
+
 static PyMethodDef methods[] = {
     {"posterior", posterior, METH_VARARGS,
      "pair-HMM match posteriors (sparse) + expected-accuracy score"},
     {"ea_align", ea_align, METH_VARARGS,
      "NW over accumulated posterior scores, gap 0 -> ops"},
+    {"transform", transform, METH_VARARGS,
+     "consistency transform over all pair posteriors (threaded SpGEMM)"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef mod = {PyModuleDef_HEAD_INIT, "_pairhmm",
