@@ -76,7 +76,7 @@ def main():
                  "import jax, numpy\n"
                  "x = jax.numpy.zeros(8) + 1\n"
                  "assert float(numpy.asarray(x).sum()) == 8.0\n"],
-                capture_output=True, text=True, timeout=180)
+                capture_output=True, text=True, timeout=100)
             probe_ok = r.returncode == 0
         except Exception:
             probe_ok = False
@@ -143,32 +143,50 @@ def main():
             _ = float(np.asarray(run()))
         dt = (time.time() - t0) / reps
     else:
-        # CPU fallback: time a query subset once and extrapolate (the
-        # XLA scan path is ~100x slower than the TPU kernel; a full
-        # 3-rep grid would take ~40 min and the throughput is linear
-        # in queries)
-        from witch_tpu.hmm.forward import score_bank
-        nq = min(Q, 96)
-        sub_c, sub_l = codes[:nq], lens[:nq]
-        for b in banks:
-            _ = score_bank(b, sub_c, sub_l, backend="xla")
-        log("warm; timing %d-query subset" % nq)
+        # CPU fallback: the production CPU path scores the grid with
+        # the native domaindef engine (pipeline.py native_prescore).
+        # Time a (models x queries) sample of that engine and
+        # extrapolate — the XLA scan path is not the CPU production
+        # path and is ~5x slower.
+        from concurrent.futures import ThreadPoolExecutor
+        from make_bench_assets import load_profile_row
+        from witch_tpu.native import _domaindef
+        nq = min(Q, 64)
+        clist = [np.ascontiguousarray(codes[i, :lens[i]], np.int32)
+                 for i in range(nq)]
+        sample = []     # (bank, row) uniformly over the ensemble
+        rows_all = [(bi, r) for bi, b in enumerate(banks)
+                    for r in range(b.H)]
+        stride = max(1, len(rows_all) // 12)
+        sample = rows_all[::stride][:12]
+        profs = [load_profile_row(banks[bi], r) for bi, r in sample]
+
+        def eval_one(p):
+            args = [np.ascontiguousarray(p.msc, np.float64)] + [
+                np.ascontiguousarray(getattr(p, a), np.float64)
+                for a in ("t_mm", "t_mi", "t_md", "t_im", "t_ii",
+                          "t_dm", "t_dd", "bm")]
+            return _domaindef.evaluate_targets(*args, clist, 42, 200,
+                                               1, 1)
+
+        log("timing native engine on %d models x %d queries"
+            % (len(profs), nq))
         t0 = time.time()
-        padded_cells = 0
-        Lmax = codes.shape[1]
-        for b in banks:
-            _ = score_bank(b, sub_c, sub_l, backend="xla")
-            padded_cells += nq * Lmax * b.H * (b.M_max + 1)
-        dt = (time.time() - t0) * (Q / nq)
-        padded_cells = int(padded_cells * (Q / nq))
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            list(ex.map(eval_one, profs))
+        dt = (time.time() - t0) * (Q / nq) * (H / len(profs))
+        padded_cells = true_cells   # no padding on the native path
 
     pairs_per_s = total_pairs / dt
     baseline_pairs_per_s = 70500 / (236.2 / 4)
 
     # secondary metric: the native domaindef engine (reporting gate +
-    # exact null2 + f64 Forward) on one model vs all queries
+    # exact null2 + f64 Forward) on one model vs all queries.
+    # Skipped on the CPU fallback, where the primary IS this engine.
     dd_pairs_per_s = None
     try:
+        if not on_tpu:
+            raise ImportError("primary metric already native")
         from witch_tpu.native import _domaindef
         b0 = banks[0]
         h0 = 0
@@ -208,7 +226,7 @@ def main():
         "gcups_true": round(true_cells / dt / 1e9, 2),
         "gcups_padded": round(padded_cells / dt / 1e9, 2),
         "seconds_per_full_grid": round(dt, 3),
-        "backend": "pallas-tpu" if on_tpu else "xla",
+        "backend": "pallas-tpu" if on_tpu else "native-cpu",
         **extra,
     }), flush=True)
 

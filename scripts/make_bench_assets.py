@@ -91,19 +91,22 @@ class _Prof:
     pass
 
 
-def load_profile0(path):
-    """Reconstruct a log-space profile view of the first bank row (for
-    the native domaindef engine benchmark): the bank stores odds = exp
-    of the profile logs, so log() recovers them exactly."""
-    banks, _ = load_banks(path)
-    b = banks[0]
-    M = int(b.M[0])
+def load_profile_row(bank, row):
+    """Reconstruct a log-space profile view of one bank row (for the
+    native domaindef engine): the bank stores odds = exp of the profile
+    logs, so log() recovers them exactly."""
+    M = int(bank.M[row])
     p = _Prof()
     with np.errstate(divide="ignore"):
-        p.msc = np.log(np.asarray(b.em_odds[0][:M + 1], np.float64))
+        p.msc = np.log(np.asarray(bank.em_odds[row][:M + 1], np.float64))
         for f in ("t_mm", "t_mi", "t_md", "t_im", "t_ii", "t_dm",
                   "t_dd", "bm"):
             setattr(p, f, np.log(np.asarray(
-                getattr(b, f)[0][:M + 1], np.float64)))
+                getattr(bank, f)[row][:M + 1], np.float64)))
     p.M = M
     return p
+
+
+def load_profile0(path):
+    banks, _ = load_banks(path)
+    return load_profile_row(banks[0], 0)
