@@ -253,24 +253,24 @@ def refine_bipartitions(post, rows, mat, gap_code, rounds: int,
     """Randomized EA refinement: bipartition rows, re-project, realign.
 
     `groups` (optional) gives additional structured bipartitions to try
-    (e.g. one subset vs the rest) before the random ones.
+    (e.g. one subset vs the rest) before the random ones; each group is
+    a collection of ROW IDS (not positions — accepted moves reorder the
+    rows).
     """
     n = len(rows)
     if n < 3:
         return rows, mat, _ea_objective(post, rows, mat, gap_code)
     cur_obj = _ea_objective(post, rows, mat, gap_code)
-    splits = []
-    if groups:
-        for g in groups:
-            m = np.zeros(n, bool)
-            m[g] = True
-            if 0 < m.sum() < n:
-                splits.append(m)
-    while len(splits) < rounds:
-        m = rng.random(n) < 0.5
-        if 0 < m.sum() < n:
-            splits.append(m)
-    for mask in splits:
+    splits = [set(g) for g in (groups or [])]
+    n_random = max(0, rounds)
+    for k in range(len(splits) + n_random):
+        if k < len(splits):
+            gset = splits[k]
+            mask = np.array([r in gset for r in rows])
+        else:
+            mask = rng.random(n) < 0.5
+        if not (0 < mask.sum() < n):
+            continue
         ia = np.flatnonzero(mask)
         ib = np.flatnonzero(~mask)
         A_codes = mat[ia]
@@ -366,6 +366,156 @@ def consistency_align(names: List[str], seqs: List[str], molecule: str,
     return PackedAlignment(list(names), aln.codes[sel], alphabet)
 
 
+def profile_posterior(fA, occA, fB, occB, odds4, delta, eps,
+                      cutoff=0.01):
+    """Pair-HMM posterior between two alignment COLUMN profiles.
+
+    Emission odds per column pair interpolate between neutral (1.0)
+    and the expected residue-pair odds, weighted by the probability
+    both columns carry a residue on an aligned row pair
+    (occA*occB) — low-occupancy private insert columns carry little
+    evidence either way. Returns (I, J, P float32, ea)."""
+    from .native import _pairhmm
+    core = (fA @ odds4) @ fB.T
+    EM = 1.0 + (occA[:, None] * occB[None, :]) * (core - 1.0)
+    return _pairhmm.posterior_dense(
+        np.ascontiguousarray(np.maximum(EM, 1e-6), np.float64),
+        delta, eps, cutoff)
+
+
+def _column_profile(mat: np.ndarray, alphabet: Alphabet):
+    """(freq [W, K] residue distribution, occ [W] non-gap fraction)."""
+    expand = alphabet.expansion_matrix()
+    Wd = mat.shape[1]
+    counts = np.zeros((Wd, alphabet.K), np.float64)
+    for c in range(expand.shape[0]):
+        if not expand[c].any():
+            continue
+        nc = (mat == c).sum(axis=0).astype(np.float64)
+        if nc.any():
+            counts += nc[:, None] * expand[c][None, :]
+    tot = counts.sum(axis=1)
+    occ = tot / max(mat.shape[0], 1)
+    freq = counts / np.maximum(tot, 1e-9)[:, None]
+    return freq, occ
+
+
+def _ss_score(post_ss, mapsA: Dict[int, np.ndarray], WA: int,
+              mapsB: Dict[int, np.ndarray], WB: int) -> np.ndarray:
+    """[WA, WB] posterior mass between two groups of subsets, using
+    subset-profile posteriors mapped through per-subset column maps."""
+    S = np.zeros(WA * WB, np.float64)
+    for sa, ca in mapsA.items():
+        for sb, cb in mapsB.items():
+            m = _get(post_ss, sa, sb)
+            if m is None or m.nnz == 0:
+                continue
+            coo = m.tocoo()
+            idx = ca[coo.row] * WB + cb[coo.col]
+            np.add.at(S, idx, coo.data.astype(np.float64))
+    return S.reshape(WA, WB)
+
+
+def _merge_subset_groups(post_ss, rowsA, matA, mapsA, rowsB, matB,
+                         mapsB, gap_code):
+    from .native import _pairhmm
+    S = _ss_score(post_ss, mapsA, matA.shape[1], mapsB, matB.shape[1])
+    ops = np.asarray(_pairhmm.ea_align(np.ascontiguousarray(S)), np.int8)
+    nA = matA.shape[0]
+    W = len(ops)
+    out = np.full((nA + matB.shape[0], W), gap_code, np.uint8)
+    posA = np.flatnonzero(ops != 2)
+    posB = np.flatnonzero(ops != 1)
+    out[:nA, posA] = matA
+    out[nA:, posB] = matB
+    maps = {s: posA[c] for s, c in mapsA.items()}
+    maps.update({s: posB[c] for s, c in mapsB.items()})
+    return list(rowsA) + list(rowsB), out, maps
+
+
+def _ss_objective(post_ss, maps: Dict[int, np.ndarray]) -> float:
+    total = 0.0
+    ids = sorted(maps)
+    for i, sa in enumerate(ids):
+        for sb in ids[i + 1:]:
+            m = _get(post_ss, sa, sb)
+            if m is None or m.nnz == 0:
+                continue
+            coo = m.tocoo()
+            hit = maps[sa][coo.row] == maps[sb][coo.col]
+            total += float(coo.data[hit].sum())
+    return total
+
+
+def anchor_embedding(codes: List[np.ndarray], alphabet: Alphabet,
+                     n_anchors: int = 24, match_p: float = 0.3,
+                     delta: float = 0.02, eps: float = 0.75,
+                     workers: int = 8, seed: int = 0) -> np.ndarray:
+    """[n, A] expected-accuracy embedding against farthest-point anchors.
+
+    k-mer distances are noise on twilight-zone inputs, but pair-HMM
+    expected accuracy still resolves neighborhoods (the example
+    backbone has mean nearest-neighbor identity 0.59 against mean
+    pairwise 0.31). Each sequence is embedded by its EA to a diverse
+    anchor set; clustering on this embedding recovers phylogenetic
+    neighborhoods the way MAGUS's guide-tree decomposition does.
+    """
+    from .backbone import _kmer_profiles
+    from .native import _pairhmm
+
+    n = len(codes)
+    A = min(n_anchors, n)
+    prof = _kmer_profiles(codes, alphabet.K)
+    rng = np.random.default_rng(seed)
+    anchors = [int(rng.integers(n))]
+    d = 1.0 - prof @ prof[anchors[0]]
+    for _ in range(A - 1):
+        anchors.append(int(np.argmax(d)))
+        d = np.minimum(d, 1.0 - prof @ prof[anchors[-1]])
+    em = _emission_odds(alphabet, match_p)
+    codes32 = [np.ascontiguousarray(c, np.int32) for c in codes]
+    E = np.zeros((n, A), np.float64)
+
+    def one(task):
+        s, ai = task
+        _, _, _, ea = _pairhmm.posterior(codes32[s], codes32[anchors[ai]],
+                                         em, delta, eps, 0.5)
+        return s, ai, ea
+
+    tasks = [(s, ai) for s in range(n) for ai in range(A)]
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        for s, ai, ea in ex.map(one, tasks):
+            E[s, ai] = ea
+    return E
+
+
+def _kmeans_rows(E: np.ndarray, k: int, seed: int = 0,
+                 n_iter: int = 25) -> List[np.ndarray]:
+    """Plain k-means over embedding rows; farthest-point init."""
+    n = E.shape[0]
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    centers = [int(rng.integers(n))]
+    d = ((E - E[centers[0]]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        centers.append(int(np.argmax(d)))
+        d = np.minimum(d, ((E - E[centers[-1]]) ** 2).sum(axis=1))
+    C = E[centers].copy()
+    assign = None
+    for _ in range(n_iter):
+        d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        new_assign = np.argmin(d2, axis=1)
+        if assign is not None and np.array_equal(new_assign, assign):
+            break
+        assign = new_assign
+        for c in range(k):
+            rows = E[assign == c]
+            if len(rows):
+                C[c] = rows.mean(axis=0)
+    return [np.flatnonzero(assign == c) for c in range(k)
+            if np.any(assign == c)]
+
+
 def _medoid_reps(D: np.ndarray, r: int) -> np.ndarray:
     """Medoid + farthest-point representative selection."""
     n = D.shape[0]
@@ -386,6 +536,7 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
                                match_p: Optional[float] = None,
                                delta: Optional[float] = None,
                                eps: float = 0.75,
+                               profile_match_p: float = 0.5,
                                rounds: int = 2, refine_rounds: int = 50,
                                cutoff: float = 0.01, seed: int = 0,
                                workers: int = 8, log=None
@@ -422,10 +573,10 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
             log("backbone: adaptive params mean_ea=%.3f -> "
                 "match_p=%.3f delta=%.3f" % (e, match_p, delta))
 
-    from .backbone_magus import kmer_kmeans
-    profiles = _kmer_profiles(codes, alphabet.K)
+    # phylogenetic-neighborhood subsets from the EA anchor embedding
+    E = anchor_embedding(codes, alphabet, workers=workers, seed=seed)
     n_clusters = max(2, -(-n // subset_size))
-    clusters = kmer_kmeans(profiles, n_clusters, seed=seed)
+    clusters = _kmeans_rows(E, n_clusters, seed=seed)
     # split oversized clusters
     split = []
     for idx in clusters:
@@ -440,12 +591,13 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
             % (len(clusters),
                sorted((len(c) for c in clusters), reverse=True)))
 
-    # align each subset
+    # align each subset with per-subset adaptive parameters (a tight
+    # neighborhood wants stronger match odds than the global mix)
     subs = []   # (global_rows, mat, rep_global_ids)
     for ci, idx in enumerate(clusters):
         sub_codes = [codes[i] for i in idx]
         rows, mat, _, D = consistency_align_core(
-            sub_codes, alphabet, match_p=match_p, delta=delta, eps=eps,
+            sub_codes, alphabet, match_p=None, delta=None, eps=eps,
             rounds=rounds, refine_rounds=refine_rounds, cutoff=cutoff,
             seed=seed + ci, workers=workers)
         grows = [int(idx[r]) for r in rows]
@@ -455,7 +607,10 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
             log("backbone: subset %d/%d aligned (%d seqs, %d cols)"
                 % (ci + 1, len(clusters), mat.shape[0], mat.shape[1]))
 
-    # cross-subset representative posteriors (+ one consistency round)
+    # cross-subset representative posteriors (+ one consistency round):
+    # the analogue of MAGUS's cross-subset MAFFT-backbone graph
+    # (graph_builder.py:26-231) — posterior mass between per-subset
+    # medoid/farthest-point representatives drives the merge
     rep_ids = sorted({r for _, _, rs in subs for r in rs})
     rep_codes = [codes[i] for i in rep_ids]
     rep_post_local, repD = pairwise_posteriors(
@@ -489,6 +644,16 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
             log("backbone: merged %d+%d seqs -> %d cols"
                 % (len(ra), len(rb), merged.shape[1]))
     rows, mat = node[S + len(merges) - 1]
+
+    # top-level structured refinement: re-split along each subset
+    # (leave-one-subset-out) under the rep-posterior EA objective
+    groups = [grows for grows, _, _ in subs]
+    rng = np.random.default_rng(seed)
+    rows, mat, obj = refine_bipartitions(post, rows, mat, gap_code,
+                                         0, rng, groups=groups)
+    if log:
+        log("backbone: %d seqs -> %d cols (rep EA obj %.1f)"
+            % (mat.shape[0], mat.shape[1], obj))
 
     aln = PackedAlignment([names[i] for i in rows], mat, alphabet)
     aln, _ = aln.delete_all_gap_columns()

@@ -38,25 +38,39 @@ struct PairParams {
     double eps;         /* gap extend (X->X, Y->Y) */
 };
 
+/* emission policies for the shared pair-HMM recurrence: e(i, j) is the
+ * match-emission odds at 1-based match coordinates */
+struct CodeEm {
+    const double *em;
+    npy_intp C;
+    const int32_t *A, *B;
+    inline double operator()(npy_intp i, npy_intp j) const {
+        return em[(size_t)A[i - 1] * C + B[j - 1]];
+    }
+};
+
+struct DenseEm {
+    const double *EM;   /* [LA, LB] row-major */
+    npy_intp LB;
+    inline double operator()(npy_intp i, npy_intp j) const {
+        return EM[(size_t)(i - 1) * LB + (j - 1)];
+    }
+};
+
 /* forward/backward storage: [ (LA+1) * (LB+1) ] row-major */
-static void pairhmm_posterior(const int32_t *A, npy_intp LA,
-                              const int32_t *B, npy_intp LB,
-                              const PairParams &pp,
+template <class Em>
+static void pairhmm_posterior(npy_intp LA, npy_intp LB, const Em &em,
+                              double delta, double eps,
                               std::vector<float> &postM,
                               double *ea_score) {
-    const double t_mm = 1.0 - 2.0 * pp.delta;
-    const double t_mg = pp.delta;        /* M -> X or Y */
-    const double t_gm = 1.0 - pp.eps;    /* X/Y -> M */
-    const double t_gg = pp.eps;
+    const double t_mm = 1.0 - 2.0 * delta;
+    const double t_mg = delta;           /* M -> X or Y */
+    const double t_gm = 1.0 - eps;       /* X/Y -> M */
+    const double t_gg = eps;
     const size_t W = (size_t)LB + 1;
     const size_t N = (size_t)(LA + 1) * W;
     std::vector<double> fM(N, 0.0), fX(N, 0.0), fY(N, 0.0);
     std::vector<double> scale((size_t)LA + 1, 1.0);
-
-    /* emission odds row pointers for A codes */
-    auto em = [&](npy_intp i, npy_intp j) -> double {
-        return pp.em[(size_t)A[i - 1] * pp.C + B[j - 1]];
-    };
 
     /* ---- forward ---- */
     fM[0] = 1.0;
@@ -74,9 +88,8 @@ static void pairhmm_posterior(const int32_t *A, npy_intp LA,
         /* j = 0: only X moves */
         fXi[0] = (i == 1 ? t_mg * fMp[0] : t_gg * fXp[0]);
         double rowmax = fXi[0];
-        const double *emrow = pp.em + (size_t)A[i - 1] * pp.C;
         for (npy_intp j = 1; j <= LB; j++) {
-            const double e = emrow[B[j - 1]];
+            const double e = em(i, j);
             const double m = e * (t_mm * fMp[j - 1] + t_gm * fXp[j - 1] +
                                   t_gm * fYp[j - 1]);
             const double x = t_mg * fMp[j] + t_gg * fXp[j];
@@ -122,13 +135,12 @@ static void pairhmm_posterior(const int32_t *A, npy_intp LA,
         const double *bXn = bX.data() + (size_t)(i + 1) * W;
         const double *bYn = bY.data() + (size_t)(i + 1) * W;
         const double inv = 1.0 / scale[(size_t)i + 1];
-        const double *emrow = pp.em + (size_t)A[i] * pp.C;
         /* j = LB: only X moves (Y cannot reach X: no Y->X) */
         bMi[LB] = t_mg * bXn[LB] * inv;
         bXi[LB] = t_gg * bXn[LB] * inv;
         bYi[LB] = 0.0;
         for (npy_intp j = LB - 1; j >= 0; j--) {
-            const double e = emrow[B[j]];
+            const double e = em(i + 1, j + 1);
             const double md = e * bMn[j + 1] * inv;  /* diag M arrival */
             const double xd = bXn[j] * inv;          /* down X arrival */
             const double yd = bYi[j + 1];            /* right Y arrival */
@@ -184,48 +196,10 @@ static bool as_i32(PyObject *o, const int32_t **p, npy_intp *n) {
     return true;
 }
 
-/* posterior(codesA, codesB, em [C,C] float64, delta, eps, cutoff)
- *   -> (I int32, J int32, P float32, ea float) */
-static PyObject *posterior(PyObject *, PyObject *args) {
-    PyObject *Ao, *Bo, *Eo;
-    double delta, eps, cutoff;
-    if (!PyArg_ParseTuple(args, "OOOddd", &Ao, &Bo, &Eo, &delta, &eps,
-                          &cutoff))
-        return NULL;
-    const int32_t *A, *B;
-    npy_intp LA, LB;
-    if (!as_i32(Ao, &A, &LA) || !as_i32(Bo, &B, &LB)) return NULL;
-    PyArrayObject *E = (PyArrayObject *)Eo;
-    if (!PyArray_Check(Eo) || PyArray_TYPE(E) != NPY_FLOAT64 ||
-        PyArray_NDIM(E) != 2 || !PyArray_IS_C_CONTIGUOUS(E) ||
-        PyArray_DIM(E, 0) != PyArray_DIM(E, 1)) {
-        PyErr_SetString(PyExc_TypeError, "em must be square float64");
-        return NULL;
-    }
-    PairParams pp;
-    pp.em = (const double *)PyArray_DATA(E);
-    pp.C = PyArray_DIM(E, 0);
-    pp.delta = delta;
-    pp.eps = eps;
-    /* validate codes < C */
-    for (npy_intp i = 0; i < LA; i++)
-        if (A[i] < 0 || A[i] >= pp.C) {
-            PyErr_SetString(PyExc_ValueError, "code out of range");
-            return NULL;
-        }
-    for (npy_intp j = 0; j < LB; j++)
-        if (B[j] < 0 || B[j] >= pp.C) {
-            PyErr_SetString(PyExc_ValueError, "code out of range");
-            return NULL;
-        }
-
-    std::vector<float> postM;
-    double ea = 0.0;
-    Py_BEGIN_ALLOW_THREADS
-    pairhmm_posterior(A, LA, B, LB, pp, postM, &ea);
-    Py_END_ALLOW_THREADS
-
-    /* sparsify */
+/* shared sparse-output packaging for the posterior entry points */
+static PyObject *sparsify_posterior(const std::vector<float> &postM,
+                                    npy_intp LA, npy_intp LB,
+                                    double cutoff, double ea) {
     std::vector<int32_t> Is, Js;
     std::vector<float> Ps;
     const size_t W = (size_t)LB + 1;
@@ -256,6 +230,77 @@ static PyObject *posterior(PyObject *, PyObject *args) {
         memcpy(PyArray_DATA(Po), Ps.data(), (size_t)n * 4);
     }
     return Py_BuildValue("NNNd", Io, Jo, Po, ea);
+}
+
+/* posterior(codesA, codesB, em [C,C] float64, delta, eps, cutoff)
+ *   -> (I int32, J int32, P float32, ea float) */
+static PyObject *posterior(PyObject *, PyObject *args) {
+    PyObject *Ao, *Bo, *Eo;
+    double delta, eps, cutoff;
+    if (!PyArg_ParseTuple(args, "OOOddd", &Ao, &Bo, &Eo, &delta, &eps,
+                          &cutoff))
+        return NULL;
+    const int32_t *A, *B;
+    npy_intp LA, LB;
+    if (!as_i32(Ao, &A, &LA) || !as_i32(Bo, &B, &LB)) return NULL;
+    PyArrayObject *E = (PyArrayObject *)Eo;
+    if (!PyArray_Check(Eo) || PyArray_TYPE(E) != NPY_FLOAT64 ||
+        PyArray_NDIM(E) != 2 || !PyArray_IS_C_CONTIGUOUS(E) ||
+        PyArray_DIM(E, 0) != PyArray_DIM(E, 1)) {
+        PyErr_SetString(PyExc_TypeError, "em must be square float64");
+        return NULL;
+    }
+    const double *emp = (const double *)PyArray_DATA(E);
+    npy_intp C = PyArray_DIM(E, 0);
+    /* validate codes < C */
+    for (npy_intp i = 0; i < LA; i++)
+        if (A[i] < 0 || A[i] >= C) {
+            PyErr_SetString(PyExc_ValueError, "code out of range");
+            return NULL;
+        }
+    for (npy_intp j = 0; j < LB; j++)
+        if (B[j] < 0 || B[j] >= C) {
+            PyErr_SetString(PyExc_ValueError, "code out of range");
+            return NULL;
+        }
+
+    std::vector<float> postM;
+    double ea = 0.0;
+    Py_BEGIN_ALLOW_THREADS
+    {
+        CodeEm em{emp, C, A, B};
+        pairhmm_posterior(LA, LB, em, delta, eps, postM, &ea);
+    }
+    Py_END_ALLOW_THREADS
+    return sparsify_posterior(postM, LA, LB, cutoff, ea);
+}
+
+/* posterior_dense(EM [LA, LB] float64 match-emission odds, delta, eps,
+ * cutoff) -> (I, J, P, ea). Same pair-HMM, precomputed emissions —
+ * used for profile-column vs profile-column posteriors (the subset
+ * merge stage of backbone_consistency.align_backbone_consistency). */
+static PyObject *posterior_dense(PyObject *, PyObject *args) {
+    PyObject *Eo;
+    double delta, eps, cutoff;
+    if (!PyArg_ParseTuple(args, "Oddd", &Eo, &delta, &eps, &cutoff))
+        return NULL;
+    PyArrayObject *E = (PyArrayObject *)Eo;
+    if (!PyArray_Check(Eo) || PyArray_TYPE(E) != NPY_FLOAT64 ||
+        PyArray_NDIM(E) != 2 || !PyArray_IS_C_CONTIGUOUS(E)) {
+        PyErr_SetString(PyExc_TypeError, "EM must be 2D float64");
+        return NULL;
+    }
+    npy_intp LA = PyArray_DIM(E, 0), LB = PyArray_DIM(E, 1);
+    const double *emp = (const double *)PyArray_DATA(E);
+    std::vector<float> postM;
+    double ea = 0.0;
+    Py_BEGIN_ALLOW_THREADS
+    {
+        DenseEm em{emp, LB};
+        pairhmm_posterior(LA, LB, em, delta, eps, postM, &ea);
+    }
+    Py_END_ALLOW_THREADS
+    return sparsify_posterior(postM, LA, LB, cutoff, ea);
 }
 
 /* ea_align(S [WA, WB] float64 sparse-accumulated scores) -> ops int8
@@ -511,6 +556,8 @@ static PyObject *transform(PyObject *, PyObject *args) {
 static PyMethodDef methods[] = {
     {"posterior", posterior, METH_VARARGS,
      "pair-HMM match posteriors (sparse) + expected-accuracy score"},
+    {"posterior_dense", posterior_dense, METH_VARARGS,
+     "pair-HMM posteriors from a precomputed [LA, LB] emission matrix"},
     {"ea_align", ea_align, METH_VARARGS,
      "NW over accumulated posterior scores, gap 0 -> ops"},
     {"transform", transform, METH_VARARGS,
