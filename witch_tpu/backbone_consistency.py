@@ -173,6 +173,7 @@ def _group_score(post, rowsA: Sequence[int], colsA: List[np.ndarray],
                  WB: int) -> np.ndarray:
     """[WA, WB] summed posterior mass between two aligned groups."""
     S = np.zeros(WA * WB, np.float64)
+    idx_chunks, val_chunks, pend = [], [], 0
     for ai, s in enumerate(rowsA):
         ca = colsA[ai]
         for bi, t in enumerate(rowsB):
@@ -180,8 +181,17 @@ def _group_score(post, rowsA: Sequence[int], colsA: List[np.ndarray],
             if m is None or m.nnz == 0:
                 continue
             coo = m.tocoo()
-            idx = ca[coo.row] * WB + colsB[bi][coo.col]
-            np.add.at(S, idx, coo.data.astype(np.float64))
+            idx_chunks.append(ca[coo.row] * WB + colsB[bi][coo.col])
+            val_chunks.append(coo.data)
+            pend += coo.nnz
+            if pend > 4_000_000:
+                S += np.bincount(np.concatenate(idx_chunks),
+                                 np.concatenate(val_chunks),
+                                 minlength=WA * WB)
+                idx_chunks, val_chunks, pend = [], [], 0
+    if idx_chunks:
+        S += np.bincount(np.concatenate(idx_chunks),
+                         np.concatenate(val_chunks), minlength=WA * WB)
     return S.reshape(WA, WB)
 
 
@@ -530,6 +540,125 @@ def _medoid_reps(D: np.ndarray, r: int) -> np.ndarray:
     return np.asarray(sorted(set(sel)))
 
 
+def sparse_global_align(names: List[str], seqs: List[str],
+                        molecule: str, neighbors: int = 24,
+                        rand_pairs: int = 8,
+                        match_p: Optional[float] = None,
+                        delta: Optional[float] = None, eps: float = 0.75,
+                        rounds: int = 1, refine_rounds: int = 30,
+                        cutoff: float = 0.01, seed: int = 0,
+                        workers: int = 8, log=None) -> PackedAlignment:
+    """Sparse global consistency alignment (arbitrary n).
+
+    One coherent ProbCons-style pass over ALL sequences with a sparse
+    pair graph: each sequence is paired with its `neighbors` nearest
+    sequences in the anchor-EA embedding plus `rand_pairs` random
+    others; the consistency transform runs over the sparse graph (the
+    native SpGEMM skips absent pairs); the merge is progressive over a
+    full UPGMA guide tree with posterior-mass scoring; randomized
+    bipartition refinement polishes the result.
+
+    This subsumes the subset-decompose-merge architecture: close pairs
+    get direct posteriors, distant pairs inherit through common
+    neighbors — the information flow the reference gets from MAGUS's
+    guide-tree decomposition + cross-subset MAFFT-backbone graph
+    (witch_msa/tools/magus/align/merge/graph_build/graph_builder.py).
+    """
+    import scipy.sparse as sp
+    from .backbone_progressive import upgma_merges
+    from .native import _pairhmm
+
+    alphabet = ALPHABETS[molecule]
+    seqs = [s.upper() for s in seqs]
+    n = len(seqs)
+    codes = [alphabet.encode(s) for s in seqs]
+    gap_code = alphabet.gap_code
+    if n == 1:
+        return PackedAlignment(list(names), codes[0][None, :], alphabet)
+    if n <= neighbors + rand_pairs + 2:
+        return consistency_align(names, seqs, molecule, match_p=match_p,
+                                 delta=delta, eps=eps, rounds=max(rounds, 1),
+                                 refine_rounds=refine_rounds,
+                                 cutoff=cutoff, seed=seed,
+                                 workers=workers, log=log)
+    if match_p is None or delta is None:
+        mp_e, de_e, e = estimate_params(codes, alphabet, workers=workers,
+                                        seed=seed)
+        match_p = mp_e if match_p is None else match_p
+        delta = de_e if delta is None else delta
+        if log:
+            log("sparse-global: adaptive params mean_ea=%.3f -> "
+                "match_p=%.3f delta=%.3f" % (e, match_p, delta))
+
+    E = anchor_embedding(codes, alphabet, workers=workers, seed=seed)
+    Edist = np.sqrt(((E[:, None, :] - E[None, :, :]) ** 2).sum(-1))
+
+    # sparse pair graph: m nearest + r random per sequence
+    rng = np.random.default_rng(seed + 101)
+    pair_set = set()
+    order = np.argsort(Edist, axis=1)
+    for s in range(n):
+        for t in order[s, 1:neighbors + 1]:
+            pair_set.add((min(s, int(t)), max(s, int(t))))
+        for t in rng.choice(n, rand_pairs, replace=False):
+            if int(t) != s:
+                pair_set.add((min(s, int(t)), max(s, int(t))))
+    pairs = sorted(pair_set)
+    if log:
+        log("sparse-global: %d/%d pairs (%.1f%%)"
+            % (len(pairs), n * (n - 1) // 2,
+               200.0 * len(pairs) / (n * (n - 1))))
+
+    em = _emission_odds(alphabet, match_p)
+    codes32 = [np.ascontiguousarray(c, np.int32) for c in codes]
+
+    def one(stt):
+        s, t = stt
+        I, J, P, _ea = _pairhmm.posterior(codes32[s], codes32[t], em,
+                                          delta, eps, cutoff)
+        return s, t, sp.csr_matrix(
+            (P, (I, J)), shape=(len(codes32[s]), len(codes32[t])),
+            dtype=np.float32)
+
+    post: Dict[Tuple[int, int], object] = {}
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        for s, t, m in ex.map(one, pairs):
+            post[(s, t)] = m
+    if log:
+        log("sparse-global: posteriors done")
+    lens = np.array([len(c) for c in codes], np.int32)
+    for r in range(rounds):
+        post = consistency_transform(post, n, cutoff=cutoff,
+                                     workers=workers, lens=lens)
+        if log:
+            log("sparse-global: transform round %d done" % (r + 1))
+
+    merges = upgma_merges(Edist)
+    node = {i: ([i], codes[i][None, :].astype(np.uint8))
+            for i in range(n)}
+    for t, (a, b) in enumerate(merges):
+        (ra, ca), (rb, cb) = node.pop(a), node.pop(b)
+        merged, rws, _ = _align_groups(post, ra, ca, rb, cb, gap_code)
+        node[n + t] = (rws, merged)
+    rows, mat = node[n + len(merges) - 1]
+    if log:
+        log("sparse-global: merged %d seqs -> %d cols"
+            % (mat.shape[0], mat.shape[1]))
+
+    rows, mat, obj = refine_bipartitions(
+        post, rows, mat, gap_code, refine_rounds,
+        np.random.default_rng(seed))
+    if log:
+        log("sparse-global: %d cols after refinement (EA obj %.1f)"
+            % (mat.shape[1], obj))
+
+    aln = PackedAlignment([names[i] for i in rows], mat, alphabet)
+    aln, _ = aln.delete_all_gap_columns()
+    idx = {nm: i for i, nm in enumerate(aln.names)}
+    sel = [idx[nm] for nm in names]
+    return PackedAlignment(list(names), aln.codes[sel], alphabet)
+
+
 def align_backbone_consistency(names: List[str], seqs: List[str],
                                molecule: str, subset_size: int = 50,
                                reps: int = 4,
@@ -539,6 +668,7 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
                                profile_match_p: float = 0.5,
                                rounds: int = 2, refine_rounds: int = 50,
                                cutoff: float = 0.01, seed: int = 0,
+                               pair_cap: Optional[int] = None,
                                workers: int = 8, log=None
                                ) -> PackedAlignment:
     """Full-backbone alignment: decompose, align subsets with the
@@ -607,42 +737,57 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
             log("backbone: subset %d/%d aligned (%d seqs, %d cols)"
                 % (ci + 1, len(clusters), mat.shape[0], mat.shape[1]))
 
-    # cross-subset representative posteriors (+ one consistency round):
-    # the analogue of MAGUS's cross-subset MAFFT-backbone graph
-    # (graph_builder.py:26-231) — posterior mass between per-subset
-    # medoid/farthest-point representatives drives the merge
-    rep_ids = sorted({r for _, _, rs in subs for r in rs})
-    rep_codes = [codes[i] for i in rep_ids]
-    rep_post_local, repD = pairwise_posteriors(
-        rep_codes, alphabet, match_p=match_p, delta=delta, eps=eps,
-        cutoff=cutoff, workers=workers)
-    if rounds > 0:
-        rep_post_local = consistency_transform(
-            rep_post_local, len(rep_ids), cutoff=cutoff, workers=workers)
-    post = {(rep_ids[a], rep_ids[b]): m
-            for (a, b), m in rep_post_local.items()}
-    if log:
-        log("backbone: %d rep posteriors across %d reps"
-            % (len(post), len(rep_ids)))
+    # Merge-time cross-subset posteriors: for every join, compute
+    # pair-HMM posteriors for a capped random sample of cross pairs
+    # (all rows participate across the joins) — the information-density
+    # analogue of MAGUS's cross-subset MAFFT-backbone graph
+    # (graph_builder.py:26-231), which samples <=200-seq backbones.
+    import scipy.sparse as sp
+    from .native import _pairhmm
+    em_glob = _emission_odds(alphabet, match_p)
+    codes32 = [np.ascontiguousarray(c, np.int32) for c in codes]
+    post: Dict[Tuple[int, int], object] = {}
+    pair_rng = np.random.default_rng(seed + 10007)
 
-    # subset-level UPGMA over mean rep EA distance
+    def ensure_pairs(rowsA, rowsB, cap):
+        cross = [(a, b) for a in rowsA for b in rowsB]
+        if len(cross) > cap:
+            sel = pair_rng.choice(len(cross), cap, replace=False)
+            cross = [cross[i] for i in sel]
+        todo = [(a, b) for a, b in cross
+                if (a, b) not in post and (b, a) not in post]
+
+        def one(ab):
+            a, b = ab
+            I, J, P, _ea = _pairhmm.posterior(
+                codes32[a], codes32[b], em_glob, delta, eps, cutoff)
+            return a, b, sp.csr_matrix(
+                (P, (I, J)), shape=(len(codes32[a]), len(codes32[b])),
+                dtype=np.float32)
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            for a, b, m in ex.map(one, todo):
+                post[(a, b)] = m
+        return len(todo)
+
+    # subset-level UPGMA over anchor-embedding centroid distance
     S = len(subs)
-    rep_pos = {r: i for i, r in enumerate(rep_ids)}
-    DS = np.zeros((S, S))
-    for a in range(S):
-        for b in range(a + 1, S):
-            da = [repD[rep_pos[x], rep_pos[y]]
-                  for x in subs[a][2] for y in subs[b][2]]
-            DS[a, b] = DS[b, a] = float(np.mean(da))
+    cent = np.stack([E[[i for i in grows]].mean(axis=0)
+                     for grows, _, _ in subs])
+    DS = np.sqrt(((cent[:, None, :] - cent[None, :, :]) ** 2).sum(-1))
     merges = upgma_merges(DS)
     node = {i: (subs[i][0], subs[i][1]) for i in range(S)}
+    if pair_cap is None:
+        pair_cap = max(400, 24 * subset_size)
     for t, (a, b) in enumerate(merges):
         (ra, ca), (rb, cb) = node.pop(a), node.pop(b)
+        npairs = ensure_pairs(ra, rb, pair_cap)
         merged, rws, _ = _align_groups(post, ra, ca, rb, cb, gap_code)
         node[S + t] = (rws, merged)
         if log:
-            log("backbone: merged %d+%d seqs -> %d cols"
-                % (len(ra), len(rb), merged.shape[1]))
+            log("backbone: merged %d+%d seqs -> %d cols (+%d pair "
+                "posteriors)" % (len(ra), len(rb), merged.shape[1],
+                                 npairs))
     rows, mat = node[S + len(merges) - 1]
 
     # top-level structured refinement: re-split along each subset

@@ -57,10 +57,19 @@ struct DenseEm {
     }
 };
 
-/* forward/backward storage: [ (LA+1) * (LB+1) ] row-major */
+/* forward/backward storage: [ (LA+1) * (LB+1) ] row-major.
+ *
+ * fo/fe are FLANK (terminal-gap) open/extend probabilities: gap runs
+ * along row 0 / column 0 (leading flanks) and row LA / column LB
+ * (trailing flanks) use them instead of delta/eps. With fe near 1 the
+ * model behaves like an overlap ("glocal") aligner — essential for
+ * inputs with +-25% length variation, where interior-priced terminal
+ * gaps smear every posterior (the reference gets the same effect from
+ * MAFFT --localpair inside MAGUS). */
 template <class Em>
 static void pairhmm_posterior(npy_intp LA, npy_intp LB, const Em &em,
                               double delta, double eps,
+                              double fo, double fe,
                               std::vector<float> &postM,
                               double *ea_score) {
     const double t_mm = 1.0 - 2.0 * delta;
@@ -74,9 +83,9 @@ static void pairhmm_posterior(npy_intp LA, npy_intp LB, const Em &em,
 
     /* ---- forward ---- */
     fM[0] = 1.0;
-    /* row 0: only Y moves (consume B) */
+    /* row 0: only Y moves (consume B) — leading flank of B */
     for (npy_intp j = 1; j <= LB; j++) {
-        fY[j] = (j == 1 ? t_mg * fM[0] : t_gg * fY[j - 1]);
+        fY[j] = (j == 1 ? fo * fM[0] : fe * fY[j - 1]);
     }
     for (npy_intp i = 1; i <= LA; i++) {
         double *fMi = fM.data() + (size_t)i * W;
@@ -85,15 +94,19 @@ static void pairhmm_posterior(npy_intp LA, npy_intp LB, const Em &em,
         const double *fMp = fM.data() + (size_t)(i - 1) * W;
         const double *fXp = fX.data() + (size_t)(i - 1) * W;
         const double *fYp = fY.data() + (size_t)(i - 1) * W;
-        /* j = 0: only X moves */
-        fXi[0] = (i == 1 ? t_mg * fMp[0] : t_gg * fXp[0]);
+        /* j = 0: only X moves — leading flank of A */
+        fXi[0] = (i == 1 ? fo * fMp[0] : fe * fXp[0]);
         double rowmax = fXi[0];
+        const double yo = (i == LA) ? fo : t_mg;
+        const double ye = (i == LA) ? fe : t_gg;
         for (npy_intp j = 1; j <= LB; j++) {
             const double e = em(i, j);
             const double m = e * (t_mm * fMp[j - 1] + t_gm * fXp[j - 1] +
                                   t_gm * fYp[j - 1]);
-            const double x = t_mg * fMp[j] + t_gg * fXp[j];
-            const double y = t_mg * fMi[j - 1] + t_gg * fYi[j - 1];
+            const double xo = (j == LB) ? fo : t_mg;
+            const double xe = (j == LB) ? fe : t_gg;
+            const double x = xo * fMp[j] + xe * fXp[j];
+            const double y = yo * fMi[j - 1] + ye * fYi[j - 1];
             fMi[j] = m;
             fXi[j] = x;
             fYi[j] = y;
@@ -116,15 +129,16 @@ static void pairhmm_posterior(npy_intp LA, npy_intp LB, const Em &em,
     bM[N - 1] = 1.0;
     bX[N - 1] = 1.0;
     bY[N - 1] = 1.0;
-    /* last row: only Y moves remain (X cannot reach Y: no X->Y) */
+    /* last row: only Y moves remain (X cannot reach Y: no X->Y) —
+     * trailing flank of B */
     {
         double *bMi = bM.data() + (size_t)LA * W;
         double *bXi = bX.data() + (size_t)LA * W;
         double *bYi = bY.data() + (size_t)LA * W;
         for (npy_intp j = LB - 1; j >= 0; j--) {
-            bMi[j] = t_mg * bYi[j + 1];
+            bMi[j] = fo * bYi[j + 1];
             bXi[j] = 0.0;
-            bYi[j] = t_gg * bYi[j + 1];
+            bYi[j] = fe * bYi[j + 1];
         }
     }
     for (npy_intp i = LA - 1; i >= 0; i--) {
@@ -135,18 +149,22 @@ static void pairhmm_posterior(npy_intp LA, npy_intp LB, const Em &em,
         const double *bXn = bX.data() + (size_t)(i + 1) * W;
         const double *bYn = bY.data() + (size_t)(i + 1) * W;
         const double inv = 1.0 / scale[(size_t)i + 1];
-        /* j = LB: only X moves (Y cannot reach X: no Y->X) */
-        bMi[LB] = t_mg * bXn[LB] * inv;
-        bXi[LB] = t_gg * bXn[LB] * inv;
+        /* j = LB: only X moves (Y cannot reach X) — trailing flank of A */
+        bMi[LB] = fo * bXn[LB] * inv;
+        bXi[LB] = fe * bXn[LB] * inv;
         bYi[LB] = 0.0;
+        const double yo = (i == 0) ? fo : t_mg;
+        const double ye = (i == 0) ? fe : t_gg;
         for (npy_intp j = LB - 1; j >= 0; j--) {
             const double e = em(i + 1, j + 1);
             const double md = e * bMn[j + 1] * inv;  /* diag M arrival */
             const double xd = bXn[j] * inv;          /* down X arrival */
             const double yd = bYi[j + 1];            /* right Y arrival */
-            bMi[j] = t_mm * md + t_mg * xd + t_mg * yd;
-            bXi[j] = t_gm * md + t_gg * xd;
-            bYi[j] = t_gm * md + t_gg * yd;
+            const double xo = (j == 0) ? fo : t_mg;
+            const double xe = (j == 0) ? fe : t_gg;
+            bMi[j] = t_mm * md + xo * xd + yo * yd;
+            bXi[j] = t_gm * md + xe * xd;
+            bYi[j] = t_gm * md + ye * yd;
         }
     }
 
@@ -236,10 +254,12 @@ static PyObject *sparsify_posterior(const std::vector<float> &postM,
  *   -> (I int32, J int32, P float32, ea float) */
 static PyObject *posterior(PyObject *, PyObject *args) {
     PyObject *Ao, *Bo, *Eo;
-    double delta, eps, cutoff;
-    if (!PyArg_ParseTuple(args, "OOOddd", &Ao, &Bo, &Eo, &delta, &eps,
-                          &cutoff))
+    double delta, eps, cutoff, fo = -1.0, fe = -1.0;
+    if (!PyArg_ParseTuple(args, "OOOddd|dd", &Ao, &Bo, &Eo, &delta, &eps,
+                          &cutoff, &fo, &fe))
         return NULL;
+    if (fo < 0.0) fo = delta;
+    if (fe < 0.0) fe = eps;
     const int32_t *A, *B;
     npy_intp LA, LB;
     if (!as_i32(Ao, &A, &LA) || !as_i32(Bo, &B, &LB)) return NULL;
@@ -269,7 +289,7 @@ static PyObject *posterior(PyObject *, PyObject *args) {
     Py_BEGIN_ALLOW_THREADS
     {
         CodeEm em{emp, C, A, B};
-        pairhmm_posterior(LA, LB, em, delta, eps, postM, &ea);
+        pairhmm_posterior(LA, LB, em, delta, eps, fo, fe, postM, &ea);
     }
     Py_END_ALLOW_THREADS
     return sparsify_posterior(postM, LA, LB, cutoff, ea);
@@ -281,9 +301,12 @@ static PyObject *posterior(PyObject *, PyObject *args) {
  * merge stage of backbone_consistency.align_backbone_consistency). */
 static PyObject *posterior_dense(PyObject *, PyObject *args) {
     PyObject *Eo;
-    double delta, eps, cutoff;
-    if (!PyArg_ParseTuple(args, "Oddd", &Eo, &delta, &eps, &cutoff))
+    double delta, eps, cutoff, fo = -1.0, fe = -1.0;
+    if (!PyArg_ParseTuple(args, "Oddd|dd", &Eo, &delta, &eps, &cutoff,
+                          &fo, &fe))
         return NULL;
+    if (fo < 0.0) fo = delta;
+    if (fe < 0.0) fe = eps;
     PyArrayObject *E = (PyArrayObject *)Eo;
     if (!PyArray_Check(Eo) || PyArray_TYPE(E) != NPY_FLOAT64 ||
         PyArray_NDIM(E) != 2 || !PyArray_IS_C_CONTIGUOUS(E)) {
@@ -297,7 +320,7 @@ static PyObject *posterior_dense(PyObject *, PyObject *args) {
     Py_BEGIN_ALLOW_THREADS
     {
         DenseEm em{emp, LB};
-        pairhmm_posterior(LA, LB, em, delta, eps, postM, &ea);
+        pairhmm_posterior(LA, LB, em, delta, eps, fo, fe, postM, &ea);
     }
     Py_END_ALLOW_THREADS
     return sparsify_posterior(postM, LA, LB, cutoff, ea);
