@@ -526,6 +526,43 @@ def _kmeans_rows(E: np.ndarray, k: int, seed: int = 0,
             if np.any(assign == c)]
 
 
+def _tree_clusters(D: np.ndarray, max_size: int) -> List[np.ndarray]:
+    """UPGMA tree over D, cut top-down into clusters <= max_size
+    (centroid-style decomposition on the guide tree)."""
+    from .backbone_progressive import upgma_merges
+    n = D.shape[0]
+    merges = upgma_merges(D)
+    members = {i: [i] for i in range(n)}
+    children = {}
+    for t, (a, b) in enumerate(merges):
+        children[n + t] = (a, b)
+        members[n + t] = members[a] + members[b]
+    out = []
+    stack = [n + len(merges) - 1] if merges else [0]
+    while stack:
+        nd = stack.pop()
+        if len(members[nd]) <= max_size or nd < n:
+            out.append(np.asarray(sorted(members[nd])))
+        else:
+            stack.extend(children[nd])
+    return out
+
+
+def _alignment_identity_dist(mat: np.ndarray, K: int,
+                             gap_code: int) -> np.ndarray:
+    """[n, n] (1 - identity over mutually aligned residues)."""
+    n = mat.shape[0]
+    res = mat < K
+    D = np.zeros((n, n))
+    for s in range(n):
+        m = res[s][None, :] & res
+        same = (mat == mat[s][None, :]) & m
+        iden = same.sum(axis=1) / np.maximum(m.sum(axis=1), 1)
+        D[s] = 1.0 - iden
+        D[s, s] = 0.0
+    return (D + D.T) / 2.0
+
+
 def _medoid_reps(D: np.ndarray, r: int) -> np.ndarray:
     """Medoid + farthest-point representative selection."""
     n = D.shape[0]
@@ -669,6 +706,7 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
                                rounds: int = 2, refine_rounds: int = 50,
                                cutoff: float = 0.01, seed: int = 0,
                                pair_cap: Optional[int] = None,
+                               iters: int = 1,
                                workers: int = 8, log=None
                                ) -> PackedAlignment:
     """Full-backbone alignment: decompose, align subsets with the
@@ -703,53 +741,18 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
             log("backbone: adaptive params mean_ea=%.3f -> "
                 "match_p=%.3f delta=%.3f" % (e, match_p, delta))
 
-    # phylogenetic-neighborhood subsets from the EA anchor embedding
-    E = anchor_embedding(codes, alphabet, workers=workers, seed=seed)
-    n_clusters = max(2, -(-n // subset_size))
-    clusters = _kmeans_rows(E, n_clusters, seed=seed)
-    # split oversized clusters
-    split = []
-    for idx in clusters:
-        if len(idx) > int(1.5 * subset_size):
-            k = -(-len(idx) // subset_size)
-            split.extend(np.array_split(idx, k))
-        else:
-            split.append(idx)
-    clusters = [c for c in split if len(c)]
-    if log:
-        log("backbone: %d subsets (sizes %s)"
-            % (len(clusters),
-               sorted((len(c) for c in clusters), reverse=True)))
-
-    # align each subset with per-subset adaptive parameters (a tight
-    # neighborhood wants stronger match odds than the global mix)
-    subs = []   # (global_rows, mat, rep_global_ids)
-    for ci, idx in enumerate(clusters):
-        sub_codes = [codes[i] for i in idx]
-        rows, mat, _, D = consistency_align_core(
-            sub_codes, alphabet, match_p=None, delta=None, eps=eps,
-            rounds=rounds, refine_rounds=refine_rounds, cutoff=cutoff,
-            seed=seed + ci, workers=workers)
-        grows = [int(idx[r]) for r in rows]
-        rsel = _medoid_reps(D, reps)
-        subs.append((grows, mat, [int(idx[r]) for r in rsel]))
-        if log:
-            log("backbone: subset %d/%d aligned (%d seqs, %d cols)"
-                % (ci + 1, len(clusters), mat.shape[0], mat.shape[1]))
-
-    # Merge-time cross-subset posteriors: for every join, compute
-    # pair-HMM posteriors for a capped random sample of cross pairs
-    # (all rows participate across the joins) — the information-density
-    # analogue of MAGUS's cross-subset MAFFT-backbone graph
-    # (graph_builder.py:26-231), which samples <=200-seq backbones.
     import scipy.sparse as sp
     from .native import _pairhmm
     em_glob = _emission_odds(alphabet, match_p)
     codes32 = [np.ascontiguousarray(c, np.int32) for c in codes]
-    post: Dict[Tuple[int, int], object] = {}
+    post: Dict[Tuple[int, int], object] = {}   # persistent across iters
     pair_rng = np.random.default_rng(seed + 10007)
 
     def ensure_pairs(rowsA, rowsB, cap):
+        """Compute pair-HMM posteriors for a capped random sample of
+        cross pairs at a join — the information-density analogue of
+        MAGUS's cross-subset MAFFT-backbone graph
+        (graph_builder.py:26-231), which samples <=200-seq backbones."""
         cross = [(a, b) for a in rowsA for b in rowsB]
         if len(cross) > cap:
             sel = pair_rng.choice(len(cross), cap, replace=False)
@@ -770,35 +773,94 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
                 post[(a, b)] = m
         return len(todo)
 
-    # subset-level UPGMA over anchor-embedding centroid distance
-    S = len(subs)
-    cent = np.stack([E[[i for i in grows]].mean(axis=0)
-                     for grows, _, _ in subs])
-    DS = np.sqrt(((cent[:, None, :] - cent[None, :, :]) ** 2).sum(-1))
-    merges = upgma_merges(DS)
-    node = {i: (subs[i][0], subs[i][1]) for i in range(S)}
+    # iteration 0 clusters from the EA anchor embedding; later
+    # iterations re-derive neighborhoods from the previous alignment
+    # (PASTA-style iteration)
+    E = anchor_embedding(codes, alphabet, workers=workers, seed=seed)
     if pair_cap is None:
         pair_cap = max(400, 24 * subset_size)
-    for t, (a, b) in enumerate(merges):
-        (ra, ca), (rb, cb) = node.pop(a), node.pop(b)
-        npairs = ensure_pairs(ra, rb, pair_cap)
-        merged, rws, _ = _align_groups(post, ra, ca, rb, cb, gap_code)
-        node[S + t] = (rws, merged)
+    D_aln = None
+    rows = mat = None
+    for it in range(max(1, iters)):
+        if it == 0:
+            n_clusters = max(2, -(-n // subset_size))
+            clusters = _kmeans_rows(E, n_clusters, seed=seed)
+            split = []
+            for idx in clusters:
+                if len(idx) > int(1.5 * subset_size):
+                    k = -(-len(idx) // subset_size)
+                    split.extend(np.array_split(idx, k))
+                else:
+                    split.append(idx)
+            clusters = [c for c in split if len(c)]
+        else:
+            clusters = _tree_clusters(D_aln, subset_size)
         if log:
-            log("backbone: merged %d+%d seqs -> %d cols (+%d pair "
-                "posteriors)" % (len(ra), len(rb), merged.shape[1],
-                                 npairs))
-    rows, mat = node[S + len(merges) - 1]
+            log("backbone[it%d]: %d subsets (sizes %s)"
+                % (it, len(clusters),
+                   sorted((len(c) for c in clusters), reverse=True)))
 
-    # top-level structured refinement: re-split along each subset
-    # (leave-one-subset-out) under the rep-posterior EA objective
-    groups = [grows for grows, _, _ in subs]
-    rng = np.random.default_rng(seed)
-    rows, mat, obj = refine_bipartitions(post, rows, mat, gap_code,
-                                         0, rng, groups=groups)
-    if log:
-        log("backbone: %d seqs -> %d cols (rep EA obj %.1f)"
-            % (mat.shape[0], mat.shape[1], obj))
+        # align each subset with per-subset adaptive parameters (a
+        # tight neighborhood wants stronger match odds than the mix)
+        subs = []   # (global_rows, mat)
+        for ci, idx in enumerate(clusters):
+            if len(idx) == 1:
+                subs.append(([int(idx[0])],
+                             codes[int(idx[0])][None, :].astype(np.uint8)))
+                continue
+            sub_codes = [codes[i] for i in idx]
+            srows, smat, _, _D = consistency_align_core(
+                sub_codes, alphabet, match_p=None, delta=None, eps=eps,
+                rounds=rounds, refine_rounds=refine_rounds,
+                cutoff=cutoff, seed=seed + ci, workers=workers)
+            subs.append(([int(idx[r]) for r in srows], smat))
+            if log:
+                log("backbone[it%d]: subset %d/%d aligned (%d seqs, "
+                    "%d cols)" % (it, ci + 1, len(clusters),
+                                  smat.shape[0], smat.shape[1]))
+
+        # subset-level UPGMA: anchor-centroid distance (it 0) or mean
+        # alignment-identity distance (later iterations)
+        S = len(subs)
+        if it == 0:
+            cent = np.stack([E[[i for i in grows]].mean(axis=0)
+                             for grows, _ in subs])
+            DS = np.sqrt(((cent[:, None, :] - cent[None, :, :]) ** 2
+                          ).sum(-1))
+        else:
+            DS = np.zeros((S, S))
+            for a in range(S):
+                for b in range(a + 1, S):
+                    DS[a, b] = DS[b, a] = float(np.mean(
+                        D_aln[np.ix_(subs[a][0], subs[b][0])]))
+        merges = upgma_merges(DS)
+        node = {i: (subs[i][0], subs[i][1]) for i in range(S)}
+        for t, (a, b) in enumerate(merges):
+            (ra, ca), (rb, cb) = node.pop(a), node.pop(b)
+            npairs = ensure_pairs(ra, rb, pair_cap)
+            merged, rws, _ = _align_groups(post, ra, ca, rb, cb,
+                                           gap_code)
+            node[S + t] = (rws, merged)
+            if log:
+                log("backbone[it%d]: merged %d+%d seqs -> %d cols "
+                    "(+%d pair posteriors)"
+                    % (it, len(ra), len(rb), merged.shape[1], npairs))
+        rows, mat = node[S + len(merges) - 1] if merges else node[0]
+
+        # top-level structured refinement (leave-one-subset-out)
+        groups = [grows for grows, _ in subs]
+        rng = np.random.default_rng(seed + it)
+        rows, mat, obj = refine_bipartitions(post, rows, mat, gap_code,
+                                             0, rng, groups=groups)
+        if log:
+            log("backbone[it%d]: %d seqs -> %d cols (EA obj %.1f)"
+                % (it, mat.shape[0], mat.shape[1], obj))
+        if it < max(1, iters) - 1:
+            # alignment-derived distances for the next iteration,
+            # indexed by global sequence id
+            inv = np.argsort(np.asarray(rows))
+            D_aln = _alignment_identity_dist(mat[inv], alphabet.K,
+                                             gap_code)
 
     aln = PackedAlignment([names[i] for i in rows], mat, alphabet)
     aln, _ = aln.delete_all_gap_columns()

@@ -642,31 +642,42 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 16,
         t.blen[p] = half
         t.blen[c] = half
 
-    def spr_pass(ll_now, max_moves=6):
-        """Single-leaf SPR: prune-and-regraft for leaves that NNI
-        cannot walk out of a wrong clade (each NNI step through the
-        intervening edges is individually non-improving, so pure NNI
-        stalls; FastTree escapes the same way).  Candidates are the
-        longest terminal branches -- a misplaced leaf gets stretched.
+    def spr_pass(ll_now, max_moves=6, subtrees=False):
+        """SPR: prune-and-regraft for clades that NNI cannot walk out
+        of a wrong position (each NNI step through the intervening
+        edges is individually non-improving, so pure NNI stalls;
+        FastTree escapes the same way).  Candidates are the longest
+        branches (terminal only, or any subtree edge with
+        subtrees=True) -- a misplaced clade gets its branch stretched.
         Each candidate is pruned exactly, every edge of the pruned
         tree is scored by the exact three-way joint at the insertion
         point (per-edge scale logs included so scores compare across
-        edges), and the winning regraft is kept only if the exact
-        recomputed total likelihood improves."""
-        leaves = [i for i in range(n_nodes)
-                  if not t.children[i] and t.name[i] is not None
-                  and t.parent[i] >= 0]
-        leaves.sort(key=lambda i: -t.blen[i])
-        cand = leaves[:min(25, max(4, len(leaves) // 10))]
+        edges; the pruned clade's own scale log is a constant), and
+        the winning regraft is kept only if the exact recomputed total
+        likelihood improves."""
+        cand_nodes = [i for i in range(n_nodes)
+                      if t.parent[i] >= 0 and
+                      (t.children[i] if subtrees
+                       else (not t.children[i] and
+                             t.name[i] is not None))]
+        cand_nodes.sort(key=lambda i: -t.blen[i])
+        cand = cand_nodes[:min(25, max(4, len(cand_nodes) // 10))]
         moves = 0
+        up_pre = slog_pre = None
         for x in cand:
             if moves >= max_moves:
                 break
+            if t.children[x]:
+                if up_pre is None:
+                    up_pre, slog_pre, _, _ = passes(need_down=False)
+                Xclv = up_pre[x]
+            else:
+                Xclv = np.array(make_leaf(x))
             info = detach_leaf(x)
             if info is None:
                 continue
             up, slog, down, dlog = passes()
-            X = pv(np.array(make_leaf(x)), t.blen[x])
+            X = pv(Xclv, t.blen[x])
             best_c, best_val, stay_val = None, -np.inf, -np.inf
             for c in orders():
                 if t.parent[c] < 0:
@@ -689,9 +700,11 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 16,
             if ll_new > ll_now + 1e-6:
                 ll_now = ll_new
                 moves += 1
+                up_pre = slog_pre = None   # topology changed
                 if log:
                     log("ml spr: regrafted %s (logL %.2f)"
-                        % (t.name[x], ll_now))
+                        % (t.name[x] if t.name[x] is not None
+                           else "clade@%d" % x, ll_now))
             else:
                 detach_leaf(x)
                 undo_detach(info)
@@ -794,11 +807,17 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 16,
                     else:
                         restore_state(st)
         if not progressed:
-            # NNI converged; try escaping with single-leaf SPR
+            # NNI converged; try escaping with single-leaf SPR, then
+            # whole-subtree SPR (FastTree moves subtrees too)
             moves, ll_spr = spr_pass(ll_cur)
             if moves:
                 ll_cur = ll_spr
                 progressed = True
+            else:
+                moves, ll_spr = spr_pass(ll_cur, subtrees=True)
+                if moves:
+                    ll_cur = ll_spr
+                    progressed = True
         if log:
             log("ml sweep %d: logL %.2f, %d swaps%s"
                 % (sweep, ll_cur, swaps if progressed else 0,
