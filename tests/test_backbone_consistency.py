@@ -137,7 +137,7 @@ def test_align_backbone_consistency_subsets():
     rng = np.random.default_rng(13)
     names, seqs, truth = _family(rng, 42, anc_len=250)
     aln = align_backbone_consistency(names, seqs, "dna", subset_size=16,
-                                     reps=3, refine_rounds=10, workers=4)
+                                     refine_rounds=10, workers=4)
     assert aln.n_seqs == 42
     assert list(aln.names) == names
     med = float(np.median([len(s) for s in seqs]))

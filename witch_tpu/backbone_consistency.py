@@ -410,51 +410,7 @@ def _column_profile(mat: np.ndarray, alphabet: Alphabet):
     return freq, occ
 
 
-def _ss_score(post_ss, mapsA: Dict[int, np.ndarray], WA: int,
-              mapsB: Dict[int, np.ndarray], WB: int) -> np.ndarray:
-    """[WA, WB] posterior mass between two groups of subsets, using
-    subset-profile posteriors mapped through per-subset column maps."""
-    S = np.zeros(WA * WB, np.float64)
-    for sa, ca in mapsA.items():
-        for sb, cb in mapsB.items():
-            m = _get(post_ss, sa, sb)
-            if m is None or m.nnz == 0:
-                continue
-            coo = m.tocoo()
-            idx = ca[coo.row] * WB + cb[coo.col]
-            np.add.at(S, idx, coo.data.astype(np.float64))
-    return S.reshape(WA, WB)
 
-
-def _merge_subset_groups(post_ss, rowsA, matA, mapsA, rowsB, matB,
-                         mapsB, gap_code):
-    from .native import _pairhmm
-    S = _ss_score(post_ss, mapsA, matA.shape[1], mapsB, matB.shape[1])
-    ops = np.asarray(_pairhmm.ea_align(np.ascontiguousarray(S)), np.int8)
-    nA = matA.shape[0]
-    W = len(ops)
-    out = np.full((nA + matB.shape[0], W), gap_code, np.uint8)
-    posA = np.flatnonzero(ops != 2)
-    posB = np.flatnonzero(ops != 1)
-    out[:nA, posA] = matA
-    out[nA:, posB] = matB
-    maps = {s: posA[c] for s, c in mapsA.items()}
-    maps.update({s: posB[c] for s, c in mapsB.items()})
-    return list(rowsA) + list(rowsB), out, maps
-
-
-def _ss_objective(post_ss, maps: Dict[int, np.ndarray]) -> float:
-    total = 0.0
-    ids = sorted(maps)
-    for i, sa in enumerate(ids):
-        for sb in ids[i + 1:]:
-            m = _get(post_ss, sa, sb)
-            if m is None or m.nnz == 0:
-                continue
-            coo = m.tocoo()
-            hit = maps[sa][coo.row] == maps[sb][coo.col]
-            total += float(coo.data[hit].sum())
-    return total
 
 
 def anchor_embedding(codes: List[np.ndarray], alphabet: Alphabet,
@@ -562,19 +518,6 @@ def _alignment_identity_dist(mat: np.ndarray, K: int,
         D[s, s] = 0.0
     return (D + D.T) / 2.0
 
-
-def _medoid_reps(D: np.ndarray, r: int) -> np.ndarray:
-    """Medoid + farthest-point representative selection."""
-    n = D.shape[0]
-    if n <= r:
-        return np.arange(n)
-    sel = [int(np.argmin(D.sum(axis=1)))]
-    dmin = D[sel[0]].copy()
-    for _ in range(r - 1):
-        nxt = int(np.argmax(dmin))
-        sel.append(nxt)
-        dmin = np.minimum(dmin, D[nxt])
-    return np.asarray(sorted(set(sel)))
 
 
 def sparse_global_align(names: List[str], seqs: List[str],
@@ -698,11 +641,9 @@ def sparse_global_align(names: List[str], seqs: List[str],
 
 def align_backbone_consistency(names: List[str], seqs: List[str],
                                molecule: str, subset_size: int = 50,
-                               reps: int = 4,
                                match_p: Optional[float] = None,
                                delta: Optional[float] = None,
                                eps: float = 0.75,
-                               profile_match_p: float = 0.5,
                                rounds: int = 2, refine_rounds: int = 50,
                                cutoff: float = 0.01, seed: int = 0,
                                pair_cap: Optional[int] = None,
@@ -777,8 +718,16 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
     # iterations re-derive neighborhoods from the previous alignment
     # (PASTA-style iteration)
     E = anchor_embedding(codes, alphabet, workers=workers, seed=seed)
-    if pair_cap is None:
-        pair_cap = max(400, 24 * subset_size)
+
+    def join_cap(na, nb):
+        # fixed caps starve big joins (at n=500 the root join has 62k
+        # cross pairs; 1200 samples = 2% coverage left columns unpaired
+        # and ballooned the output width) — scale with the join, bound
+        # the worst case
+        if pair_cap is not None:
+            return pair_cap
+        return min(15000, max(1500, int(0.2 * na * nb)))
+
     D_aln = None
     rows = mat = None
     for it in range(max(1, iters)):
@@ -837,7 +786,7 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
         node = {i: (subs[i][0], subs[i][1]) for i in range(S)}
         for t, (a, b) in enumerate(merges):
             (ra, ca), (rb, cb) = node.pop(a), node.pop(b)
-            npairs = ensure_pairs(ra, rb, pair_cap)
+            npairs = ensure_pairs(ra, rb, join_cap(len(ra), len(rb)))
             merged, rws, _ = _align_groups(post, ra, ca, rb, cb,
                                            gap_code)
             node[S + t] = (rws, merged)
