@@ -21,8 +21,10 @@ architecture (ProbCons-style) on this codebase's array conventions:
      realign) keeping improvements of the EA objective.
 
 This engine aligns the *subsets* (<= ~60 seqs); the full-backbone
-driver (backbone_magus.align_backbone_magus) decomposes larger inputs
-and merges subset alignments with the same machinery.
+driver (align_backbone_consistency) clusters larger inputs into
+phylogenetic neighborhoods via the anchor-EA embedding, aligns each
+with the core, and merges along a subset-level UPGMA with merge-time
+sampled cross-subset posteriors.
 """
 
 from __future__ import annotations
@@ -657,9 +659,8 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
     The same divide-and-merge shape as the reference's MAGUS
     (decompose -> L-INS-i subsets -> graph merge,
     witch_msa/tools/magus/align/aligner.py) with the graph replaced by
-    posterior mass between subset representatives.
+    merge-time sampled cross-subset pair posteriors.
     """
-    from .backbone import _kmer_profiles
     from .backbone_progressive import upgma_merges
 
     alphabet = ALPHABETS[molecule]

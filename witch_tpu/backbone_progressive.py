@@ -27,7 +27,7 @@ cols via MAGUS; this aligner lands in the same regime).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
