@@ -132,6 +132,36 @@ def test_consistency_align_quality():
     assert rec >= 0.70, "consistency SP-recall %.3f below floor" % rec
 
 
+def test_consistency_align_amino():
+    from witch_tpu.backbone_consistency import consistency_align
+    rng = np.random.default_rng(17)
+    AAs = "ACDEFGHIKLMNPQRSTVWY"
+    anc = [(AAs[rng.integers(20)], i) for i in range(200)]
+
+    def evolve(pairs, p_sub, p_indel):
+        out = []
+        for ch, ap in pairs:
+            if rng.random() < p_indel / 2:
+                continue
+            sub = AAs[rng.integers(20)] if rng.random() < p_sub else ch
+            out.append((sub, ap))
+            if rng.random() < p_indel:
+                out.append((AAs[rng.integers(20)], -1))
+        return out
+
+    names, seqs, truth = [], [], []
+    for i in range(14):
+        t = evolve(anc, 0.25, 0.04)
+        names.append("p%d" % i)
+        seqs.append("".join(ch for ch, _ in t))
+        truth.append(np.array([ap for _, ap in t]))
+    aln = consistency_align(names, seqs, "amino", refine_rounds=10,
+                            workers=4)
+    assert aln.n_seqs == 14
+    rec = _sp_recall(aln, names, seqs, truth, max_pairs=91)
+    assert rec >= 0.75, "amino SP-recall %.3f below floor" % rec
+
+
 def test_align_backbone_consistency_subsets():
     from witch_tpu.backbone_consistency import align_backbone_consistency
     rng = np.random.default_rng(13)
