@@ -1034,6 +1034,115 @@ static PyObject *ensemble_region(PyObject *, PyObject *args) {
 }
 
 
+/* shared parsing for the one-model-vs-many-targets entry points */
+static bool parse_model_targets(PyObject *omsc, PyObject *ot[8],
+                                PyObject *olist, Model *mo,
+                                std::vector<const int32_t *> *cptr,
+                                std::vector<int> *clen) {
+    PyArrayObject *amsc = (PyArrayObject *)omsc;
+    if (!PyArray_Check(omsc) || PyArray_TYPE(amsc) != NPY_FLOAT64 ||
+        PyArray_NDIM(amsc) != 2 || !PyArray_IS_C_CONTIGUOUS(amsc)) {
+        PyErr_SetString(PyExc_TypeError, "msc must be f64 2D");
+        return false;
+    }
+    mo->M = (int)PyArray_DIM(amsc, 0) - 1;
+    mo->K = (int)PyArray_DIM(amsc, 1);
+    mo->msc = (const double *)PyArray_DATA(amsc);
+    const double *tp[8];
+    npy_intp tn;
+    for (int i = 0; i < 8; i++) {
+        if (!get1d_f64(ot[i], &tp[i], &tn)) return false;
+        if (tn != mo->M + 1) {
+            PyErr_SetString(PyExc_ValueError, "transition length != M+1");
+            return false;
+        }
+    }
+    mo->t_mm = tp[0]; mo->t_mi = tp[1]; mo->t_md = tp[2];
+    mo->t_im = tp[3]; mo->t_ii = tp[4]; mo->t_dm = tp[5];
+    mo->t_dd = tp[6]; mo->bm = tp[7];
+
+    if (!PyList_Check(olist)) {
+        PyErr_SetString(PyExc_TypeError, "codes_list must be a list");
+        return false;
+    }
+    Py_ssize_t N = PyList_GET_SIZE(olist);
+    cptr->resize(N);
+    clen->resize(N);
+    for (Py_ssize_t n = 0; n < N; n++) {
+        PyArrayObject *ac = (PyArrayObject *)PyList_GET_ITEM(olist, n);
+        if (!PyArray_Check((PyObject *)ac) ||
+            PyArray_TYPE(ac) != NPY_INT32 || PyArray_NDIM(ac) != 1 ||
+            !PyArray_IS_C_CONTIGUOUS(ac)) {
+            PyErr_SetString(PyExc_TypeError, "codes must be i32 1D");
+            return false;
+        }
+        (*cptr)[n] = (const int32_t *)PyArray_DATA(ac);
+        (*clen)[n] = (int)PyArray_DIM(ac, 0);
+        for (int i = 0; i < (*clen)[n]; i++) {
+            if ((*cptr)[n][i] < 0 || (*cptr)[n][i] >= mo->K) {
+                PyErr_SetString(PyExc_ValueError, "code out of range");
+                return false;
+            }
+        }
+    }
+    return true;
+}
+
+/* forward_targets(msc2d, tmm..bm, codes_list, nthreads) -> f64[N]
+ * Forward-only scores in nats (the same multihit full-sequence
+ * Forward that evaluate_targets reports as fwd) — the cheap CPU
+ * pre-ranker: ~5-10x cheaper per pair than the full domain-definition
+ * evaluation, used to pick gate candidates per query the way the
+ * Pallas pre-score does on TPU (pipeline.compute_scores). */
+static PyObject *forward_targets(PyObject *, PyObject *args) {
+    PyObject *omsc, *ot[8], *olist;
+    int nthreads;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOOi", &omsc,
+                          &ot[0], &ot[1], &ot[2], &ot[3], &ot[4], &ot[5],
+                          &ot[6], &ot[7], &olist, &nthreads))
+        return NULL;
+    Model mo;
+    std::vector<const int32_t *> cptr;
+    std::vector<int> clen;
+    if (!parse_model_targets(omsc, ot, olist, &mo, &cptr, &clen))
+        return NULL;
+    Py_ssize_t N = (Py_ssize_t)cptr.size();
+    std::vector<double> fwd(N, 0.0);
+    {
+        Py_BEGIN_ALLOW_THREADS
+        mo.prepare(100);   /* odds tables; length set per target */
+        int nt = nthreads < 1 ? 1 : nthreads;
+        if (nt > 16) nt = 16;
+        std::vector<std::thread> threads;
+        std::atomic<Py_ssize_t> next(0);
+        auto work = [&]() {
+            for (;;) {
+                Py_ssize_t n = next.fetch_add(1);
+                if (n >= N) break;
+                Model m = mo;
+                m.set_length(clen[n], true);
+                Fwd f;
+                forward_region(m, cptr[n], clen[n], &f);
+                fwd[n] = std::log(std::max(f.C[clen[n]], 1e-300))
+                       + std::log(m.move) + f.scale_log[clen[n]];
+            }
+        };
+        if (nt == 1) work();
+        else {
+            for (int t = 0; t < nt; t++) threads.emplace_back(work);
+            for (auto &th : threads) th.join();
+        }
+        Py_END_ALLOW_THREADS
+    }
+    npy_intp dim = N;
+    PyArrayObject *afwd = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                             NPY_FLOAT64);
+    if (!afwd) return NULL;
+    for (Py_ssize_t n = 0; n < N; n++)
+        ((double *)PyArray_DATA(afwd))[n] = fwd[n];
+    return (PyObject *)afwd;
+}
+
 /* evaluate_targets(msc2d, tmm..bm, codes_list, seed, nsamples,
  *                  want_null2, nthreads)
  * One model vs many targets; returns (nregions i32[N], nenvelopes
@@ -1048,52 +1157,14 @@ static PyObject *evaluate_targets(PyObject *, PyObject *args) {
                           &ot[6], &ot[7], &olist, &seed, &nsamples,
                           &want_null2, &nthreads))
         return NULL;
-    PyArrayObject *amsc = (PyArrayObject *)omsc;
-    if (!PyArray_Check(omsc) || PyArray_TYPE(amsc) != NPY_FLOAT64 ||
-        PyArray_NDIM(amsc) != 2 || !PyArray_IS_C_CONTIGUOUS(amsc)) {
-        PyErr_SetString(PyExc_TypeError, "msc must be f64 2D");
-        return NULL;
-    }
     Model mo;
-    mo.M = (int)PyArray_DIM(amsc, 0) - 1;
-    mo.K = (int)PyArray_DIM(amsc, 1);
-    mo.msc = (const double *)PyArray_DATA(amsc);
-    const double *tp[8];
-    npy_intp tn;
-    for (int i = 0; i < 8; i++) {
-        if (!get1d_f64(ot[i], &tp[i], &tn)) return NULL;
-        if (tn != mo.M + 1) {
-            PyErr_SetString(PyExc_ValueError, "transition length != M+1");
-            return NULL;
-        }
-    }
-    mo.t_mm = tp[0]; mo.t_mi = tp[1]; mo.t_md = tp[2]; mo.t_im = tp[3];
-    mo.t_ii = tp[4]; mo.t_dm = tp[5]; mo.t_dd = tp[6]; mo.bm = tp[7];
-
-    if (!PyList_Check(olist)) {
-        PyErr_SetString(PyExc_TypeError, "codes_list must be a list");
+    std::vector<const int32_t *> cptrv;
+    std::vector<int> clenv;
+    if (!parse_model_targets(omsc, ot, olist, &mo, &cptrv, &clenv))
         return NULL;
-    }
-    Py_ssize_t N = PyList_GET_SIZE(olist);
-    std::vector<const int32_t *> cptr(N);
-    std::vector<int> clen(N);
-    for (Py_ssize_t n = 0; n < N; n++) {
-        PyArrayObject *ac = (PyArrayObject *)PyList_GET_ITEM(olist, n);
-        if (!PyArray_Check((PyObject *)ac) ||
-            PyArray_TYPE(ac) != NPY_INT32 || PyArray_NDIM(ac) != 1 ||
-            !PyArray_IS_C_CONTIGUOUS(ac)) {
-            PyErr_SetString(PyExc_TypeError, "codes must be i32 1D");
-            return NULL;
-        }
-        cptr[n] = (const int32_t *)PyArray_DATA(ac);
-        clen[n] = (int)PyArray_DIM(ac, 0);
-        for (int i = 0; i < clen[n]; i++) {
-            if (cptr[n][i] < 0 || cptr[n][i] >= mo.K) {
-                PyErr_SetString(PyExc_ValueError, "code out of range");
-                return NULL;
-            }
-        }
-    }
+    std::vector<const int32_t *> &cptr = cptrv;
+    std::vector<int> &clen = clenv;
+    Py_ssize_t N = (Py_ssize_t)cptr.size();
     std::vector<int> nreg(N, 0), nenv(N, 0), ld(N, 0);
     std::vector<double> bias(N, 0.0), fwd(N, 0.0),
         senv(N, 0.0), sbias(N, 0.0);
@@ -1394,6 +1465,8 @@ static PyMethodDef methods[] = {
     {"evaluate_targets", evaluate_targets, METH_VARARGS,
      "one model vs many targets -> (nregions, nenvelopes, seqbias, fwd,"
      " sum_env, sum_bias, ld)"},
+    {"forward_targets", forward_targets, METH_VARARGS,
+     "one model vs many targets, Forward-only -> fwd nats f64[N]"},
     {"posterior_pair", posterior_pair, METH_VARARGS,
      "dense f64 posterior decode of one pair -> (ppM, ppI, ppN, ppJ, ppC)"},
     {NULL, NULL, 0, NULL}};

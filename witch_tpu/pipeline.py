@@ -148,8 +148,35 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
     pre = np.zeros((Q, H), np.float64)
     tau = np.zeros(H, np.float64)
     if native_prescore:
-        Configs.runtime("  scoring: non-TPU backend; full grid via the "
-                        "native engine (device pre-score skipped)")
+        # Forward-only native pre-ranking of the full grid (exact f64
+        # bits, ~2-4x cheaper per pair than full domain definition);
+        # the expensive gate evaluation then runs only for each
+        # query's weight-rank candidates, like the device path.
+        from concurrent.futures import ThreadPoolExecutor
+        from .hmm.profile import configure as _configure_f
+        from .hmm.profile import null1_score as _null1_f
+        from .native import _domaindef as _dd
+        t0 = time.time()
+        null1b = np.array([_null1_f(int(l)) for l in lens], np.float64)
+        codes_list_all = [np.ascontiguousarray(qcodes[q], np.int32)
+                          for q in range(Q)]
+
+        def fwd_model(j):
+            prof = _configure_f(ens.cores[int(indices[j])],
+                                multihit=True)
+            args = [np.ascontiguousarray(prof.msc, np.float64)] + \
+                [np.ascontiguousarray(getattr(prof, a), np.float64)
+                 for a in ("t_mm", "t_mi", "t_md", "t_im", "t_ii",
+                           "t_dm", "t_dd", "bm")]
+            return j, np.asarray(_dd.forward_targets(
+                *args, codes_list_all, 1))
+
+        nt0 = max(1, min(8, Configs.num_cpus))
+        with ThreadPoolExecutor(max_workers=nt0) as ex:
+            for j, fwd in ex.map(fwd_model, range(H)):
+                pre[:, j] = (fwd - null1b) / np.log(2.0)
+        Configs.runtime("  scoring: native Forward pre-rank %d pairs "
+                        "(s): %f" % (Q * H, time.time() - t0))
     else:
         for b in banks:
             t0 = time.time()
@@ -205,13 +232,10 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         # evaluation; junk-heavy queries evaluate the full TOPT so that
         # promoted replacements also get exact scores.
         by_j: Dict[int, List[int]] = {}
-        if getattr(Configs, "full_search_results", False) \
-                or native_prescore:
+        if getattr(Configs, "full_search_results", False):
             # --full-search-results: evaluate the complete grid so the
             # persisted hmmsearch.results.* files match what the
-            # reference's hmmsearch runs would contain. The CPU
-            # native-prescore path also evaluates everything (there is
-            # no cheap ranker to pre-select candidates with).
+            # reference's hmmsearch runs would contain.
             for j in range(H):
                 by_j[j] = list(range(Q))
         else:
