@@ -143,50 +143,46 @@ def main():
             _ = float(np.asarray(run()))
         dt = (time.time() - t0) / reps
     else:
-        # CPU fallback: the production CPU path scores the grid with
-        # the native domaindef engine (pipeline.py native_prescore).
-        # Time a (models x queries) sample of that engine and
-        # extrapolate — the XLA scan path is not the CPU production
-        # path and is ~5x slower.
+        # CPU fallback: the production CPU path Forward-ranks the full
+        # grid with the native engine (pipeline.py native_prescore via
+        # _domaindef.forward_targets), then gate-evaluates only
+        # weight-rank candidates. Time a models-sample of the Forward
+        # grid and extrapolate; the gate is the secondary metric.
         from concurrent.futures import ThreadPoolExecutor
         from make_bench_assets import load_profile_row
         from witch_tpu.native import _domaindef
-        nq = min(Q, 64)
         clist = [np.ascontiguousarray(codes[i, :lens[i]], np.int32)
-                 for i in range(nq)]
-        sample = []     # (bank, row) uniformly over the ensemble
+                 for i in range(Q)]
         rows_all = [(bi, r) for bi, b in enumerate(banks)
                     for r in range(b.H)]
         stride = max(1, len(rows_all) // 12)
         sample = rows_all[::stride][:12]
         profs = [load_profile_row(banks[bi], r) for bi, r in sample]
 
-        def eval_one(p):
-            args = [np.ascontiguousarray(p.msc, np.float64)] + [
+        def margs(p):
+            return [np.ascontiguousarray(p.msc, np.float64)] + [
                 np.ascontiguousarray(getattr(p, a), np.float64)
                 for a in ("t_mm", "t_mi", "t_md", "t_im", "t_ii",
                           "t_dm", "t_dd", "bm")]
-            return _domaindef.evaluate_targets(*args, clist, 42, 200,
-                                               1, 1)
 
-        log("timing native engine on %d models x %d queries"
-            % (len(profs), nq))
+        log("timing native Forward on %d models x %d queries"
+            % (len(profs), Q))
         t0 = time.time()
         with ThreadPoolExecutor(max_workers=4) as ex:
-            list(ex.map(eval_one, profs))
-        dt = (time.time() - t0) * (Q / nq) * (H / len(profs))
+            list(ex.map(
+                lambda p: _domaindef.forward_targets(*margs(p), clist, 1),
+                profs))
+        dt = (time.time() - t0) * (H / len(profs))
         padded_cells = true_cells   # no padding on the native path
 
     pairs_per_s = total_pairs / dt
     baseline_pairs_per_s = 70500 / (236.2 / 4)
 
     # secondary metric: the native domaindef engine (reporting gate +
-    # exact null2 + f64 Forward) on one model vs all queries.
-    # Skipped on the CPU fallback, where the primary IS this engine.
+    # exact null2 + f64 Forward) on one model vs all queries — the
+    # per-candidate gate cost behind the Forward pre-ranker.
     dd_pairs_per_s = None
     try:
-        if not on_tpu:
-            raise ImportError("primary metric already native")
         from witch_tpu.native import _domaindef
         b0 = banks[0]
         h0 = 0
