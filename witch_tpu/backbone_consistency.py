@@ -302,7 +302,7 @@ def refine_bipartitions(post, rows, mat, gap_code, rounds: int,
 def consistency_align_core(codes: List[np.ndarray], alphabet: Alphabet,
                            match_p: Optional[float] = None,
                            delta: Optional[float] = None,
-                           eps: float = 0.75, rounds: int = 2,
+                           eps: float = 0.75, rounds: int = 1,
                            refine_rounds: int = 50, cutoff: float = 0.01,
                            seed: int = 0, workers: int = 8, log=None):
     """ProbCons-style alignment core.
@@ -359,7 +359,7 @@ def consistency_align_core(codes: List[np.ndarray], alphabet: Alphabet,
 def consistency_align(names: List[str], seqs: List[str], molecule: str,
                       match_p: Optional[float] = None,
                       delta: Optional[float] = None,
-                      eps: float = 0.75, rounds: int = 2,
+                      eps: float = 0.75, rounds: int = 1,
                       refine_rounds: int = 50, cutoff: float = 0.01,
                       seed: int = 0, workers: int = 8,
                       log=None) -> PackedAlignment:
@@ -642,11 +642,11 @@ def sparse_global_align(names: List[str], seqs: List[str],
 
 
 def align_backbone_consistency(names: List[str], seqs: List[str],
-                               molecule: str, subset_size: int = 50,
+                               molecule: str, subset_size: int = 90,
                                match_p: Optional[float] = None,
                                delta: Optional[float] = None,
                                eps: float = 0.75,
-                               rounds: int = 2, refine_rounds: int = 50,
+                               rounds: int = 1, refine_rounds: int = 50,
                                cutoff: float = 0.01, seed: int = 0,
                                pair_cap: Optional[int] = None,
                                iters: int = 1,
