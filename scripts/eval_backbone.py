@@ -68,7 +68,13 @@ def main():
     for a in rest:
         if "=" in a:
             k, v = a.split("=", 1)
-            kwargs[k] = float(v) if "." in v or "-" in v else int(v)
+            try:
+                kwargs[k] = int(v)
+            except ValueError:
+                try:
+                    kwargs[k] = float(v)
+                except ValueError:
+                    kwargs[k] = v
         elif a.isdigit():
             nsub = int(a)
     if mode == "file":
