@@ -211,6 +211,43 @@ def flank_rows_bank(em_odds, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd,
                 codes, qlens)
 
 
+def prefilter_grid(banks, codes: np.ndarray, lens: np.ndarray,
+                   col_of, H: int, q_chunk: int = 128) -> np.ndarray:
+    """Three-way gate decisions for a full [Q, H] grid.
+
+    Runs the batched flank-row scans per bank (device) in fixed-shape
+    query chunks and classifies every pair on host. Returns the
+    decision matrix [Q, H] int8 (-1 not reported / +1 reported /
+    0 needs the trace ensemble). Used by the pipeline's
+    --full-search-results path to skip native evaluation of no-region
+    pairs when a device backend is doing the pre-scoring.
+    """
+    Q = codes.shape[0]
+    dec = np.zeros((Q, H), np.int8)
+    for b in banks:
+        args = (b.em_odds, b.t_mm, b.t_mi, b.t_md, b.t_im, b.t_ii,
+                b.t_dm, b.t_dd, b.bm)
+        Hb = len(b.hmm_indices)
+        cols = [col_of[int(idx)] for idx in b.hmm_indices]
+        step = min(q_chunk, Q)
+        for s in range(0, Q, step):
+            n = min(step, Q - s)
+            # pad the final chunk to the fixed shape: one compile
+            c = np.ones((step, codes.shape[1]), np.int32)
+            c[:n] = codes[s:s + n]
+            l_arr = np.ones(step, np.int32)
+            l_arr[:n] = lens[s:s + n]
+            _, ppB, ppE, mocc = [np.asarray(x) for x in flank_rows_bank(
+                *args, c, l_arr)]
+            flat = lambda a: a[:n].reshape(n * Hb, -1)
+            d, _ = gate_prefilter(flat(mocc), flat(ppB), flat(ppE),
+                                  np.repeat(l_arr[:n], Hb))
+            d = d.reshape(n, Hb)
+            for jj, colj in enumerate(cols):
+                dec[s:s + n, colj] = d[:, jj]
+    return dec
+
+
 def find_regions_rows(mocc: np.ndarray, ppB: np.ndarray,
                       ppE: np.ndarray, L: int
                       ) -> List[Tuple[int, int]]:

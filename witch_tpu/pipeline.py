@@ -232,12 +232,27 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         # evaluation; junk-heavy queries evaluate the full TOPT so that
         # promoted replacements also get exact scores.
         by_j: Dict[int, List[int]] = {}
+        drop = None
         if getattr(Configs, "full_search_results", False):
             # --full-search-results: evaluate the complete grid so the
             # persisted hmmsearch.results.* files match what the
             # reference's hmmsearch runs would contain.
+            if not native_prescore:
+                # device gate prefilter: the batched flank-row scans
+                # classify every pair on the accelerator; no-region
+                # pairs (the bulk of a full grid) skip native domain
+                # definition entirely (hmm/flank_device.py)
+                from .hmm.flank_device import prefilter_grid
+                t0p = time.time()
+                dec = prefilter_grid(banks, codes, lens, col_of, H)
+                drop = dec < 0
+                Configs.runtime(
+                    "  scoring: device gate prefilter dropped %d/%d "
+                    "pairs (s): %f" % (int(drop.sum()), Q * H,
+                                       time.time() - t0p))
             for j in range(H):
-                by_j[j] = list(range(Q))
+                by_j[j] = [q for q in range(Q)
+                           if drop is None or not drop[q, j]]
         else:
             for q in range(Q):
                 top = np.argsort(-adj[q], kind="stable")[:TOPT]
@@ -304,6 +319,8 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         # hmmsearch output files would contain).
         if getattr(Configs, "full_search_results", False):
             valid = gate_ok.copy()
+            if drop is not None:
+                valid[drop] = False
             reported = np.round(reported, 1)
             return reported, valid, indices, tau
         adj_rep = reported + np.log2(size_arr)[None, :]
