@@ -641,6 +641,263 @@ def sparse_global_align(names: List[str], seqs: List[str],
     return PackedAlignment(list(names), aln.codes[sel], alphabet)
 
 
+# ---------------------------------------------------------------------------
+# Column-graph merge (MAGUS-graph analogue in subset-column space)
+# ---------------------------------------------------------------------------
+
+def _build_column_graph(subs, codes32, em, delta, eps, cutoff,
+                        gap_code, density=0.2, cap_lo=400, cap_hi=8000,
+                        workers=8, seed=0, log=None):
+    """Cross-subset column graph from sampled pair-HMM posteriors.
+
+    For every subset pair (a, b) sample `density * na * nb` sequence
+    pairs (clamped to [cap_lo, cap_hi]), run the native pair HMM on the
+    raw sequences, and accumulate posterior mass into subset-column
+    coordinates: W[(a, b)][ca, cb] = sum over sampled (s, t) of
+    P_st[i, j] with residue i of s in column ca of subset a. This is
+    the MAGUS alignment graph (graph_builder.py:26-231) with pair-HMM
+    posteriors in place of MAFFT-backbone co-alignment counts.
+
+    Returns (W, nsamp): CSR matrices [Wa, Wb] keyed (a, b) with a < b,
+    and the per-pair sequence-pair sample counts (for mean-posterior
+    normalization).
+    """
+    import scipy.sparse as sp
+    from .native import _pairhmm
+
+    S = len(subs)
+    rng = np.random.default_rng(seed)
+    # per subset: row id -> residue-index-to-column map
+    res_cols: List[Dict[int, np.ndarray]] = []
+    for grows, smat in subs:
+        cols = _residue_cols(smat, gap_code)
+        res_cols.append({r: c for r, c in zip(grows, cols)})
+
+    tasks = []   # (a, b, s_row, t_row)
+    nsamp: Dict[Tuple[int, int], int] = {}
+    for a in range(S):
+        for b in range(a + 1, S):
+            ra, rb = subs[a][0], subs[b][0]
+            total = len(ra) * len(rb)
+            k = int(np.clip(density * total, min(cap_lo, total),
+                            min(cap_hi, total)))
+            sel = rng.choice(total, k, replace=False)
+            for ix in sel:
+                tasks.append((a, b, ra[int(ix) // len(rb)],
+                              rb[int(ix) % len(rb)]))
+            nsamp[(a, b)] = k
+
+    def one(task):
+        a, b, s, t = task
+        I, J, P, _ea = _pairhmm.posterior(codes32[s], codes32[t], em,
+                                          delta, eps, cutoff)
+        return a, b, res_cols[a][s][I], res_cols[b][t][J], P
+
+    acc: Dict[Tuple[int, int], list] = {k: [] for k in nsamp}
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        for a, b, ca, cb, P in ex.map(one, tasks):
+            acc[(a, b)].append((ca, cb, P))
+    W: Dict[Tuple[int, int], object] = {}
+    for (a, b), chunks in acc.items():
+        Wa = subs[a][1].shape[1]
+        Wb = subs[b][1].shape[1]
+        if chunks:
+            I = np.concatenate([c[0] for c in chunks])
+            J = np.concatenate([c[1] for c in chunks])
+            V = np.concatenate([c[2] for c in chunks])
+            W[(a, b)] = sp.csr_matrix((V, (I, J)), shape=(Wa, Wb),
+                                      dtype=np.float64)
+        else:
+            W[(a, b)] = sp.csr_matrix((Wa, Wb), dtype=np.float64)
+    if log:
+        log("column-graph: %d sampled pair posteriors over %d "
+            "subset pairs" % (len(tasks), len(nsamp)))
+    return W, nsamp
+
+
+def _orient(W, a, b):
+    """CSR for (a, b) regardless of stored key order (None if absent)."""
+    if (a, b) in W:
+        return W[(a, b)]
+    if (b, a) in W:
+        return W[(b, a)].T.tocsr()
+    return None
+
+
+def _column_consistency(W, nsamp, sizes, rounds: int = 1,
+                        direct_w: float = 2.0, cutoff: float = 1e-4,
+                        size_weight: bool = False, log=None):
+    """Column-space consistency transform over the subset-column graph.
+
+    Normalizes each W_ab by its sample count (mean posterior per
+    sampled sequence pair — a probability-scale column-match score),
+    then runs `rounds` of
+
+        Wbar'_ab = (direct_w * Wbar_ab + sum_c w_c Wbar_ac @ Wbar_cb)
+                   / (direct_w + sum_c w_c)
+
+    relaying through every other subset c with both edges present
+    (w_c = 1, or subset size when size_weight). Returns expected
+    TOTAL-mass matrices What_ab = Wbar'_ab * (na * nb) for merge
+    scoring (the scale _group_score produces when every pair is
+    sampled). The relay is the cross-subset information flow the
+    reference gets from MAGUS's sampled MAFFT backbones feeding one
+    global graph (graph_builder.py:26-231): two columns co-align when
+    they co-align to a common third subset's column.
+    """
+    keys = list(W.keys())
+    S = len(sizes)
+    Wbar = {k: (W[k] * (1.0 / max(nsamp[k], 1))).tocsr() for k in keys}
+    for _ in range(max(0, rounds)):
+        out = {}
+        for (a, b) in keys:
+            acc = direct_w * Wbar[(a, b)]
+            denom = direct_w
+            for c in range(S):
+                if c == a or c == b:
+                    continue
+                m1 = _orient(Wbar, a, c)
+                m2 = _orient(Wbar, c, b)
+                if m1 is None or m2 is None:
+                    continue
+                wc = float(sizes[c]) if size_weight else 1.0
+                acc = acc + wc * (m1 @ m2)
+                denom += wc
+            acc = acc * (1.0 / denom)
+            acc.data[acc.data < cutoff] = 0.0
+            acc.eliminate_zeros()
+            out[(a, b)] = acc.tocsr()
+        Wbar = out
+    What = {}
+    for (a, b) in keys:
+        What[(a, b)] = (Wbar[(a, b)] * float(sizes[a] * sizes[b])).tocsr()
+    return What
+
+
+def _graph_group_score(What, sidsA, cmA, WA, sidsB, cmB, WB):
+    """[WA, WB] summed expected mass between two merged groups, read
+    off the transformed column graph through each group's column maps."""
+    S = np.zeros(WA * WB, np.float64)
+    for a in sidsA:
+        for b in sidsB:
+            m = _orient(What, a, b)
+            if m is None or m.nnz == 0:
+                continue
+            coo = m.tocoo()
+            np.add.at(S, cmA[a][coo.row] * WB + cmB[b][coo.col],
+                      coo.data)
+    return S.reshape(WA, WB)
+
+
+def _apply_ops(A_codes, B_codes, ops, gap_code):
+    """Glue two aligned blocks along an ea_align op string
+    (0=both, 1=A column, 2=B column)."""
+    nA, nB = A_codes.shape[0], B_codes.shape[0]
+    Wm = len(ops)
+    out = np.full((nA + nB, Wm), gap_code, np.uint8)
+    posA = np.flatnonzero(ops != 2)
+    posB = np.flatnonzero(ops != 1)
+    out[:nA, posA] = A_codes
+    out[nA:, posB] = B_codes
+    return out, posA, posB
+
+
+def _graph_objective(What, colmaps) -> float:
+    """Total graph mass realized by the glued alignment (column maps
+    agreeing on the merged column)."""
+    tot = 0.0
+    for (a, b), m in What.items():
+        if a not in colmaps or b not in colmaps or m.nnz == 0:
+            continue
+        coo = m.tocoo()
+        hit = colmaps[a][coo.row] == colmaps[b][coo.col]
+        tot += float(coo.data[hit].sum())
+    return tot
+
+
+def _graph_merge(subs, What, DS, gap_code, log=None):
+    """Progressive merge of subset alignments along a subset-level
+    UPGMA, scored purely from the column graph. Returns
+    (rows, mat, colmaps)."""
+    from .backbone_progressive import upgma_merges
+    from .native import _pairhmm
+
+    S = len(subs)
+    node = {}
+    for i, (grows, smat) in enumerate(subs):
+        node[i] = (list(grows), smat,
+                   {i: np.arange(smat.shape[1], dtype=np.int64)})
+    merges = upgma_merges(DS)
+    for t, (a, b) in enumerate(merges):
+        ra, ca, cma = node.pop(a)
+        rb, cb, cmb = node.pop(b)
+        Sc = _graph_group_score(What, list(cma), cma, ca.shape[1],
+                                list(cmb), cmb, cb.shape[1])
+        ops = np.asarray(_pairhmm.ea_align(np.ascontiguousarray(Sc)),
+                         np.int8)
+        merged, posA, posB = _apply_ops(ca, cb, ops, gap_code)
+        cm = {s: posA[m] for s, m in cma.items()}
+        cm.update({s: posB[m] for s, m in cmb.items()})
+        node[S + t] = (ra + rb, merged, cm)
+        if log:
+            log("graph-merge: %d+%d seqs -> %d cols"
+                % (len(ra), len(rb), merged.shape[1]))
+    key = S + len(merges) - 1 if merges else 0
+    return node[key]
+
+
+def _graph_refine(subs, What, rows, mat, colmaps, gap_code,
+                  passes: int = 1, log=None):
+    """Leave-one-subset-out refinement in column space: pull one
+    subset's block out, realign it against the rest on the graph,
+    keep improvements of the realized-mass objective."""
+    from .native import _pairhmm
+
+    cur = _graph_objective(What, colmaps)
+    n_sub = len(subs)
+    if n_sub < 3:
+        return rows, mat, colmaps, cur
+    row_pos = {r: i for i, r in enumerate(rows)}
+    for _ in range(max(0, passes)):
+        improved = False
+        for si in range(n_sub):
+            grows, smat = subs[si]
+            sset = set(grows)
+            ia = np.array([row_pos[r] for r in grows])
+            ib = np.array([i for i, r in enumerate(rows)
+                           if r not in sset])
+            rest = mat[ib]
+            keep = ~(rest == gap_code).all(axis=0)
+            rest = rest[:, keep]
+            # old merged column -> rest column (columns where only
+            # subset si had residues drop out)
+            newpos = np.cumsum(keep) - 1
+            cm_rest = {s: newpos[cm] for s, cm in colmaps.items()
+                       if s != si}
+            Sc = _graph_group_score(
+                What, [si],
+                {si: np.arange(smat.shape[1], dtype=np.int64)},
+                smat.shape[1], list(cm_rest), cm_rest, rest.shape[1])
+            ops = np.asarray(_pairhmm.ea_align(np.ascontiguousarray(Sc)),
+                             np.int8)
+            merged, posA, posB = _apply_ops(smat, rest, ops, gap_code)
+            new_cm = {s: posB[m] for s, m in cm_rest.items()}
+            new_cm[si] = posA[np.arange(smat.shape[1])]
+            new_obj = _graph_objective(What, new_cm)
+            if new_obj > cur + 1e-9:
+                new_rows = list(grows) + [rows[i] for i in ib]
+                rows, mat, colmaps, cur = new_rows, merged, new_cm, \
+                    new_obj
+                row_pos = {r: i for i, r in enumerate(rows)}
+                improved = True
+                if log:
+                    log("graph-refine: subset %d replaced "
+                        "(obj %.1f, %d cols)" % (si, cur, mat.shape[1]))
+        if not improved:
+            break
+    return rows, mat, colmaps, cur
+
+
 def align_backbone_consistency(names: List[str], seqs: List[str],
                                molecule: str, subset_size: int = 90,
                                match_p: Optional[float] = None,
@@ -650,6 +907,13 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
                                cutoff: float = 0.01, seed: int = 0,
                                pair_cap: Optional[int] = None,
                                iters: int = 1,
+                               merge_mode: str = "column",
+                               col_rounds: int = 1,
+                               direct_w: float = 2.0,
+                               density: float = 0.2,
+                               col_cutoff: float = 1e-4,
+                               size_weight: bool = False,
+                               refine_passes: int = 2,
                                workers: int = 8, log=None
                                ) -> PackedAlignment:
     """Full-backbone alignment: decompose, align subsets with the
@@ -783,28 +1047,54 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
                 for b in range(a + 1, S):
                     DS[a, b] = DS[b, a] = float(np.mean(
                         D_aln[np.ix_(subs[a][0], subs[b][0])]))
-        merges = upgma_merges(DS)
-        node = {i: (subs[i][0], subs[i][1]) for i in range(S)}
-        for t, (a, b) in enumerate(merges):
-            (ra, ca), (rb, cb) = node.pop(a), node.pop(b)
-            npairs = ensure_pairs(ra, rb, join_cap(len(ra), len(rb)))
-            merged, rws, _ = _align_groups(post, ra, ca, rb, cb,
-                                           gap_code)
-            node[S + t] = (rws, merged)
+        if merge_mode == "column":
+            # MAGUS-graph analogue: explicit cross-subset column graph
+            # + column-space consistency transform + graph-scored
+            # merge/refinement (see _build_column_graph).
+            Wg, nsamp = _build_column_graph(
+                subs, codes32, em_glob, delta, eps, cutoff, gap_code,
+                density=density, cap_lo=400,
+                cap_hi=pair_cap if pair_cap is not None else 8000,
+                workers=workers, seed=seed + 77 + it, log=log)
+            sizes_sub = [len(g) for g, _ in subs]
+            What = _column_consistency(
+                Wg, nsamp, sizes_sub, rounds=col_rounds,
+                direct_w=direct_w, cutoff=col_cutoff,
+                size_weight=size_weight, log=log)
+            rows, mat, colmaps = _graph_merge(subs, What, DS, gap_code,
+                                              log=log)
+            rows, mat, colmaps, obj = _graph_refine(
+                subs, What, rows, mat, colmaps, gap_code,
+                passes=refine_passes, log=log)
             if log:
-                log("backbone[it%d]: merged %d+%d seqs -> %d cols "
-                    "(+%d pair posteriors)"
-                    % (it, len(ra), len(rb), merged.shape[1], npairs))
-        rows, mat = node[S + len(merges) - 1] if merges else node[0]
+                log("backbone[it%d]: %d seqs -> %d cols "
+                    "(graph obj %.1f)"
+                    % (it, mat.shape[0], mat.shape[1], obj))
+        else:
+            merges = upgma_merges(DS)
+            node = {i: (subs[i][0], subs[i][1]) for i in range(S)}
+            for t, (a, b) in enumerate(merges):
+                (ra, ca), (rb, cb) = node.pop(a), node.pop(b)
+                npairs = ensure_pairs(ra, rb, join_cap(len(ra), len(rb)))
+                merged, rws, _ = _align_groups(post, ra, ca, rb, cb,
+                                               gap_code)
+                node[S + t] = (rws, merged)
+                if log:
+                    log("backbone[it%d]: merged %d+%d seqs -> %d cols "
+                        "(+%d pair posteriors)"
+                        % (it, len(ra), len(rb), merged.shape[1],
+                           npairs))
+            rows, mat = node[S + len(merges) - 1] if merges else node[0]
 
-        # top-level structured refinement (leave-one-subset-out)
-        groups = [grows for grows, _ in subs]
-        rng = np.random.default_rng(seed + it)
-        rows, mat, obj = refine_bipartitions(post, rows, mat, gap_code,
-                                             0, rng, groups=groups)
-        if log:
-            log("backbone[it%d]: %d seqs -> %d cols (EA obj %.1f)"
-                % (it, mat.shape[0], mat.shape[1], obj))
+            # top-level structured refinement (leave-one-subset-out)
+            groups = [grows for grows, _ in subs]
+            rng = np.random.default_rng(seed + it)
+            rows, mat, obj = refine_bipartitions(post, rows, mat,
+                                                 gap_code, 0, rng,
+                                                 groups=groups)
+            if log:
+                log("backbone[it%d]: %d seqs -> %d cols (EA obj %.1f)"
+                    % (it, mat.shape[0], mat.shape[1], obj))
         if it < max(1, iters) - 1:
             # alignment-derived distances for the next iteration,
             # indexed by global sequence id
