@@ -846,6 +846,166 @@ def _graph_merge(subs, What, DS, gap_code, log=None):
     return node[key]
 
 
+def _trace_merge(subs, What, gap_code, inflation: float = 2.0,
+                 log=None):
+    """Global column-graph trace (the MAGUS MCL + minclusters
+    analogue, magus/align/merge/graph_trace/min_clusters.py:17-181).
+
+    Clusters ALL subset columns jointly with sparse Markov clustering
+    on the transformed graph, purges within-subset violations (a
+    cluster keeps at most one column per subset — the best-connected
+    one), then emits clusters left-to-right with a frontier ordering:
+    a cluster is emitted when every member column is its subset's next
+    unemitted column; when no cluster is fully ready, the one with the
+    highest ready weight fraction is split (a "break"). Returns
+    (rows, mat, colmaps) in the same contract as _graph_merge.
+    """
+    import scipy.sparse as sp
+
+    S = len(subs)
+    widths = [smat.shape[1] for _, smat in subs]
+    offs = np.concatenate([[0], np.cumsum(widths)])
+    n_nodes = int(offs[-1])
+    subset_of = np.empty(n_nodes, np.int32)
+    col_of = np.empty(n_nodes, np.int64)
+    for s in range(S):
+        subset_of[offs[s]:offs[s + 1]] = s
+        col_of[offs[s]:offs[s + 1]] = np.arange(widths[s])
+
+    rows_l, cols_l, vals_l = [], [], []
+    for (a, b), m in What.items():
+        if m.nnz == 0:
+            continue
+        coo = m.tocoo()
+        rows_l.append(offs[a] + coo.row)
+        cols_l.append(offs[b] + coo.col)
+        vals_l.append(coo.data)
+    if not rows_l:
+        return _graph_merge(subs, What, np.zeros((S, S)), gap_code,
+                            log=log)
+    I = np.concatenate(rows_l)
+    J = np.concatenate(cols_l)
+    V = np.concatenate(vals_l)
+    A = sp.csr_matrix((np.concatenate([V, V]),
+                       (np.concatenate([I, J]),
+                        np.concatenate([J, I]))),
+                      shape=(n_nodes, n_nodes))
+
+    # sparse MCL: expansion (A @ A) + inflation + column renormalize,
+    # with support pruning to keep the matrix sparse
+    loops = np.maximum(np.asarray(A.max(axis=0).todense()).ravel(),
+                       1e-12)
+    M = (A + sp.diags(loops)).tocsc()
+    M = M @ sp.diags(1.0 / np.maximum(
+        np.asarray(M.sum(axis=0)).ravel(), 1e-300))
+    budget = 48 * n_nodes          # nnz cap (mcl-style pruning)
+    for _ in range(30):
+        M2 = (M @ M).tocsc()
+        M2.data = np.power(M2.data, inflation)
+        thr = 1e-6
+        if M2.nnz > budget:
+            thr = max(thr, float(np.partition(M2.data,
+                                              M2.nnz - budget)
+                                 [M2.nnz - budget]))
+        M2.data[M2.data < thr] = 0.0
+        M2.eliminate_zeros()
+        M2 = M2 @ sp.diags(1.0 / np.maximum(
+            np.asarray(M2.sum(axis=0)).ravel(), 1e-300))
+        delta = abs(M2 - M).max()
+        M = M2
+        if delta < 1e-6:
+            break
+    # clusters = connected components of the attractor support
+    support = M.copy()
+    support.data = (support.data > 1e-4).astype(np.float64)
+    n_comp, labels = sp.csgraph.connected_components(
+        support + support.T, directed=False)
+
+    # purge within-subset violations: keep the best-connected column
+    # per (cluster, subset); evicted columns become singletons
+    order = np.argsort(labels, kind="stable")
+    strength = np.asarray(A.sum(axis=1)).ravel()
+    best: Dict[Tuple[int, int], int] = {}
+    for nd in order:
+        key = (int(labels[nd]), int(subset_of[nd]))
+        cur = best.get(key)
+        if cur is None or strength[nd] > strength[cur]:
+            best[key] = nd
+    next_label = n_comp
+    for nd in range(n_nodes):
+        if best[(int(labels[nd]), int(subset_of[nd]))] != nd:
+            labels[nd] = next_label
+            next_label += 1
+
+    # frontier ordering with splits
+    members: Dict[int, List[int]] = {}
+    for nd in range(n_nodes):
+        members.setdefault(int(labels[nd]), []).append(nd)
+    cluster_of = labels.copy()
+    nxt = [0] * S                      # next unemitted column per subset
+    emitted_cols: List[List[int]] = []  # node lists, one per out column
+    remaining = n_nodes
+    # ready_nodes[c] = member nodes currently at their subset frontier
+    while remaining > 0:
+        # find clusters of the frontier columns
+        frontier = [(s, int(cluster_of[offs[s] + nxt[s]]))
+                    for s in range(S) if nxt[s] < widths[s]]
+        full = []
+        best_part = None
+        for s, c in frontier:
+            mem = members[c]
+            ready = [nd for nd in mem
+                     if nxt[int(subset_of[nd])] == col_of[nd]]
+            if len(ready) == len(mem):
+                full.append((len(mem), c, ready))
+            else:
+                frac = len(ready) / len(mem)
+                if best_part is None or frac > best_part[0]:
+                    best_part = (frac, c, ready)
+        if full:
+            # emit the largest fully-ready cluster
+            full.sort(reverse=True)
+            _, c, ready = full[0]
+        else:
+            _, c, ready = best_part          # split: a "break"
+            members[c] = [nd for nd in members[c] if nd not in ready]
+        seen = set()
+        col_nodes = []
+        for nd in ready:
+            s = int(subset_of[nd])
+            if s in seen:
+                continue
+            seen.add(s)
+            col_nodes.append(nd)
+        if c in members and all(nd in col_nodes for nd in
+                                members.get(c, [])):
+            members.pop(c, None)
+        emitted_cols.append(col_nodes)
+        for nd in col_nodes:
+            nxt[int(subset_of[nd])] += 1
+        remaining -= len(col_nodes)
+
+    # assemble the merged matrix + column maps
+    Wm = len(emitted_cols)
+    colmaps = {s: np.zeros(widths[s], np.int64) for s in range(S)}
+    for j, nodes in enumerate(emitted_cols):
+        for nd in nodes:
+            colmaps[int(subset_of[nd])][col_of[nd]] = j
+    rows_out: List[int] = []
+    blocks = []
+    for s in range(S):
+        grows, smat = subs[s]
+        block = np.full((smat.shape[0], Wm), gap_code, np.uint8)
+        block[:, colmaps[s]] = smat
+        blocks.append(block)
+        rows_out.extend(grows)
+    mat = np.concatenate(blocks, axis=0)
+    if log:
+        log("trace-merge: %d clusters over %d columns -> %d output "
+            "cols" % (n_comp, n_nodes, Wm))
+    return rows_out, mat, colmaps
+
+
 def _graph_refine(subs, What, rows, mat, colmaps, gap_code,
                   passes: int = 1, log=None):
     """Leave-one-subset-out refinement in column space: pull one
@@ -1047,7 +1207,7 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
                 for b in range(a + 1, S):
                     DS[a, b] = DS[b, a] = float(np.mean(
                         D_aln[np.ix_(subs[a][0], subs[b][0])]))
-        if merge_mode == "column":
+        if merge_mode in ("column", "trace"):
             # MAGUS-graph analogue: explicit cross-subset column graph
             # + column-space consistency transform + graph-scored
             # merge/refinement (see _build_column_graph).
@@ -1061,8 +1221,12 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
                 Wg, nsamp, sizes_sub, rounds=col_rounds,
                 direct_w=direct_w, cutoff=col_cutoff,
                 size_weight=size_weight, log=log)
-            rows, mat, colmaps = _graph_merge(subs, What, DS, gap_code,
-                                              log=log)
+            if merge_mode == "trace":
+                rows, mat, colmaps = _trace_merge(subs, What, gap_code,
+                                                  log=log)
+            else:
+                rows, mat, colmaps = _graph_merge(subs, What, DS,
+                                                  gap_code, log=log)
             rows, mat, colmaps, obj = _graph_refine(
                 subs, What, rows, mat, colmaps, gap_code,
                 passes=refine_passes, log=log)
