@@ -212,7 +212,8 @@ def flank_rows_bank(em_odds, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd,
 
 
 def prefilter_grid(banks, codes: np.ndarray, lens: np.ndarray,
-                   col_of, H: int, q_chunk: int = 128) -> np.ndarray:
+                   col_of, H: int, q_chunk: int = 128,
+                   return_rows: bool = False):
     """Three-way gate decisions for a full [Q, H] grid.
 
     Runs the batched flank-row scans per bank (device) in fixed-shape
@@ -221,9 +222,19 @@ def prefilter_grid(banks, codes: np.ndarray, lens: np.ndarray,
     0 needs the trace ensemble). Used by the pipeline's
     --full-search-results path to skip native evaluation of no-region
     pairs when a device backend is doing the pre-scoring.
+
+    With return_rows the (mocc, ppB, ppE) rows are kept as
+    [Q, H, Lmax+1] f32 and returned alongside, so the native engine
+    can evaluate the surviving pairs without recomputing the
+    full-sequence Forward+Backward (native evaluate_targets_rows).
     """
     Q = codes.shape[0]
     dec = np.zeros((Q, H), np.int8)
+    rows_keep = None
+    if return_rows:
+        Lp1 = codes.shape[1] + 1
+        rows_keep = tuple(np.zeros((Q, H, Lp1), np.float32)
+                          for _ in range(3))
     for b in banks:
         args = (b.em_odds, b.t_mm, b.t_mi, b.t_md, b.t_im, b.t_ii,
                 b.t_dm, b.t_dd, b.bm)
@@ -245,6 +256,12 @@ def prefilter_grid(banks, codes: np.ndarray, lens: np.ndarray,
             d = d.reshape(n, Hb)
             for jj, colj in enumerate(cols):
                 dec[s:s + n, colj] = d[:, jj]
+                if rows_keep is not None:
+                    rows_keep[0][s:s + n, colj] = mocc[:n, jj]
+                    rows_keep[1][s:s + n, colj] = ppB[:n, jj]
+                    rows_keep[2][s:s + n, colj] = ppE[:n, jj]
+    if return_rows:
+        return dec, rows_keep
     return dec
 
 

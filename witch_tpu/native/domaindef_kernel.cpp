@@ -740,34 +740,19 @@ static void null2_expectation(const Model &m_in, const int32_t *codes,
     }
 }
 
-static void evaluate_target(const Model &mo_in, const int32_t *codes,
-                            int L, uint32_t seed, int nsamples,
-                            bool want_null2, TargetResult *res) {
-    Model mo = mo_in;
-    mo.set_length(L, true);
-    Fwd f;
-    forward_region(mo, codes, L, &f);   /* full-seq multihit forward */
-    Bck b;
-    backward_full(mo, codes, L, &b);
-    double tot_log = std::log(std::max(b.N[0], 1e-300)) + b.scale_log[0];
-    res->fwd_nats = std::log(std::max(f.C[L], 1e-300)) + std::log(mo.move)
-                  + f.scale_log[L];
-    /* flank posteriors -> mocc, dB, dE */
-    std::vector<double> mocc(L + 1, 0.0), dB(L + 1, 0.0), dE(L + 1, 0.0);
-    for (int i = 1; i <= L; i++) {
-        double sc_im1_i = std::exp(f.scale_log[i - 1] + b.scale_log[i]
-                                   - tot_log);
-        double ppN = f.N[i - 1] * mo.loop * b.N[i] * sc_im1_i;
-        double ppJ = f.J[i - 1] * mo.loop * b.J[i] * sc_im1_i;
-        double ppC = f.C[i - 1] * mo.loop * b.C[i] * sc_im1_i;
-        double flank = ppN + ppJ + ppC;
-        mocc[i] = 1.0 - flank;
-        double sc_i = std::exp(f.scale_log[i] + b.scale_log[i] - tot_log);
-        double sc_im1 = std::exp(f.scale_log[i - 1] + b.scale_log[i - 1]
-                                 - tot_log);
-        dB[i] = f.B[i - 1] * b.B[i - 1] * sc_im1;   /* B at row i-1 */
-        dE[i] = f.E[i] * b.E[i] * sc_i;             /* E at row i */
-    }
+/* Post-rows evaluation: regions + ensembles + null2 from flank
+ * posterior rows (mocc/dB/dE, conventions of evaluate_target below).
+ * `mo` must already be length-configured (multihit); `mo_in` is the
+ * raw model (the isolated-envelope rescore reconfigures it unihit).
+ * Does NOT touch res->fwd_nats. */
+static void evaluate_target_rows(const Model &mo_in, const Model &mo,
+                                 const int32_t *codes, int L,
+                                 uint32_t seed, int nsamples,
+                                 bool want_null2,
+                                 const std::vector<double> &mocc,
+                                 const std::vector<double> &dB,
+                                 const std::vector<double> &dE,
+                                 TargetResult *res) {
     std::vector<Region> regions = find_regions_c(mocc, dB, dE, L);
     res->nregions = (int)regions.size();
     res->nenvelopes = 0;
@@ -885,6 +870,38 @@ static void evaluate_target(const Model &mo_in, const int32_t *codes,
             ? lw + std::log1p(std::exp(-lw))
             : std::log1p(std::exp(lw));
     }
+}
+
+static void evaluate_target(const Model &mo_in, const int32_t *codes,
+                            int L, uint32_t seed, int nsamples,
+                            bool want_null2, TargetResult *res) {
+    Model mo = mo_in;
+    mo.set_length(L, true);
+    Fwd f;
+    forward_region(mo, codes, L, &f);   /* full-seq multihit forward */
+    Bck b;
+    backward_full(mo, codes, L, &b);
+    double tot_log = std::log(std::max(b.N[0], 1e-300)) + b.scale_log[0];
+    res->fwd_nats = std::log(std::max(f.C[L], 1e-300)) + std::log(mo.move)
+                  + f.scale_log[L];
+    /* flank posteriors -> mocc, dB, dE */
+    std::vector<double> mocc(L + 1, 0.0), dB(L + 1, 0.0), dE(L + 1, 0.0);
+    for (int i = 1; i <= L; i++) {
+        double sc_im1_i = std::exp(f.scale_log[i - 1] + b.scale_log[i]
+                                   - tot_log);
+        double ppN = f.N[i - 1] * mo.loop * b.N[i] * sc_im1_i;
+        double ppJ = f.J[i - 1] * mo.loop * b.J[i] * sc_im1_i;
+        double ppC = f.C[i - 1] * mo.loop * b.C[i] * sc_im1_i;
+        double flank = ppN + ppJ + ppC;
+        mocc[i] = 1.0 - flank;
+        double sc_i = std::exp(f.scale_log[i] + b.scale_log[i] - tot_log);
+        double sc_im1 = std::exp(f.scale_log[i - 1] + b.scale_log[i - 1]
+                                 - tot_log);
+        dB[i] = f.B[i - 1] * b.B[i - 1] * sc_im1;   /* B at row i-1 */
+        dE[i] = f.E[i] * b.E[i] * sc_i;             /* E at row i */
+    }
+    evaluate_target_rows(mo_in, mo, codes, L, seed, nsamples,
+                         want_null2, mocc, dB, dE, res);
 }
 
 /* ---------------- python glue --------------------------------------- */
@@ -1238,6 +1255,156 @@ static PyObject *evaluate_targets(PyObject *, PyObject *args) {
 }
 
 
+/* evaluate_targets_rows(msc2d, tmm..bm, codes_list, seed, nsamples,
+ *                       want_null2, want_fwd, mocc2d f32 [N, Lp1],
+ *                       ppB2d f32 [N, Lp1], ppE2d f32 [N, Lp1],
+ *                       nthreads)
+ * Same contract as evaluate_targets, but the flank posterior rows
+ * come from the caller (device-batched Forward+Backward scans,
+ * witch_tpu/hmm/flank_device.py) so the full-sequence host
+ * F+B per pair is skipped. want_fwd=1 runs the f64 Forward for the
+ * print-exact reported score (Forward-only: ~half the F+B cost);
+ * want_fwd=0 leaves fwd at 0 (gate-only use). Row conventions match
+ * hmm/domaindef.py: mocc/ppB/ppE are full-sequence posterior rows
+ * indexed 0..L; internally dB[i] = ppB[i-1], dE[i] = ppE[i]. */
+static PyObject *evaluate_targets_rows(PyObject *, PyObject *args) {
+    PyObject *omsc, *ot[8], *olist, *omocc, *oppb, *oppe;
+    int seed, nsamples, want_null2, want_fwd, nthreads;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOOiiiiOOOi", &omsc,
+                          &ot[0], &ot[1], &ot[2], &ot[3], &ot[4], &ot[5],
+                          &ot[6], &ot[7], &olist, &seed, &nsamples,
+                          &want_null2, &want_fwd, &omocc, &oppb, &oppe,
+                          &nthreads))
+        return NULL;
+    Model mo;
+    std::vector<const int32_t *> cptr;
+    std::vector<int> clen;
+    if (!parse_model_targets(omsc, ot, olist, &mo, &cptr, &clen))
+        return NULL;
+    Py_ssize_t N = (Py_ssize_t)cptr.size();
+    PyArrayObject *ar[3] = {(PyArrayObject *)omocc,
+                            (PyArrayObject *)oppb,
+                            (PyArrayObject *)oppe};
+    npy_intp Lp1 = 0;
+    for (int r = 0; r < 3; r++) {
+        if (!PyArray_Check((PyObject *)ar[r]) ||
+            PyArray_TYPE(ar[r]) != NPY_FLOAT32 ||
+            PyArray_NDIM(ar[r]) != 2 ||
+            !PyArray_IS_C_CONTIGUOUS(ar[r]) ||
+            PyArray_DIM(ar[r], 0) != N) {
+            PyErr_SetString(PyExc_TypeError,
+                            "rows must be f32 2D [N, Lmax+1]");
+            return NULL;
+        }
+        if (r == 0) Lp1 = PyArray_DIM(ar[r], 1);
+        else if (PyArray_DIM(ar[r], 1) != Lp1) {
+            PyErr_SetString(PyExc_ValueError, "row widths differ");
+            return NULL;
+        }
+    }
+    for (Py_ssize_t n = 0; n < N; n++) {
+        if (clen[n] + 1 > Lp1) {
+            PyErr_SetString(PyExc_ValueError,
+                            "rows narrower than a target");
+            return NULL;
+        }
+    }
+    const float *pm = (const float *)PyArray_DATA(ar[0]);
+    const float *pb = (const float *)PyArray_DATA(ar[1]);
+    const float *pe = (const float *)PyArray_DATA(ar[2]);
+    std::vector<int> nreg(N, 0), nenv(N, 0), ld(N, 0);
+    std::vector<double> bias(N, 0.0), fwd(N, 0.0),
+        senv(N, 0.0), sbias(N, 0.0);
+    {
+        Py_BEGIN_ALLOW_THREADS
+        mo.prepare(100);
+        int nt = nthreads < 1 ? 1 : nthreads;
+        if (nt > 16) nt = 16;
+        std::vector<std::thread> threads;
+        std::atomic<Py_ssize_t> next(0);
+        auto work = [&]() {
+            for (;;) {
+                Py_ssize_t n = next.fetch_add(1);
+                if (n >= N) break;
+                int L = clen[n];
+                Model m = mo;
+                m.set_length(L, true);
+                TargetResult tr;
+                if (want_fwd) {
+                    Fwd f;
+                    forward_region(m, cptr[n], L, &f);
+                    tr.fwd_nats = std::log(std::max(f.C[L], 1e-300))
+                                + std::log(m.move) + f.scale_log[L];
+                }
+                std::vector<double> mocc(L + 1, 0.0), dB(L + 1, 0.0),
+                    dE(L + 1, 0.0);
+                const float *rm = pm + (size_t)n * Lp1;
+                const float *rb = pb + (size_t)n * Lp1;
+                const float *re = pe + (size_t)n * Lp1;
+                for (int i = 1; i <= L; i++) {
+                    mocc[i] = (double)rm[i];
+                    dB[i] = (double)rb[i - 1];
+                    dE[i] = (double)re[i];
+                }
+                evaluate_target_rows(mo, m, cptr[n], L, (uint32_t)seed,
+                                     nsamples, want_null2 != 0,
+                                     mocc, dB, dE, &tr);
+                nreg[n] = tr.nregions;
+                nenv[n] = tr.nenvelopes;
+                bias[n] = tr.seqbias_nats;
+                fwd[n] = tr.fwd_nats;
+                senv[n] = tr.sum_env_nats;
+                sbias[n] = tr.sum_bias_nats;
+                ld[n] = tr.ld;
+            }
+        };
+        if (nt == 1) work();
+        else {
+            for (int t = 0; t < nt; t++) threads.emplace_back(work);
+            for (auto &th : threads) th.join();
+        }
+        Py_END_ALLOW_THREADS
+    }
+    npy_intp dim = N;
+    PyArrayObject *areg = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                             NPY_INT32);
+    PyArrayObject *aenv = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                             NPY_INT32);
+    PyArrayObject *abia = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                             NPY_FLOAT64);
+    PyArrayObject *afwd = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                             NPY_FLOAT64);
+    PyArrayObject *asen = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                             NPY_FLOAT64);
+    PyArrayObject *asbi = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                             NPY_FLOAT64);
+    PyArrayObject *ald = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                            NPY_INT32);
+    if (!areg || !aenv || !abia || !afwd || !asen || !asbi || !ald) {
+        Py_XDECREF(areg); Py_XDECREF(aenv); Py_XDECREF(abia);
+        Py_XDECREF(afwd); Py_XDECREF(asen); Py_XDECREF(asbi);
+        Py_XDECREF(ald);
+        return NULL;
+    }
+    for (Py_ssize_t n = 0; n < N; n++) {
+        ((int32_t *)PyArray_DATA(areg))[n] = nreg[n];
+        ((int32_t *)PyArray_DATA(aenv))[n] = nenv[n];
+        ((double *)PyArray_DATA(abia))[n] = bias[n];
+        ((double *)PyArray_DATA(afwd))[n] = fwd[n];
+        ((double *)PyArray_DATA(asen))[n] = senv[n];
+        ((double *)PyArray_DATA(asbi))[n] = sbias[n];
+        ((int32_t *)PyArray_DATA(ald))[n] = ld[n];
+    }
+    PyObject *ret = PyTuple_Pack(7, (PyObject *)areg, (PyObject *)aenv,
+                                 (PyObject *)abia, (PyObject *)afwd,
+                                 (PyObject *)asen, (PyObject *)asbi,
+                                 (PyObject *)ald);
+    Py_DECREF(areg); Py_DECREF(aenv); Py_DECREF(abia); Py_DECREF(afwd);
+    Py_DECREF(asen); Py_DECREF(asbi); Py_DECREF(ald);
+    return ret;
+}
+
+
 /* posterior_pair(msc2d, tmm..bm, codes_i32, Lmodel, multihit)
  * Unihit/multihit posterior decode of one (model, query) pair in f64:
  * returns (ppM [L+1,M+1], ppI [L+1,M+1], ppN [L+1], ppJ [L+1],
@@ -1462,6 +1629,8 @@ static PyObject *posterior_pair(PyObject *, PyObject *args) {
 static PyMethodDef methods[] = {
     {"ensemble_region", ensemble_region, METH_VARARGS,
      "stochastic trace ensemble for one region -> (clusters, n2acc)"},
+    {"evaluate_targets_rows", evaluate_targets_rows, METH_VARARGS,
+     "domain definition from caller-provided flank posterior rows"},
     {"evaluate_targets", evaluate_targets, METH_VARARGS,
      "one model vs many targets -> (nregions, nenvelopes, seqbias, fwd,"
      " sum_env, sum_bias, ld)"},

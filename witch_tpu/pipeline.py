@@ -233,6 +233,7 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         # promoted replacements also get exact scores.
         by_j: Dict[int, List[int]] = {}
         drop = None
+        rows_dev = None
         if getattr(Configs, "full_search_results", False):
             # --full-search-results: evaluate the complete grid so the
             # persisted hmmsearch.results.* files match what the
@@ -241,10 +242,15 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                 # device gate prefilter: the batched flank-row scans
                 # classify every pair on the accelerator; no-region
                 # pairs (the bulk of a full grid) skip native domain
-                # definition entirely (hmm/flank_device.py)
+                # definition entirely, and the kept rows let the
+                # native engine evaluate survivors without recomputing
+                # the full-sequence F+B (hmm/flank_device.py +
+                # native evaluate_targets_rows)
                 from .hmm.flank_device import prefilter_grid
                 t0p = time.time()
-                dec = prefilter_grid(banks, codes, lens, col_of, H)
+                dec, rows_dev = prefilter_grid(banks, codes, lens,
+                                               col_of, H,
+                                               return_rows=True)
                 drop = dec < 0
                 Configs.runtime(
                     "  scoring: device gate prefilter dropped %d/%d "
@@ -277,6 +283,14 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                            "t_dm", "t_dd", "bm")]
             codes_list = [np.ascontiguousarray(qcodes[q], np.int32)
                           for q in qlist]
+            if rows_dev is not None:
+                # device-provided flank rows: skip the host F+B
+                # (f64 Forward still runs for print-exact scores)
+                return j, qlist, _domaindef.evaluate_targets_rows(
+                    *args, codes_list, 42, 200, 1, 1,
+                    np.ascontiguousarray(rows_dev[0][qlist, j]),
+                    np.ascontiguousarray(rows_dev[1][qlist, j]),
+                    np.ascontiguousarray(rows_dev[2][qlist, j]), 1)
             return j, qlist, _domaindef.evaluate_targets(
                 *args, codes_list, 42, 200, 1, 1)
 
