@@ -341,15 +341,22 @@ def consistency_align_core(codes: List[np.ndarray], alphabet: Alphabet,
     merges = upgma_merges(D)
     node: Dict[int, Tuple[List[int], np.ndarray]] = {
         i: ([i], codes[i][None, :].astype(np.uint8)) for i in range(n)}
+    clades: List[List[int]] = []
     for t, (a, b) in enumerate(merges):
         (ra, ca), (rb, cb) = node.pop(a), node.pop(b)
         merged, rows, _ = _align_groups(post, ra, ca, rb, cb, gap_code)
         node[n + t] = (rows, merged)
+        if 1 < len(rows) < n:
+            clades.append(list(rows))
     rows, mat = node[n + len(merges) - 1]
 
+    # tree-edge bipartitions first (every guide-tree clade vs the
+    # rest — the refinement schedule L-INS-i's dvtditr uses), then
+    # random splits
     rng = np.random.default_rng(seed)
     rows, mat, cur_obj = refine_bipartitions(post, rows, mat, gap_code,
-                                             refine_rounds, rng)
+                                             refine_rounds, rng,
+                                             groups=clades)
     if log:
         log("consistency: %d seqs -> %d cols (EA obj %.1f)"
             % (n, mat.shape[1], cur_obj))
