@@ -38,18 +38,64 @@ from .core.alignment import PackedAlignment
 from .core.alphabet import ALPHABETS, Alphabet
 
 
-def _emission_odds(alphabet: Alphabet, match_p: float) -> np.ndarray:
+def _hky_joint(bg: np.ndarray, kappa: float,
+               target_identity: float) -> np.ndarray:
+    """[4, 4] HKY joint P(a, b) at the divergence whose expected
+    identity matches target_identity (canonical ACGT order:
+    transitions A<->G, C<->T weighted kappa; same construction as
+    tree_estimate.ml_refine's rate matrix)."""
+    K = 4
+    S = np.ones((K, K))
+    S[0, 2] = S[2, 0] = kappa
+    S[1, 3] = S[3, 1] = kappa
+    Q = S * bg[None, :]
+    np.fill_diagonal(Q, 0.0)
+    np.fill_diagonal(Q, -Q.sum(1))
+    Q /= -(bg * np.diag(Q)).sum()
+    d = np.sqrt(bg)
+    B = Q * d[:, None] / d[None, :]
+    lam, U = np.linalg.eigh(0.5 * (B + B.T))
+    A = U / d[:, None]
+    Ainv = U.T * d[None, :]
+
+    def ident(t):
+        P = (A * np.exp(lam * t)) @ Ainv
+        return float((bg * np.diag(P)).sum())
+
+    lo, hi = 0.0, 50.0
+    for _ in range(60):
+        mid = 0.5 * (lo + hi)
+        if ident(mid) > target_identity:
+            lo = mid
+        else:
+            hi = mid
+    t = 0.5 * (lo + hi)
+    P = (A * np.exp(lam * t)) @ Ainv
+    J = bg[:, None] * P
+    return 0.5 * (J + J.T)
+
+
+def _emission_odds(alphabet: Alphabet, match_p: float,
+                   kappa: Optional[float] = None) -> np.ndarray:
     """[num_codes, num_codes] match emission odds for the pair HMM.
 
     Canonical joint: P(a,b) = p*pi_a*[a==b] + (1-p)*pi_a*pi_b with the
     molecule background pi; degenerate codes get expectation under
     their expansion; gap codes (never present in degapped input) are
-    neutral 1.0.
+    neutral 1.0. With kappa (nucleic only), the joint instead comes
+    from an HKY substitution process at the divergence that matches
+    the same expected identity — transitions score above
+    transversions, the distinction the identity mixture cannot make.
     """
     from .hmm.priors import get_background
     K = alphabet.K
     bg = get_background(alphabet.name)
-    joint = match_p * np.diag(bg) + (1.0 - match_p) * np.outer(bg, bg)
+    if kappa is not None and K == 4:
+        target = match_p + (1.0 - match_p) * float((bg ** 2).sum())
+        joint = _hky_joint(bg, kappa, target)
+    else:
+        joint = match_p * np.diag(bg) \
+            + (1.0 - match_p) * np.outer(bg, bg)
     odds4 = joint / np.outer(bg, bg)
     E = alphabet.expansion_matrix()            # [C, K], gap row zero
     em = E @ odds4 @ E.T
@@ -62,6 +108,7 @@ def _emission_odds(alphabet: Alphabet, match_p: float) -> np.ndarray:
 def pairwise_posteriors(codes: List[np.ndarray], alphabet: Alphabet,
                         match_p: float = 0.35, delta: float = 0.04,
                         eps: float = 0.75, cutoff: float = 0.01,
+                        kappa: Optional[float] = None,
                         workers: int = 8):
     """All-pairs sparse match posteriors + EA distance matrix.
 
@@ -71,7 +118,7 @@ def pairwise_posteriors(codes: List[np.ndarray], alphabet: Alphabet,
     import scipy.sparse as sp
     from .native import _pairhmm
 
-    em = _emission_odds(alphabet, match_p)
+    em = _emission_odds(alphabet, match_p, kappa)
     n = len(codes)
     codes32 = [np.ascontiguousarray(c, np.int32) for c in codes]
     tasks = [(s, t) for s in range(n) for t in range(s + 1, n)]
@@ -230,8 +277,9 @@ def _ea_objective(post, rows, codes_mat, gap_code) -> float:
 
 
 def estimate_params(codes: List[np.ndarray], alphabet: Alphabet,
-                    workers: int = 8, seed: int = 0,
-                    sample: int = 12) -> Tuple[float, float, float]:
+                    workers: int = 8, seed: int = 0, sample: int = 12,
+                    kappa: Optional[float] = None
+                    ) -> Tuple[float, float, float]:
     """Adaptive pair-HMM parameters from a probe pass.
 
     Aligns a small sample of sequence pairs at fixed probe parameters
@@ -250,7 +298,8 @@ def estimate_params(codes: List[np.ndarray], alphabet: Alphabet,
     idx = rng.choice(n, min(sample, n), replace=False)
     sub = [codes[i] for i in idx]
     _, D = pairwise_posteriors(sub, alphabet, match_p=0.3, delta=0.02,
-                               eps=0.75, cutoff=0.05, workers=workers)
+                               eps=0.75, cutoff=0.05, kappa=kappa,
+                               workers=workers)
     m = len(sub)
     if m < 2:
         return 0.3, 0.02, 0.5
@@ -304,6 +353,7 @@ def consistency_align_core(codes: List[np.ndarray], alphabet: Alphabet,
                            delta: Optional[float] = None,
                            eps: float = 0.75, rounds: int = 1,
                            refine_rounds: int = 50, cutoff: float = 0.01,
+                           kappa: Optional[float] = None,
                            seed: int = 0, workers: int = 8, log=None):
     """ProbCons-style alignment core.
 
@@ -321,7 +371,7 @@ def consistency_align_core(codes: List[np.ndarray], alphabet: Alphabet,
             np.zeros((1, 1))
     if match_p is None or delta is None:
         mp_e, de_e, e = estimate_params(codes, alphabet, workers=workers,
-                                        seed=seed)
+                                        seed=seed, kappa=kappa)
         match_p = mp_e if match_p is None else match_p
         delta = de_e if delta is None else delta
         if log:
@@ -330,7 +380,7 @@ def consistency_align_core(codes: List[np.ndarray], alphabet: Alphabet,
 
     post, D = pairwise_posteriors(codes, alphabet, match_p=match_p,
                                   delta=delta, eps=eps, cutoff=cutoff,
-                                  workers=workers)
+                                  kappa=kappa, workers=workers)
     if log:
         log("consistency: %d pair posteriors, mean EA dist %.3f"
             % (len(post), float(D[np.triu_indices(n, 1)].mean())))
@@ -368,6 +418,7 @@ def consistency_align(names: List[str], seqs: List[str], molecule: str,
                       delta: Optional[float] = None,
                       eps: float = 0.75, rounds: int = 1,
                       refine_rounds: int = 50, cutoff: float = 0.01,
+                      kappa: Optional[float] = None,
                       seed: int = 0, workers: int = 8,
                       log=None) -> PackedAlignment:
     """ProbCons-style alignment of up to ~80 sequences."""
@@ -377,7 +428,7 @@ def consistency_align(names: List[str], seqs: List[str], molecule: str,
     rows, mat, _, _ = consistency_align_core(
         codes, alphabet, match_p=match_p, delta=delta, eps=eps,
         rounds=rounds, refine_rounds=refine_rounds, cutoff=cutoff,
-        seed=seed, workers=workers, log=log)
+        kappa=kappa, seed=seed, workers=workers, log=log)
     aln = PackedAlignment([names[i] for i in rows], mat, alphabet)
     aln, _ = aln.delete_all_gap_columns()
     order = {nm: i for i, nm in enumerate(aln.names)}
@@ -1072,6 +1123,7 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
                                eps: float = 0.75,
                                rounds: int = 1, refine_rounds: int = 50,
                                cutoff: float = 0.01, seed: int = 0,
+                               kappa: Optional[float] = None,
                                pair_cap: Optional[int] = None,
                                iters: int = 1,
                                merge_mode: str = "column",
@@ -1108,13 +1160,13 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
         return consistency_align(names, seqs, molecule, match_p=match_p,
                                  delta=delta, eps=eps, rounds=rounds,
                                  refine_rounds=refine_rounds,
-                                 cutoff=cutoff, seed=seed,
+                                 cutoff=cutoff, kappa=kappa, seed=seed,
                                  workers=workers, log=log)
     codes = [alphabet.encode(s) for s in seqs]
     gap_code = alphabet.gap_code
     if match_p is None or delta is None:
         mp_e, de_e, e = estimate_params(codes, alphabet, workers=workers,
-                                        seed=seed)
+                                        seed=seed, kappa=kappa)
         match_p = mp_e if match_p is None else match_p
         delta = de_e if delta is None else delta
         if log:
@@ -1123,7 +1175,7 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
 
     import scipy.sparse as sp
     from .native import _pairhmm
-    em_glob = _emission_odds(alphabet, match_p)
+    em_glob = _emission_odds(alphabet, match_p, kappa)
     codes32 = [np.ascontiguousarray(c, np.int32) for c in codes]
     post: Dict[Tuple[int, int], object] = {}   # persistent across iters
     pair_rng = np.random.default_rng(seed + 10007)
@@ -1200,7 +1252,8 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
             srows, smat, _, _D = consistency_align_core(
                 sub_codes, alphabet, match_p=None, delta=None, eps=eps,
                 rounds=rounds, refine_rounds=refine_rounds,
-                cutoff=cutoff, seed=seed + ci, workers=workers)
+                cutoff=cutoff, kappa=kappa, seed=seed + ci,
+                workers=workers)
             subs.append(([int(idx[r]) for r in srows], smat))
             if log:
                 log("backbone[it%d]: subset %d/%d aligned (%d seqs, "
