@@ -165,12 +165,14 @@ def main():
                 for a in ("t_mm", "t_mi", "t_md", "t_im", "t_ii",
                           "t_dm", "t_dd", "bm")]
 
+        fwd_fn = getattr(_domaindef, "forward_targets_simd",
+                         _domaindef.forward_targets)
         log("timing native Forward on %d models x %d queries"
             % (len(profs), Q))
         t0 = time.time()
         with ThreadPoolExecutor(max_workers=4) as ex:
             list(ex.map(
-                lambda p: _domaindef.forward_targets(*margs(p), clist, 1),
+                lambda p: fwd_fn(*margs(p), clist, 1),
                 profs))
         dt = (time.time() - t0) * (H / len(profs))
         padded_cells = true_cells   # no padding on the native path

