@@ -58,6 +58,40 @@ def test_simd_matches_f64(toy):
         np.testing.assert_allclose(f32, f64, atol=0.01 * np.log(2.0))
 
 
+def test_flank_simd_rows_and_gate(toy):
+    """flank_targets_simd rows vs the f64 oracle, and engine-output
+    equality when they replace the host F+B (evaluate_targets_rows)."""
+    from witch_tpu.native import _domaindef
+    from witch_tpu.hmm.profile import configure
+    from witch_tpu.hmm.domaindef import _posteriors_multihit
+
+    if not hasattr(_domaindef, "flank_targets_simd"):
+        pytest.skip("extension built without flank_targets_simd")
+    qcodes, qlens, cores = toy
+    clist = [np.ascontiguousarray(qcodes[q, :qlens[q]], np.int32)
+             for q in range(qcodes.shape[0])]
+    for core in cores[:2]:
+        prof = configure(core, multihit=True)
+        args = _margs(prof)
+        fwd, mocc, ppb, ppe = _domaindef.flank_targets_simd(
+            *args, clist, 2)
+        for q, codes in enumerate(clist):
+            L = len(codes)
+            f64, ppB64, ppE64, mocc64 = _posteriors_multihit(
+                prof, codes.astype(np.int64))
+            assert abs(fwd[q] - f64) < 5e-3
+            np.testing.assert_allclose(ppb[q, :L + 1], ppB64, atol=2e-3)
+            np.testing.assert_allclose(ppe[q, :L + 1], ppE64, atol=2e-3)
+            np.testing.assert_allclose(mocc[q, :L + 1], mocc64,
+                                       atol=2e-3)
+        full = _domaindef.evaluate_targets(*args, clist, 42, 200, 1, 1)
+        rows = _domaindef.evaluate_targets_rows(
+            *args, clist, 42, 200, 1, 1, mocc, ppb, ppe, 1)
+        for i in range(4):
+            np.testing.assert_array_equal(np.asarray(full[i]),
+                                          np.asarray(rows[i]))
+
+
 def test_simd_single_and_empty_batch(toy):
     from witch_tpu.native import _domaindef
     from witch_tpu.hmm.profile import configure

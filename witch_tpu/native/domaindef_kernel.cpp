@@ -1398,6 +1398,450 @@ static PyObject *forward_targets_simd(PyObject *self, PyObject *args) {
 #endif
 }
 
+#ifdef __AVX512F__
+/* Lane-parallel F+B special-row posteriors (the reporting gate's
+ * flank rows — mocc/ppB/ppE, f64 oracle hmm/domaindef.py:
+ * _posteriors_multihit, device twin hmm/flank_device.py:_flank_one).
+ * Forward and backward scans keep only the special-state rows plus a
+ * power-of-2 exponent ledger per row; the combine runs in double so
+ * mantissa products of 2^±28-ranged row values cannot overflow. */
+static void flank_group16(const SimdTables &T,
+                          const int32_t *const *cptr, const int *clen,
+                          int nl, float *bufA, float *bufB,
+                          int32_t *xoff, float *fspec, float *bspec,
+                          npy_intp Lp1out, double *out_fwd,
+                          float *out_mocc, float *out_ppb,
+                          float *out_ppe) {
+    const int M = T.M;
+    const size_t row = (size_t)(M + 1) * 16;
+    int Lmax = 0;
+    for (int l = 0; l < nl; l++) Lmax = std::max(Lmax, clen[l]);
+
+    alignas(64) float movef[16], loopf[16];
+    for (int l = 0; l < 16; l++) {
+        double pmove = l < nl ? 3.0 / ((double)clen[l] + 3.0) : 1.0;
+        movef[l] = (float)pmove;
+        loopf[l] = (float)(1.0 - pmove);
+    }
+    for (int i = 0; i < Lmax; i++)
+        for (int l = 0; l < 16; l++)
+            xoff[(size_t)i * 16 + l] =
+                (l < nl && i < clen[l]) ? cptr[l][i] * (M + 1) : 0;
+
+    const __m512 zero = _mm512_setzero_ps();
+    const __m512 one = _mm512_set1_ps(1.0f);
+    const __m512 half = _mm512_set1_ps(0.5f);
+    const __m512 loopv = _mm512_load_ps(loopf);
+    const __m512 movev = _mm512_load_ps(movef);
+    /* specials layout per row i: [N, B, J, C, E, eledger] x 16 */
+    const size_t srow = 6 * 16;
+    auto spec = [&](float *base, int i, int f) {
+        return base + (size_t)i * srow + (size_t)f * 16;
+    };
+
+    /* ---------------- forward ---------------- */
+    std::memset(bufA, 0, row * 3 * sizeof(float));
+    std::memset(bufB, 0, row * 3 * sizeof(float));
+    float *pm = bufA, *pi = bufA + row, *pd = bufA + 2 * row;
+    float *cm = bufB, *ci = bufB + row, *cd = bufB + 2 * row;
+    {
+        __m512 Nv = one, Jv = zero, Cv = zero, Bv = movev, etot = zero;
+        _mm512_storeu_ps(spec(fspec, 0, 0), one);
+        _mm512_storeu_ps(spec(fspec, 0, 1), movev);
+        _mm512_storeu_ps(spec(fspec, 0, 2), zero);
+        _mm512_storeu_ps(spec(fspec, 0, 3), zero);
+        _mm512_storeu_ps(spec(fspec, 0, 4), zero);
+        _mm512_storeu_ps(spec(fspec, 0, 5), zero);
+        for (int i = 1; i <= Lmax; i++) {
+            const __m512i xo = _mm512_loadu_si512(
+                (const void *)(xoff + (size_t)(i - 1) * 16));
+            const __m512 Bprev = Bv;
+            __m512 esum = zero;
+            for (int k = 1; k <= M; k++) {
+                __m512 src =
+                    _mm512_mul_ps(Bprev, _mm512_set1_ps(T.bmo[k]));
+                src = _mm512_fmadd_ps(_mm512_loadu_ps(pm + 16 * (k - 1)),
+                                      _mm512_set1_ps(T.mm[k - 1]), src);
+                src = _mm512_fmadd_ps(_mm512_loadu_ps(pi + 16 * (k - 1)),
+                                      _mm512_set1_ps(T.im[k - 1]), src);
+                src = _mm512_fmadd_ps(_mm512_loadu_ps(pd + 16 * (k - 1)),
+                                      _mm512_set1_ps(T.dm[k - 1]), src);
+                const __m512i idx =
+                    _mm512_add_epi32(xo, _mm512_set1_epi32(k));
+                const __m512 ex =
+                    _mm512_i32gather_ps(idx, T.emX.data(), 4);
+                const __m512 v = _mm512_mul_ps(src, ex);
+                _mm512_storeu_ps(cm + 16 * k, v);
+                esum = _mm512_add_ps(esum, v);
+                if (k < M) {
+                    const __m512 iv = _mm512_fmadd_ps(
+                        _mm512_loadu_ps(pm + 16 * k),
+                        _mm512_set1_ps(T.mi[k]),
+                        _mm512_mul_ps(_mm512_loadu_ps(pi + 16 * k),
+                                      _mm512_set1_ps(T.ii[k])));
+                    _mm512_storeu_ps(ci + 16 * k, iv);
+                }
+            }
+            _mm512_storeu_ps(ci + 16 * M, zero);
+            __m512 dprev = zero;
+            for (int k = 2; k <= M; k++) {
+                const __m512 t =
+                    _mm512_mul_ps(_mm512_loadu_ps(cm + 16 * (k - 1)),
+                                  _mm512_set1_ps(T.md[k - 1]));
+                dprev = _mm512_fmadd_ps(dprev,
+                                        _mm512_set1_ps(T.dd[k - 1]), t);
+                _mm512_storeu_ps(cd + 16 * k, dprev);
+                esum = _mm512_add_ps(esum, dprev);
+            }
+            Jv = _mm512_fmadd_ps(Jv, loopv, _mm512_mul_ps(esum, half));
+            Cv = _mm512_fmadd_ps(Cv, loopv, _mm512_mul_ps(esum, half));
+            Nv = _mm512_mul_ps(Nv, loopv);
+            Bv = _mm512_mul_ps(_mm512_add_ps(Nv, Jv), movev);
+            /* emit row i specials at the pre-rescale ledger */
+            _mm512_storeu_ps(spec(fspec, i, 0), Nv);
+            _mm512_storeu_ps(spec(fspec, i, 1), Bv);
+            _mm512_storeu_ps(spec(fspec, i, 2), Jv);
+            _mm512_storeu_ps(spec(fspec, i, 3), Cv);
+            _mm512_storeu_ps(spec(fspec, i, 4), esum);
+            _mm512_storeu_ps(spec(fspec, i, 5), etot);
+            const __mmask16 gm =
+                _mm512_cmp_ps_mask(esum, zero, _CMP_GT_OQ);
+            const __m512 e = _mm512_maskz_getexp_ps(gm, esum);
+            if (_mm512_reduce_max_ps(_mm512_abs_ps(e)) > 24.0f) {
+                const __m512 sc =
+                    _mm512_scalef_ps(one, _mm512_sub_ps(zero, e));
+                for (int k = 0; k <= M; k++) {
+                    _mm512_storeu_ps(cm + 16 * k, _mm512_mul_ps(
+                        _mm512_loadu_ps(cm + 16 * k), sc));
+                    _mm512_storeu_ps(ci + 16 * k, _mm512_mul_ps(
+                        _mm512_loadu_ps(ci + 16 * k), sc));
+                    _mm512_storeu_ps(cd + 16 * k, _mm512_mul_ps(
+                        _mm512_loadu_ps(cd + 16 * k), sc));
+                }
+                Nv = _mm512_mul_ps(Nv, sc);
+                Bv = _mm512_mul_ps(Bv, sc);
+                Jv = _mm512_mul_ps(Jv, sc);
+                Cv = _mm512_mul_ps(Cv, sc);
+                etot = _mm512_add_ps(etot, e);
+            }
+            std::swap(pm, cm); std::swap(pi, ci); std::swap(pd, cd);
+        }
+    }
+
+    /* ---------------- backward ---------------- */
+    /* carry rows live at i+1 in bufA (Mn, In); bufB is scratch */
+    std::memset(bufA, 0, row * 3 * sizeof(float));
+    std::memset(bufB, 0, row * 3 * sizeof(float));
+    float *Mn = bufA, *In = bufA + row;
+    float *Mi = bufB, *Ii = bufB + row, *Dv = bufB + 2 * row;
+    {
+        /* terminal row L: E_L = move*0.5; D_L right-to-left chain;
+         * Mn_L[k] = E_L + D_L[k+1]*t_md[k], Mn_L[0] = 0 */
+        const __m512 EL = _mm512_mul_ps(movev, half);
+        __m512 dnext = zero;
+        for (int k = M; k >= 0; k--) {
+            const __m512 mk =
+                _mm512_fmadd_ps(dnext,
+                                _mm512_set1_ps(T.md[k]), EL);
+            _mm512_storeu_ps(Mn + 16 * k,
+                             k == 0 ? zero : mk);
+            dnext = _mm512_fmadd_ps(dnext,
+                                    _mm512_set1_ps(T.dd[k]), EL);
+        }
+        std::memset(In, 0, row * sizeof(float));
+        __m512 Nv = zero, Jv = zero, Cv = movev, etot = zero;
+        /* backward specials of each lane's own row L are written
+         * during the combine (they depend on per-lane length) */
+        for (int i = Lmax - 1; i >= 0; i--) {
+            /* lanes with clen == i+1 start their backward recursion
+             * here: reset their carry to the terminal pattern */
+            __mmask16 start = 0;
+            for (int l = 0; l < nl; l++)
+                if (clen[l] == i + 1) start |= (__mmask16)(1u << l);
+            if (start) {
+                Nv = _mm512_mask_blend_ps(start, Nv, zero);
+                Jv = _mm512_mask_blend_ps(start, Jv, zero);
+                Cv = _mm512_mask_blend_ps(start, Cv, movev);
+                etot = _mm512_mask_blend_ps(start, etot, zero);
+                const __m512 ELs = _mm512_mul_ps(movev, half);
+                __m512 dn = zero;
+                for (int k = M; k >= 0; k--) {
+                    const __m512 mk = _mm512_fmadd_ps(
+                        dn, _mm512_set1_ps(T.md[k]), ELs);
+                    __m512 old = _mm512_loadu_ps(Mn + 16 * k);
+                    _mm512_storeu_ps(Mn + 16 * k,
+                                     _mm512_mask_blend_ps(
+                                         start, old,
+                                         k == 0 ? zero : mk));
+                    old = _mm512_loadu_ps(In + 16 * k);
+                    _mm512_storeu_ps(In + 16 * k,
+                                     _mm512_mask_blend_ps(start, old,
+                                                          zero));
+                    dn = _mm512_fmadd_ps(dn, _mm512_set1_ps(T.dd[k]),
+                                         ELs);
+                }
+            }
+            const __m512i xo = _mm512_loadu_si512(
+                (const void *)(xoff + (size_t)i * 16));
+            /* mne[k] = Mn[k] * em[k][x]; Bv = sum bm[k]*mne[k] */
+            __m512 Bsum = zero;
+            for (int k = 1; k <= M; k++) {
+                const __m512i idx =
+                    _mm512_add_epi32(xo, _mm512_set1_epi32(k));
+                const __m512 ex =
+                    _mm512_i32gather_ps(idx, T.emX.data(), 4);
+                const __m512 mne =
+                    _mm512_mul_ps(_mm512_loadu_ps(Mn + 16 * k), ex);
+                _mm512_storeu_ps(Dv + 16 * k, mne);   /* stash mne */
+                Bsum = _mm512_fmadd_ps(mne, _mm512_set1_ps(T.bmo[k]),
+                                       Bsum);
+            }
+            _mm512_storeu_ps(Dv, zero);               /* mne[0] */
+            const __m512 Ni =
+                _mm512_fmadd_ps(Nv, loopv, _mm512_mul_ps(Bsum, movev));
+            const __m512 Ji =
+                _mm512_fmadd_ps(Jv, loopv, _mm512_mul_ps(Bsum, movev));
+            const __m512 Ci = _mm512_mul_ps(Cv, loopv);
+            const __m512 Ei = _mm512_fmadd_ps(
+                Ci, half, _mm512_mul_ps(Ji, half));
+            /* emit row i specials (N, J, C, B, E) pre-rescale */
+            _mm512_storeu_ps(spec(bspec, i, 0), Ni);
+            _mm512_storeu_ps(spec(bspec, i, 1), Ji);
+            _mm512_storeu_ps(spec(bspec, i, 2), Ci);
+            _mm512_storeu_ps(spec(bspec, i, 3), Bsum);
+            _mm512_storeu_ps(spec(bspec, i, 4), Ei);
+            _mm512_storeu_ps(spec(bspec, i, 5), etot);
+            /* D chain right-to-left, then M/I rows; mne is in Dv and
+             * gets overwritten one step behind the reads */
+            __m512 dnext2 = zero, mmax = zero;
+            __m512 mne_next = zero;                   /* mne[k+1] */
+            for (int k = M; k >= 1; k--) {
+                const __m512 c =
+                    _mm512_fmadd_ps(mne_next,
+                                    _mm512_set1_ps(T.dm[k]), Ei);
+                const __m512 dk =
+                    _mm512_fmadd_ps(dnext2,
+                                    _mm512_set1_ps(T.dd[k]), c);
+                const __m512 mi2 = _mm512_add_ps(
+                    Ei,
+                    _mm512_fmadd_ps(mne_next, _mm512_set1_ps(T.mm[k]),
+                        _mm512_fmadd_ps(
+                            _mm512_loadu_ps(In + 16 * k),
+                            _mm512_set1_ps(T.mi[k]),
+                            _mm512_mul_ps(dnext2,
+                                          _mm512_set1_ps(T.md[k])))));
+                const __m512 ii2 = _mm512_fmadd_ps(
+                    mne_next, _mm512_set1_ps(T.im[k]),
+                    _mm512_mul_ps(_mm512_loadu_ps(In + 16 * k),
+                                  _mm512_set1_ps(T.ii[k])));
+                mne_next = _mm512_loadu_ps(Dv + 16 * k);
+                _mm512_storeu_ps(Mi + 16 * k, mi2);
+                _mm512_storeu_ps(Ii + 16 * k, ii2);
+                _mm512_storeu_ps(Dv + 16 * k, dk);
+                dnext2 = dk;
+                mmax = _mm512_max_ps(mmax, mi2);
+            }
+            _mm512_storeu_ps(Mi, zero);
+            _mm512_storeu_ps(Ii, zero);
+            /* rescale on the row maximum (mirrors the device scan's
+             * max(M, N, C) choice, power-of-2 ledger) */
+            __m512 rmax = _mm512_max_ps(mmax, _mm512_max_ps(Ni, Ci));
+            const __mmask16 gm =
+                _mm512_cmp_ps_mask(rmax, zero, _CMP_GT_OQ);
+            const __m512 e = _mm512_maskz_getexp_ps(gm, rmax);
+            __m512 Nn = Ni, Jn = Ji, Cn = Ci;
+            if (_mm512_reduce_max_ps(_mm512_abs_ps(e)) > 24.0f) {
+                const __m512 sc =
+                    _mm512_scalef_ps(one, _mm512_sub_ps(zero, e));
+                for (int k = 0; k <= M; k++) {
+                    _mm512_storeu_ps(Mi + 16 * k, _mm512_mul_ps(
+                        _mm512_loadu_ps(Mi + 16 * k), sc));
+                    _mm512_storeu_ps(Ii + 16 * k, _mm512_mul_ps(
+                        _mm512_loadu_ps(Ii + 16 * k), sc));
+                }
+                Nn = _mm512_mul_ps(Nn, sc);
+                Jn = _mm512_mul_ps(Jn, sc);
+                Cn = _mm512_mul_ps(Cn, sc);
+                etot = _mm512_add_ps(etot, e);
+            }
+            Nv = Nn; Jv = Jn; Cv = Cn;
+            std::swap(Mn, Mi); std::swap(In, Ii);
+        }
+    }
+
+    /* ---------------- combine (double, per lane) ---------------- */
+    for (int l = 0; l < nl; l++) {
+        const int L = clen[l];
+        double *fwdp = out_fwd + l;
+        float *mo = out_mocc + (size_t)l * Lp1out;
+        float *pb = out_ppb + (size_t)l * Lp1out;
+        float *pe = out_ppe + (size_t)l * Lp1out;
+        std::memset(mo, 0, Lp1out * sizeof(float));
+        std::memset(pb, 0, Lp1out * sizeof(float));
+        std::memset(pe, 0, Lp1out * sizeof(float));
+        const double move = 3.0 / ((double)L + 3.0);
+        const double loop = 1.0 - move;
+        const double fC = (double)fspec[(size_t)L * srow + 3 * 16 + l];
+        const double feL = (double)fspec[(size_t)L * srow + 5 * 16 + l];
+        const double fwdm = fC * move;
+        *fwdp = fwdm > 0.0
+            ? std::log(fwdm) + M_LN2 * feL : std::log(1e-300);
+        if (fwdm <= 0.0 || L == 0) continue;
+        /* backward specials of row L are the terminal pattern */
+        const double bspecL[6] = {0.0, 0.0, move, 0.0, move * 0.5, 0.0};
+        for (int i = 0; i <= L; i++) {
+            const float *fr = fspec + (size_t)i * srow;
+            const float *br_ = bspec + (size_t)i * srow;
+            double bN, bJ, bC, bB, bE, be;
+            if (i == L) {
+                bN = bspecL[0]; bJ = bspecL[1]; bC = bspecL[2];
+                bB = bspecL[3]; bE = bspecL[4]; be = bspecL[5];
+            } else {
+                bN = br_[0 * 16 + l]; bJ = br_[1 * 16 + l];
+                bC = br_[2 * 16 + l]; bB = br_[3 * 16 + l];
+                bE = br_[4 * 16 + l]; be = br_[5 * 16 + l];
+            }
+            const double fe = fr[5 * 16 + l];
+            const double sE = std::ldexp(1.0, (int)(fe + be - feL));
+            pb[i] = (float)((double)fr[1 * 16 + l] * bB * sE / fwdm);
+            pe[i] = (float)((double)fr[4 * 16 + l] * bE * sE / fwdm);
+            if (i >= 1) {
+                const float *fp = fspec + (size_t)(i - 1) * srow;
+                const double fpe = fp[5 * 16 + l];
+                const double sP =
+                    std::ldexp(1.0, (int)(fpe + be - feL));
+                const double ppN =
+                    (double)fp[0 * 16 + l] * loop * bN * sP / fwdm;
+                const double ppJ =
+                    (double)fp[2 * 16 + l] * loop * bJ * sP / fwdm;
+                const double ppC =
+                    (double)fp[3 * 16 + l] * loop * bC * sP / fwdm;
+                mo[i] = (float)(1.0 - (ppN + ppJ + ppC));
+            }
+        }
+    }
+}
+#endif  /* __AVX512F__ */
+
+/* flank_targets_simd(msc2d, tmm..bm, codes_list, nthreads)
+ *   -> (fwd f64[N], mocc f32[N, Lmax+1], ppB f32[N, Lmax+1],
+ *       ppE f32[N, Lmax+1])
+ * AVX-512 lane-parallel special-row posteriors for the reporting
+ * gate; the rows feed evaluate_targets_rows, which then skips its
+ * host full-sequence F+B. */
+static PyObject *flank_targets_simd(PyObject *, PyObject *args) {
+#ifndef __AVX512F__
+    PyErr_SetString(PyExc_RuntimeError,
+                    "extension built without AVX-512");
+    return NULL;
+#else
+    PyObject *omsc, *ot[8], *olist;
+    int nthreads;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOOi", &omsc,
+                          &ot[0], &ot[1], &ot[2], &ot[3], &ot[4], &ot[5],
+                          &ot[6], &ot[7], &olist, &nthreads))
+        return NULL;
+    Model mo;
+    std::vector<const int32_t *> cptr;
+    std::vector<int> clen;
+    if (!parse_model_targets(omsc, ot, olist, &mo, &cptr, &clen))
+        return NULL;
+    Py_ssize_t N = (Py_ssize_t)cptr.size();
+    int Lmax = 0;
+    for (Py_ssize_t n = 0; n < N; n++) Lmax = std::max(Lmax, clen[n]);
+    const npy_intp Lp1 = Lmax + 1;
+    npy_intp dim1 = N, dims2[2] = {N, Lp1};
+    PyArrayObject *afwd = (PyArrayObject *)PyArray_SimpleNew(
+        1, &dim1, NPY_FLOAT64);
+    PyArrayObject *amocc = (PyArrayObject *)PyArray_ZEROS(
+        2, dims2, NPY_FLOAT32, 0);
+    PyArrayObject *appb = (PyArrayObject *)PyArray_ZEROS(
+        2, dims2, NPY_FLOAT32, 0);
+    PyArrayObject *appe = (PyArrayObject *)PyArray_ZEROS(
+        2, dims2, NPY_FLOAT32, 0);
+    if (!afwd || !amocc || !appb || !appe) {
+        Py_XDECREF(afwd); Py_XDECREF(amocc);
+        Py_XDECREF(appb); Py_XDECREF(appe);
+        return NULL;
+    }
+    double *ofwd = (double *)PyArray_DATA(afwd);
+    float *omoc = (float *)PyArray_DATA(amocc);
+    float *opb = (float *)PyArray_DATA(appb);
+    float *ope = (float *)PyArray_DATA(appe);
+    {
+        Py_BEGIN_ALLOW_THREADS
+        mo.prepare(100);
+        SimdTables T;
+        build_simd_tables(mo, &T);
+        std::vector<int> order(N);
+        for (Py_ssize_t n = 0; n < N; n++) order[n] = (int)n;
+        std::sort(order.begin(), order.end(), [&](int a, int b) {
+            return clen[a] != clen[b] ? clen[a] < clen[b] : a < b;
+        });
+        const int ngroups = (int)((N + 15) / 16);
+        int nt = nthreads < 1 ? 1 : (nthreads > 16 ? 16 : nthreads);
+        if (nt > ngroups) nt = ngroups > 0 ? ngroups : 1;
+        std::atomic<int> next(0);
+        const size_t rowsz = (size_t)(T.M + 1) * 16;
+        auto work = [&]() {
+            _mm_setcsr(_mm_getcsr() | 0x8040);
+            std::vector<float> bufA(rowsz * 3 + 16),
+                bufB(rowsz * 3 + 16);
+            std::vector<float> fspec, bspec;
+            std::vector<int32_t> xoffv;
+            for (;;) {
+                const int g = next.fetch_add(1);
+                if (g >= ngroups) break;
+                const int lo = g * 16;
+                const int nl = (int)std::min<Py_ssize_t>(16, N - lo);
+                const int32_t *gc[16];
+                int gl[16];
+                int Lg = 0;
+                for (int l = 0; l < nl; l++) {
+                    gc[l] = cptr[order[lo + l]];
+                    gl[l] = clen[order[lo + l]];
+                    Lg = std::max(Lg, gl[l]);
+                }
+                xoffv.resize((size_t)std::max(Lg, 1) * 16);
+                fspec.resize((size_t)(Lg + 1) * 6 * 16);
+                bspec.resize((size_t)(Lg + 1) * 6 * 16);
+                double gfwd[16];
+                std::vector<float> gmoc((size_t)16 * Lp1),
+                    gpb((size_t)16 * Lp1), gpe((size_t)16 * Lp1);
+                flank_group16(T, gc, gl, nl, bufA.data(), bufB.data(),
+                              xoffv.data(), fspec.data(), bspec.data(),
+                              Lp1, gfwd, gmoc.data(), gpb.data(),
+                              gpe.data());
+                for (int l = 0; l < nl; l++) {
+                    const int n = order[lo + l];
+                    ofwd[n] = gfwd[l];
+                    std::memcpy(omoc + (size_t)n * Lp1,
+                                gmoc.data() + (size_t)l * Lp1,
+                                Lp1 * sizeof(float));
+                    std::memcpy(opb + (size_t)n * Lp1,
+                                gpb.data() + (size_t)l * Lp1,
+                                Lp1 * sizeof(float));
+                    std::memcpy(ope + (size_t)n * Lp1,
+                                gpe.data() + (size_t)l * Lp1,
+                                Lp1 * sizeof(float));
+                }
+            }
+        };
+        if (nt <= 1) work();
+        else {
+            std::vector<std::thread> threads;
+            for (int t = 0; t < nt; t++) threads.emplace_back(work);
+            for (auto &th : threads) th.join();
+        }
+        Py_END_ALLOW_THREADS
+    }
+    PyObject *ret = PyTuple_Pack(4, (PyObject *)afwd, (PyObject *)amocc,
+                                 (PyObject *)appb, (PyObject *)appe);
+    Py_DECREF(afwd); Py_DECREF(amocc); Py_DECREF(appb); Py_DECREF(appe);
+    return ret;
+#endif
+}
+
 /* evaluate_targets(msc2d, tmm..bm, codes_list, seed, nsamples,
  *                  want_null2, nthreads)
  * One model vs many targets; returns (nregions i32[N], nenvelopes
@@ -1876,6 +2320,8 @@ static PyMethodDef methods[] = {
      "one model vs many targets, Forward-only -> fwd nats f64[N]"},
     {"forward_targets_simd", forward_targets_simd, METH_VARARGS,
      "AVX-512 lane-parallel f32 pre-ranking Forward -> fwd nats f64[N]"},
+    {"flank_targets_simd", flank_targets_simd, METH_VARARGS,
+     "AVX-512 lane-parallel gate flank rows -> (fwd, mocc, ppB, ppE)"},
     {"posterior_pair", posterior_pair, METH_VARARGS,
      "dense f64 posterior decode of one pair -> (ppM, ppI, ppN, ppJ, ppC)"},
     {NULL, NULL, 0, NULL}};

@@ -280,6 +280,10 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         from concurrent.futures import ThreadPoolExecutor
         from .hmm.profile import null1_score
 
+        _flank_fn = None
+        if not os.environ.get("WITCH_TPU_NO_SIMD"):
+            _flank_fn = getattr(_domaindef, "flank_targets_simd", None)
+
         def eval_model(item):
             j, qlist = item
             prof = _configure(ens.cores[int(indices[j])], multihit=True)
@@ -297,6 +301,14 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                     np.ascontiguousarray(rows_dev[0][qlist, j]),
                     np.ascontiguousarray(rows_dev[1][qlist, j]),
                     np.ascontiguousarray(rows_dev[2][qlist, j]), 1)
+            if _flank_fn is not None:
+                # AVX-512 lane-parallel flank rows replace the host
+                # full-sequence F+B inside the engine (~2x per pair;
+                # f64 Forward still runs for print-exact scores)
+                _, moccr, ppbr, pper = _flank_fn(*args, codes_list, 1)
+                return j, qlist, _domaindef.evaluate_targets_rows(
+                    *args, codes_list, 42, 200, 1, 1,
+                    moccr, ppbr, pper, 1)
             return j, qlist, _domaindef.evaluate_targets(
                 *args, codes_list, 42, 200, 1, 1)
 
