@@ -151,6 +151,33 @@ def _get(post, s, t):
     return None
 
 
+def _coo(post, s, t, cache):
+    """(I, J, P) triplets of the (s, t) posterior, memoized.
+
+    The refinement loops hit every pair hundreds of times; scipy's
+    tocoo()/.T.tocsr() allocations dominated subset alignment before
+    this cache (profiled 47s of 62s in refine_bipartitions at n=40).
+    Missing pairs are NOT cached (the merge loop adds pairs lazily).
+    """
+    if s == t:
+        return None
+    r = cache.get((s, t))
+    if r is not None:
+        return r
+    if (s, t) in post:
+        m = post[(s, t)].tocoo()
+        r = (m.row.astype(np.int64), m.col.astype(np.int64),
+             m.data.astype(np.float64))
+    elif (t, s) in post:
+        m = post[(t, s)].tocoo()
+        r = (m.col.astype(np.int64), m.row.astype(np.int64),
+             m.data.astype(np.float64))
+    else:
+        return None
+    cache[(s, t)] = r
+    return r
+
+
 def consistency_transform(post, n: int, cutoff: float = 0.01,
                           workers: int = 8, lens=None):
     """One round of P'_xz = (2 P_xz + sum_{y!=x,z} P_xy P_yz) / n.
@@ -219,20 +246,22 @@ def _residue_cols(codes_mat: np.ndarray, gap_code: int) -> List[np.ndarray]:
 
 def _group_score(post, rowsA: Sequence[int], colsA: List[np.ndarray],
                  WA: int, rowsB: Sequence[int], colsB: List[np.ndarray],
-                 WB: int) -> np.ndarray:
+                 WB: int, cache=None) -> np.ndarray:
     """[WA, WB] summed posterior mass between two aligned groups."""
+    if cache is None:
+        cache = {}
     S = np.zeros(WA * WB, np.float64)
     idx_chunks, val_chunks, pend = [], [], 0
     for ai, s in enumerate(rowsA):
         ca = colsA[ai]
         for bi, t in enumerate(rowsB):
-            m = _get(post, s, t)
-            if m is None or m.nnz == 0:
+            c = _coo(post, s, t, cache)
+            if c is None or len(c[2]) == 0:
                 continue
-            coo = m.tocoo()
-            idx_chunks.append(ca[coo.row] * WB + colsB[bi][coo.col])
-            val_chunks.append(coo.data)
-            pend += coo.nnz
+            I, J, P = c
+            idx_chunks.append(ca[I] * WB + colsB[bi][J])
+            val_chunks.append(P)
+            pend += len(P)
             if pend > 4_000_000:
                 S += np.bincount(np.concatenate(idx_chunks),
                                  np.concatenate(val_chunks),
@@ -244,35 +273,62 @@ def _group_score(post, rowsA: Sequence[int], colsA: List[np.ndarray],
     return S.reshape(WA, WB)
 
 
-def _align_groups(post, A_rows, A_codes, B_rows, B_codes, gap_code):
+def _align_groups(post, A_rows, A_codes, B_rows, B_codes, gap_code,
+                  cache=None, want_score=False):
     from .native import _oa  # noqa: F401  (ensures package import order)
     from .native import _pairhmm
     colsA = _residue_cols(A_codes, gap_code)
     colsB = _residue_cols(B_codes, gap_code)
     S = _group_score(post, A_rows, colsA, A_codes.shape[1],
-                     B_rows, colsB, B_codes.shape[1])
+                     B_rows, colsB, B_codes.shape[1], cache=cache)
     ops = np.asarray(_pairhmm.ea_align(np.ascontiguousarray(S)), np.int8)
     nA, nB = A_codes.shape[0], B_codes.shape[0]
     W = len(ops)
     out = np.full((nA + nB, W), gap_code, np.uint8)
     out[:nA, np.flatnonzero(ops != 2)] = A_codes
     out[nA:, np.flatnonzero(ops != 1)] = B_codes
-    return out, list(A_rows) + list(B_rows), None
+    score = None
+    if want_score:
+        # cross-group mass realized by the NW solution: matched
+        # columns' S cells (= the DP's objective value)
+        mk = ops == 0
+        ai = np.cumsum(ops != 2) - 1
+        bi = np.cumsum(ops != 1) - 1
+        score = float(S[ai[mk], bi[mk]].sum())
+    return out, list(A_rows) + list(B_rows), score
 
 
-def _ea_objective(post, rows, codes_mat, gap_code) -> float:
+def _ea_objective(post, rows, codes_mat, gap_code, cache=None) -> float:
     """Total pairwise posterior mass realized by the alignment."""
+    if cache is None:
+        cache = {}
     cols = _residue_cols(codes_mat, gap_code)
     total = 0.0
     n = len(rows)
     for ai in range(n):
         for bi in range(ai + 1, n):
-            m = _get(post, rows[ai], rows[bi])
-            if m is None or m.nnz == 0:
+            c = _coo(post, rows[ai], rows[bi], cache)
+            if c is None or len(c[2]) == 0:
                 continue
-            coo = m.tocoo()
-            hit = cols[ai][coo.row] == cols[bi][coo.col]
-            total += float(coo.data[hit].sum())
+            I, J, P = c
+            hit = cols[ai][I] == cols[bi][J]
+            total += float(P[hit].sum())
+    return total
+
+
+def _cross_mass(post, rows_a, cols_a, rows_b, cols_b, cache) -> float:
+    """Posterior mass realized between two row groups of one
+    alignment (cols_* map residue index -> current column)."""
+    total = 0.0
+    for ai, s in enumerate(rows_a):
+        ca = cols_a[ai]
+        for bi, t in enumerate(rows_b):
+            c = _coo(post, s, t, cache)
+            if c is None or len(c[2]) == 0:
+                continue
+            I, J, P = c
+            hit = ca[I] == cols_b[bi][J]
+            total += float(P[hit].sum())
     return total
 
 
@@ -310,18 +366,27 @@ def estimate_params(codes: List[np.ndarray], alphabet: Alphabet,
 
 
 def refine_bipartitions(post, rows, mat, gap_code, rounds: int,
-                        rng, groups: Optional[List[np.ndarray]] = None):
+                        rng, groups: Optional[List[np.ndarray]] = None,
+                        cache=None):
     """Randomized EA refinement: bipartition rows, re-project, realign.
 
     `groups` (optional) gives additional structured bipartitions to try
     (e.g. one subset vs the rest) before the random ones; each group is
     a collection of ROW IDS (not positions — accepted moves reorder the
     rows).
+
+    Acceptance is incremental: re-projecting a bipartition keeps each
+    side's internal alignment intact, so only the CROSS-group realized
+    mass changes — the NW solution's own score (want_score) vs the
+    current cross mass. Equivalent to comparing full EA objectives, at
+    a quarter of the cost.
     """
+    if cache is None:
+        cache = {}
     n = len(rows)
     if n < 3:
-        return rows, mat, _ea_objective(post, rows, mat, gap_code)
-    cur_obj = _ea_objective(post, rows, mat, gap_code)
+        return rows, mat, _ea_objective(post, rows, mat, gap_code,
+                                        cache=cache)
     splits = [set(g) for g in (groups or [])]
     n_random = max(0, rounds)
     for k in range(len(splits) + n_random):
@@ -340,12 +405,16 @@ def refine_bipartitions(post, rows, mat, gap_code, rounds: int,
         B_codes = B_codes[:, ~(B_codes == gap_code).all(axis=0)]
         ra = [rows[i] for i in ia]
         rb = [rows[i] for i in ib]
-        merged, new_rows, _ = _align_groups(post, ra, A_codes, rb,
-                                            B_codes, gap_code)
-        new_obj = _ea_objective(post, new_rows, merged, gap_code)
-        if new_obj > cur_obj:
-            rows, mat, cur_obj = new_rows, merged, new_obj
-    return rows, mat, cur_obj
+        cols_all = _residue_cols(mat, gap_code)
+        cur_cross = _cross_mass(post, ra, [cols_all[i] for i in ia],
+                                rb, [cols_all[i] for i in ib], cache)
+        merged, new_rows, new_cross = _align_groups(
+            post, ra, A_codes, rb, B_codes, gap_code, cache=cache,
+            want_score=True)
+        if new_cross > cur_cross + 1e-9:
+            rows, mat = new_rows, merged
+    return rows, mat, _ea_objective(post, rows, mat, gap_code,
+                                    cache=cache)
 
 
 def consistency_align_core(codes: List[np.ndarray], alphabet: Alphabet,
@@ -392,9 +461,11 @@ def consistency_align_core(codes: List[np.ndarray], alphabet: Alphabet,
     node: Dict[int, Tuple[List[int], np.ndarray]] = {
         i: ([i], codes[i][None, :].astype(np.uint8)) for i in range(n)}
     clades: List[List[int]] = []
+    cache: Dict = {}
     for t, (a, b) in enumerate(merges):
         (ra, ca), (rb, cb) = node.pop(a), node.pop(b)
-        merged, rows, _ = _align_groups(post, ra, ca, rb, cb, gap_code)
+        merged, rows, _ = _align_groups(post, ra, ca, rb, cb, gap_code,
+                                        cache=cache)
         node[n + t] = (rows, merged)
         if 1 < len(rows) < n:
             clades.append(list(rows))
@@ -406,7 +477,7 @@ def consistency_align_core(codes: List[np.ndarray], alphabet: Alphabet,
     rng = np.random.default_rng(seed)
     rows, mat, cur_obj = refine_bipartitions(post, rows, mat, gap_code,
                                              refine_rounds, rng,
-                                             groups=clades)
+                                             groups=clades, cache=cache)
     if log:
         log("consistency: %d seqs -> %d cols (EA obj %.1f)"
             % (n, mat.shape[1], cur_obj))
@@ -676,9 +747,11 @@ def sparse_global_align(names: List[str], seqs: List[str],
     merges = upgma_merges(Edist)
     node = {i: ([i], codes[i][None, :].astype(np.uint8))
             for i in range(n)}
+    cache = {}
     for t, (a, b) in enumerate(merges):
         (ra, ca), (rb, cb) = node.pop(a), node.pop(b)
-        merged, rws, _ = _align_groups(post, ra, ca, rb, cb, gap_code)
+        merged, rws, _ = _align_groups(post, ra, ca, rb, cb, gap_code,
+                                       cache=cache)
         node[n + t] = (rws, merged)
     rows, mat = node[n + len(merges) - 1]
     if log:
@@ -687,7 +760,7 @@ def sparse_global_align(names: List[str], seqs: List[str],
 
     rows, mat, obj = refine_bipartitions(
         post, rows, mat, gap_code, refine_rounds,
-        np.random.default_rng(seed))
+        np.random.default_rng(seed), cache=cache)
     if log:
         log("sparse-global: %d cols after refinement (EA obj %.1f)"
             % (mat.shape[1], obj))
@@ -1304,11 +1377,13 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
         else:
             merges = upgma_merges(DS)
             node = {i: (subs[i][0], subs[i][1]) for i in range(S)}
+            merge_cache: Dict = {}
             for t, (a, b) in enumerate(merges):
                 (ra, ca), (rb, cb) = node.pop(a), node.pop(b)
                 npairs = ensure_pairs(ra, rb, join_cap(len(ra), len(rb)))
                 merged, rws, _ = _align_groups(post, ra, ca, rb, cb,
-                                               gap_code)
+                                               gap_code,
+                                               cache=merge_cache)
                 node[S + t] = (rws, merged)
                 if log:
                     log("backbone[it%d]: merged %d+%d seqs -> %d cols "
@@ -1322,7 +1397,8 @@ def align_backbone_consistency(names: List[str], seqs: List[str],
             rng = np.random.default_rng(seed + it)
             rows, mat, obj = refine_bipartitions(post, rows, mat,
                                                  gap_code, 0, rng,
-                                                 groups=groups)
+                                                 groups=groups,
+                                                 cache=merge_cache)
             if log:
                 log("backbone[it%d]: %d seqs -> %d cols (EA obj %.1f)"
                     % (it, mat.shape[0], mat.shape[1], obj))
