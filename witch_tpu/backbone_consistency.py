@@ -250,6 +250,24 @@ def _group_score(post, rowsA: Sequence[int], colsA: List[np.ndarray],
     """[WA, WB] summed posterior mass between two aligned groups."""
     if cache is None:
         cache = {}
+    try:
+        from .native import _pairhmm
+        if hasattr(_pairhmm, "group_score"):
+            cal, cbl, Il, Jl, Pl = [], [], [], [], []
+            for ai, s in enumerate(rowsA):
+                for bi, t in enumerate(rowsB):
+                    c = _coo(post, s, t, cache)
+                    if c is None or len(c[2]) == 0:
+                        continue
+                    cal.append(colsA[ai])
+                    cbl.append(colsB[bi])
+                    Il.append(c[0])
+                    Jl.append(c[1])
+                    Pl.append(c[2])
+            return np.asarray(_pairhmm.group_score(int(WA), int(WB),
+                                                   cal, cbl, Il, Jl, Pl))
+    except ImportError:
+        pass
     S = np.zeros(WA * WB, np.float64)
     idx_chunks, val_chunks, pend = [], [], 0
     for ai, s in enumerate(rowsA):

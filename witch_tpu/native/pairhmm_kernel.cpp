@@ -382,6 +382,78 @@ static PyObject *ea_align(PyObject *, PyObject *args) {
     return (PyObject *)out;
 }
 
+/* group_score(WA, WB, cal, cbl, Il, Jl, Pl) -> S float64 [WA, WB]
+ *
+ * Dense scatter-add of cross-group posterior mass: for each pair p,
+ * S[ca_p[I_p[k]], cb_p[J_p[k]]] += P_p[k]. The hot inner step of
+ * backbone_consistency._group_score (EA merge + bipartition
+ * refinement) without numpy concatenate/bincount temporaries.
+ * ca/cb/I/J are int64 arrays, P float64 (the memoized COO cache
+ * layout); indices are trusted (internal API). */
+static PyObject *group_score(PyObject *, PyObject *args) {
+    int WA, WB;
+    PyObject *cal, *cbl, *Il, *Jl, *Pl;
+    if (!PyArg_ParseTuple(args, "iiOOOOO", &WA, &WB, &cal, &cbl, &Il,
+                          &Jl, &Pl))
+        return NULL;
+    PyObject *ls[5] = {cal, cbl, Il, Jl, Pl};
+    for (int t = 0; t < 5; t++)
+        if (!PyList_Check(ls[t])) {
+            PyErr_SetString(PyExc_TypeError, "expected lists");
+            return NULL;
+        }
+    Py_ssize_t P = PyList_GET_SIZE(cal);
+    for (int t = 1; t < 5; t++)
+        if (PyList_GET_SIZE(ls[t]) != P) {
+            PyErr_SetString(PyExc_ValueError, "list length mismatch");
+            return NULL;
+        }
+    struct Ent {
+        const int64_t *ca, *cb, *I, *J;
+        const double *val;
+        npy_intp nnz;
+    };
+    std::vector<Ent> ents((size_t)P);
+    for (Py_ssize_t p = 0; p < P; p++) {
+        PyArrayObject *a[5];
+        for (int t = 0; t < 5; t++) {
+            a[t] = (PyArrayObject *)PyList_GET_ITEM(ls[t], p);
+            if (!PyArray_Check((PyObject *)a[t]) ||
+                PyArray_NDIM(a[t]) != 1 ||
+                !PyArray_IS_C_CONTIGUOUS(a[t]) ||
+                PyArray_TYPE(a[t]) != (t == 4 ? NPY_FLOAT64
+                                              : NPY_INT64)) {
+                PyErr_SetString(PyExc_TypeError,
+                                "arrays must be 1D i64 (P: f64)");
+                return NULL;
+            }
+        }
+        Ent &e = ents[(size_t)p];
+        e.ca = (const int64_t *)PyArray_DATA(a[0]);
+        e.cb = (const int64_t *)PyArray_DATA(a[1]);
+        e.I = (const int64_t *)PyArray_DATA(a[2]);
+        e.J = (const int64_t *)PyArray_DATA(a[3]);
+        e.val = (const double *)PyArray_DATA(a[4]);
+        e.nnz = PyArray_DIM(a[2], 0);
+        if (PyArray_DIM(a[3], 0) != e.nnz ||
+            PyArray_DIM(a[4], 0) != e.nnz) {
+            PyErr_SetString(PyExc_ValueError, "nnz mismatch");
+            return NULL;
+        }
+    }
+    npy_intp dims[2] = {WA, WB};
+    PyArrayObject *So =
+        (PyArrayObject *)PyArray_ZEROS(2, dims, NPY_FLOAT64, 0);
+    if (!So) return NULL;
+    double *S = (double *)PyArray_DATA(So);
+    Py_BEGIN_ALLOW_THREADS
+    for (const Ent &e : ents)
+        for (npy_intp k = 0; k < e.nnz; k++)
+            S[(size_t)e.ca[e.I[k]] * WB + e.cb[e.J[k]]] += e.val[k];
+    Py_END_ALLOW_THREADS
+    return (PyObject *)So;
+}
+
 /* ---- consistency transform (SpGEMM over all pairs) ----
  *
  * transform(n, ks int32[P], kt int32[P], indptrs, idxs, vals,
@@ -585,6 +657,8 @@ static PyMethodDef methods[] = {
      "NW over accumulated posterior scores, gap 0 -> ops"},
     {"transform", transform, METH_VARARGS,
      "consistency transform over all pair posteriors (threaded SpGEMM)"},
+    {"group_score", group_score, METH_VARARGS,
+     "dense scatter-add of cross-group posterior mass -> S [WA, WB]"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef mod = {PyModuleDef_HEAD_INIT, "_pairhmm",
