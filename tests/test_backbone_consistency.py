@@ -94,6 +94,35 @@ def test_pairhmm_posterior_properties():
     assert max(s.values()) <= 1.0 + 1e-5
 
 
+def test_pairhmm_simd_matches_f64_dense():
+    """The AVX-512 f32 posterior path (codes entry) must reproduce the
+    f64 scalar recurrence (posterior_dense with a precomputed emission
+    matrix) to well under the 0.01 sparsity cutoff."""
+    from witch_tpu.backbone_consistency import _emission_odds
+    from witch_tpu.native import _pairhmm
+
+    al = ALPHABETS["dna"]
+    em = _emission_odds(al, 0.12)
+    rng = np.random.default_rng(3)
+    A = rng.integers(0, 4, 300).astype(np.int32)
+    B = A.copy()
+    m = rng.random(300) < 0.3
+    B[m] = rng.integers(0, 4, m.sum())
+    B = np.concatenate([B[:120], rng.integers(0, 4, 25).astype(np.int32),
+                        B[140:]]).astype(np.int32)
+    I1, J1, P1, ea1 = _pairhmm.posterior(A, B, em, 0.01, 0.75, 0.001)
+    EM = np.ascontiguousarray(em[A][:, B])
+    I2, J2, P2, ea2 = _pairhmm.posterior_dense(EM, 0.01, 0.75, 0.001)
+    d1 = {(i, j): p for i, j, p in zip(I1, J1, P1)}
+    d2 = {(i, j): p for i, j, p in zip(I2, J2, P2)}
+    shared = set(d1) & set(d2)
+    assert len(shared) > 0.99 * max(len(d1), len(d2))
+    assert max(abs(d1[k] - d2[k]) for k in shared) < 1e-4
+    for k in set(d1) ^ set(d2):   # cutoff-boundary flips only
+        assert (d1.get(k) or d2.get(k)) < 0.0015
+    assert abs(ea1 - ea2) < 1e-4
+
+
 def test_consistency_transform_matches_scipy():
     import scipy.sparse as sp
     from witch_tpu.backbone_consistency import (_get,

