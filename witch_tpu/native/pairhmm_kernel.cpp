@@ -227,14 +227,13 @@ static inline __m512 shl_ps(__m512 v) {   /* res[j] = v[j+S], 0-fill */
 }
 
 /* in-block scan v[j] = b[j] + a*v[j-1] (forward along lanes) */
-static inline __m512 scan_fwd(__m512 b, float a, const __m512 &apow) {
+static inline __m512 scan_fwd(__m512 b, float a) {
     __m512 v = b;
     const float a2 = a * a, a4 = a2 * a2, a8 = a4 * a4;
     v = _mm512_fmadd_ps(shr_ps<1>(v), _mm512_set1_ps(a), v);
     v = _mm512_fmadd_ps(shr_ps<2>(v), _mm512_set1_ps(a2), v);
     v = _mm512_fmadd_ps(shr_ps<4>(v), _mm512_set1_ps(a4), v);
     v = _mm512_fmadd_ps(shr_ps<8>(v), _mm512_set1_ps(a8), v);
-    (void)apow;
     return v;
 }
 
@@ -346,7 +345,7 @@ static void pairhmm_posterior_simd(npy_intp LA, npy_intp LB,
             const npy_intp j = 1 + (npy_intp)b * 16;
             const __m512 bv =
                 _mm512_mul_ps(_mm512_loadu_ps(Mc + j - 1), vyo);
-            __m512 v = scan_fwd(bv, ye, vapow);
+            __m512 v = scan_fwd(bv, ye);
             v = _mm512_fmadd_ps(vapow, _mm512_set1_ps(carry), v);
             _mm512_storeu_ps(fYc.data() + j, v);
             carry = fYc[(size_t)std::min<npy_intp>(j + 15, LB)];
