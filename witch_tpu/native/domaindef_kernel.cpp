@@ -1399,6 +1399,226 @@ static PyObject *forward_targets_simd(PyObject *self, PyObject *args) {
 }
 
 #ifdef __AVX512F__
+/* Lane-parallel EXACT f64 Forward: 8 targets per __m512d lane, the
+ * same recurrence, rescale criterion (rs > 1e3 || rs < 1e-3, masked
+ * per lane, by 1/rs itself) and scale-ledger semantics as the scalar
+ * forward_region — used for the print-exact reported-score base so
+ * evaluate_targets_rows can skip its per-pair full-sequence Forward
+ * (want_fwd=0). Validated against the stored full-grid hmmsearch
+ * oracle (docs/CALIBRATION.md). */
+static void forward_group8_f64(const Model &mo,
+                               const int32_t *const *cptr,
+                               const int *clen, int nl,
+                               double *bufA, double *bufB,
+                               int32_t *xoff, double *out) {
+    const int M = mo.M;
+    const size_t row = (size_t)(M + 1) * 8;
+    int Lmax = 0;
+    for (int l = 0; l < nl; l++) Lmax = std::max(Lmax, clen[l]);
+
+    alignas(64) double moved[8], loopd[8];
+    for (int l = 0; l < 8; l++) {
+        const double pmove =
+            l < nl ? 3.0 / ((double)clen[l] + 3.0) : 1.0;
+        moved[l] = pmove;
+        loopd[l] = 1.0 - pmove;
+    }
+    for (int i = 0; i < Lmax; i++)
+        for (int l = 0; l < 8; l++)
+            xoff[(size_t)i * 8 + l] =
+                (l < nl && i < clen[l]) ? cptr[l][i] * (M + 1) : 0;
+
+    std::memset(bufA, 0, row * 3 * sizeof(double));
+    std::memset(bufB, 0, row * 3 * sizeof(double));
+    double *pm = bufA, *pi = bufA + row, *pd = bufA + 2 * row;
+    double *cm = bufB, *ci = bufB + row, *cd = bufB + 2 * row;
+
+    const __m512d zero = _mm512_setzero_pd();
+    const __m512d half = _mm512_set1_pd(0.5);
+    const __m512d loopv = _mm512_load_pd(loopd);
+    const __m512d movev = _mm512_load_pd(moved);
+    __m512d Nv = _mm512_set1_pd(1.0), Jv = zero, Cv = zero;
+    __m512d Bv = movev;
+    alignas(64) double slog[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    int next_end = 0;                          /* lanes sorted by len */
+
+    for (int i = 1; i <= Lmax; i++) {
+        const __m256i xo = _mm256_loadu_si256(
+            (const __m256i *)(xoff + (size_t)(i - 1) * 8));
+        const __m512d Bprev = Bv;
+        __m512d esum = zero;
+        for (int k = 1; k <= M; k++) {
+            /* same op order as forward_region: ((pm*mm + pi*im)
+             * + pd*dm) + B*bmo, no FMA contraction */
+            __m512d src = _mm512_add_pd(
+                _mm512_add_pd(
+                    _mm512_add_pd(
+                        _mm512_mul_pd(_mm512_loadu_pd(pm + 8 * (k - 1)),
+                                      _mm512_set1_pd(mo.mm[k - 1])),
+                        _mm512_mul_pd(_mm512_loadu_pd(pi + 8 * (k - 1)),
+                                      _mm512_set1_pd(mo.im[k - 1]))),
+                    _mm512_mul_pd(_mm512_loadu_pd(pd + 8 * (k - 1)),
+                                  _mm512_set1_pd(mo.dm[k - 1]))),
+                _mm512_mul_pd(Bprev, _mm512_set1_pd(mo.bmo[k])));
+            const __m256i idx =
+                _mm256_add_epi32(xo, _mm256_set1_epi32(k));
+            const __m512d ex =
+                _mm512_i32gather_pd(idx, mo.emX.data(), 8);
+            const __m512d v = _mm512_mul_pd(src, ex);
+            _mm512_storeu_pd(cm + 8 * k, v);
+            esum = _mm512_add_pd(esum, v);
+            if (k < M) {
+                const __m512d iv = _mm512_add_pd(
+                    _mm512_mul_pd(_mm512_loadu_pd(pm + 8 * k),
+                                  _mm512_set1_pd(mo.mi[k])),
+                    _mm512_mul_pd(_mm512_loadu_pd(pi + 8 * k),
+                                  _mm512_set1_pd(mo.ii[k])));
+                _mm512_storeu_pd(ci + 8 * k, iv);
+            }
+        }
+        _mm512_storeu_pd(ci + 8 * M, zero);
+        __m512d dprev = zero;
+        for (int k = 2; k <= M; k++) {
+            const __m512d dk = _mm512_add_pd(
+                _mm512_mul_pd(_mm512_loadu_pd(cm + 8 * (k - 1)),
+                              _mm512_set1_pd(mo.md[k - 1])),
+                _mm512_mul_pd(dprev, _mm512_set1_pd(mo.dd[k - 1])));
+            _mm512_storeu_pd(cd + 8 * k, dk);
+            esum = _mm512_add_pd(esum, dk);
+            dprev = dk;
+        }
+        /* specials, scalar op order matching forward_region */
+        Jv = _mm512_add_pd(_mm512_mul_pd(Jv, loopv),
+                           _mm512_mul_pd(esum, half));
+        Cv = _mm512_add_pd(_mm512_mul_pd(Cv, loopv),
+                           _mm512_mul_pd(esum, half));
+        Nv = _mm512_mul_pd(Nv, loopv);
+        Bv = _mm512_add_pd(_mm512_mul_pd(Nv, movev),
+                           _mm512_mul_pd(Jv, movev));
+        /* per-lane conditional rescale by rs itself */
+        const __m512d rs = _mm512_mask_blend_pd(
+            _mm512_cmp_pd_mask(esum, zero, _CMP_GT_OQ), Cv, esum);
+        const __mmask8 pos =
+            _mm512_cmp_pd_mask(rs, zero, _CMP_GT_OQ);
+        const __mmask8 big = _mm512_cmp_pd_mask(
+            rs, _mm512_set1_pd(1e3), _CMP_GT_OQ);
+        const __mmask8 small = _mm512_cmp_pd_mask(
+            rs, _mm512_set1_pd(1e-3), _CMP_LT_OQ);
+        const __mmask8 cond = pos & (__mmask8)(big | small);
+        if (cond) {
+            const __m512d inv = _mm512_mask_blend_pd(
+                cond, _mm512_set1_pd(1.0),
+                _mm512_div_pd(_mm512_set1_pd(1.0), rs));
+            for (int k = 0; k <= M; k++) {
+                _mm512_storeu_pd(cm + 8 * k, _mm512_mul_pd(
+                    _mm512_loadu_pd(cm + 8 * k), inv));
+                _mm512_storeu_pd(ci + 8 * k, _mm512_mul_pd(
+                    _mm512_loadu_pd(ci + 8 * k), inv));
+                _mm512_storeu_pd(cd + 8 * k, _mm512_mul_pd(
+                    _mm512_loadu_pd(cd + 8 * k), inv));
+            }
+            Nv = _mm512_mul_pd(Nv, inv);
+            Bv = _mm512_mul_pd(Bv, inv);
+            Jv = _mm512_mul_pd(Jv, inv);
+            Cv = _mm512_mul_pd(Cv, inv);
+            esum = _mm512_mul_pd(esum, inv);
+            alignas(64) double rsb[8];
+            _mm512_store_pd(rsb, rs);
+            for (int l = 0; l < 8; l++)
+                if (cond & (1u << l)) slog[l] += std::log(rsb[l]);
+        }
+        while (next_end < nl && clen[next_end] == i) {
+            alignas(64) double cbuf[8];
+            _mm512_store_pd(cbuf, Cv);
+            const int l = next_end++;
+            out[l] = std::log(std::max(cbuf[l], 1e-300))
+                   + std::log(moved[l]) + slog[l];
+        }
+        std::swap(pm, cm); std::swap(pi, ci); std::swap(pd, cd);
+    }
+    for (int l = 0; l < nl; l++)
+        if (clen[l] == 0)
+            out[l] = std::log(1e-300) + std::log(moved[l]);
+}
+#endif  /* __AVX512F__ */
+
+/* forward_targets_exact(msc2d, tmm..bm, codes_list, nthreads)
+ *   -> f64[N]
+ * Lane-parallel exact f64 Forward (8 targets per vector); scalar
+ * fallback without AVX-512. */
+static PyObject *forward_targets_exact(PyObject *self, PyObject *args) {
+#ifndef __AVX512F__
+    return forward_targets(self, args);
+#else
+    PyObject *omsc, *ot[8], *olist;
+    int nthreads;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOOi", &omsc,
+                          &ot[0], &ot[1], &ot[2], &ot[3], &ot[4], &ot[5],
+                          &ot[6], &ot[7], &olist, &nthreads))
+        return NULL;
+    Model mo;
+    std::vector<const int32_t *> cptr;
+    std::vector<int> clen;
+    if (!parse_model_targets(omsc, ot, olist, &mo, &cptr, &clen))
+        return NULL;
+    Py_ssize_t N = (Py_ssize_t)cptr.size();
+    std::vector<double> fwd(N, 0.0);
+    {
+        Py_BEGIN_ALLOW_THREADS
+        mo.prepare(100);
+        std::vector<int> order(N);
+        for (Py_ssize_t n = 0; n < N; n++) order[n] = (int)n;
+        std::sort(order.begin(), order.end(), [&](int a, int b) {
+            return clen[a] != clen[b] ? clen[a] < clen[b] : a < b;
+        });
+        const int ngroups = (int)((N + 7) / 8);
+        int nt = nthreads < 1 ? 1 : (nthreads > 16 ? 16 : nthreads);
+        if (nt > ngroups) nt = ngroups > 0 ? ngroups : 1;
+        std::atomic<int> next(0);
+        const size_t rowsz = (size_t)(mo.M + 1) * 8;
+        auto work = [&]() {
+            std::vector<double> bufA(rowsz * 3 + 8), bufB(rowsz * 3 + 8);
+            std::vector<int32_t> xoffv;
+            for (;;) {
+                const int g = next.fetch_add(1);
+                if (g >= ngroups) break;
+                const int lo = g * 8;
+                const int nl = (int)std::min<Py_ssize_t>(8, N - lo);
+                const int32_t *gc[8];
+                int gl[8];
+                int Lg = 0;
+                for (int l = 0; l < nl; l++) {
+                    gc[l] = cptr[order[lo + l]];
+                    gl[l] = clen[order[lo + l]];
+                    Lg = std::max(Lg, gl[l]);
+                }
+                xoffv.resize((size_t)std::max(Lg, 1) * 8);
+                double outg[8];
+                forward_group8_f64(mo, gc, gl, nl, bufA.data(),
+                                   bufB.data(), xoffv.data(), outg);
+                for (int l = 0; l < nl; l++)
+                    fwd[order[lo + l]] = outg[l];
+            }
+        };
+        if (nt <= 1) work();
+        else {
+            std::vector<std::thread> threads;
+            for (int t = 0; t < nt; t++) threads.emplace_back(work);
+            for (auto &th : threads) th.join();
+        }
+        Py_END_ALLOW_THREADS
+    }
+    npy_intp dim = N;
+    PyArrayObject *afwd = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                             NPY_FLOAT64);
+    if (!afwd) return NULL;
+    for (Py_ssize_t n = 0; n < N; n++)
+        ((double *)PyArray_DATA(afwd))[n] = fwd[n];
+    return (PyObject *)afwd;
+#endif
+}
+
+#ifdef __AVX512F__
 /* Lane-parallel F+B special-row posteriors (the reporting gate's
  * flank rows — mocc/ppB/ppE, f64 oracle hmm/domaindef.py:
  * _posteriors_multihit, device twin hmm/flank_device.py:_flank_one).
@@ -2322,6 +2542,8 @@ static PyMethodDef methods[] = {
      "AVX-512 lane-parallel f32 pre-ranking Forward -> fwd nats f64[N]"},
     {"flank_targets_simd", flank_targets_simd, METH_VARARGS,
      "AVX-512 lane-parallel gate flank rows -> (fwd, mocc, ppB, ppE)"},
+    {"forward_targets_exact", forward_targets_exact, METH_VARARGS,
+     "lane-parallel EXACT f64 Forward (8 lanes) -> fwd nats f64[N]"},
     {"posterior_pair", posterior_pair, METH_VARARGS,
      "dense f64 posterior decode of one pair -> (ppM, ppI, ppN, ppJ, ppC)"},
     {NULL, NULL, 0, NULL}};

@@ -303,12 +303,20 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                     np.ascontiguousarray(rows_dev[2][qlist, j]), 1)
             if _flank_fn is not None:
                 # AVX-512 lane-parallel flank rows replace the host
-                # full-sequence F+B inside the engine (~2x per pair;
-                # f64 Forward still runs for print-exact scores)
+                # full-sequence F+B inside the engine, and the exact
+                # f64 Forward for print-exact reported scores runs
+                # lane-parallel too (forward_targets_exact, 8 lanes,
+                # same recurrence/rescale semantics, <=2e-14 nats from
+                # the scalar)
                 _, moccr, ppbr, pper = _flank_fn(*args, codes_list, 1)
-                return j, qlist, _domaindef.evaluate_targets_rows(
-                    *args, codes_list, 42, 200, 1, 1,
-                    moccr, ppbr, pper, 1)
+                fwd64 = np.asarray(_domaindef.forward_targets_exact(
+                    *args, codes_list, 1))
+                nreg, nenv, sbias, _fz, senv, sbsum, ldv = \
+                    _domaindef.evaluate_targets_rows(
+                        *args, codes_list, 42, 200, 1, 0,
+                        moccr, ppbr, pper, 1)
+                return j, qlist, (nreg, nenv, sbias, fwd64, senv,
+                                  sbsum, ldv)
             return j, qlist, _domaindef.evaluate_targets(
                 *args, codes_list, 42, 200, 1, 1)
 
