@@ -631,9 +631,15 @@ def _kmeans_rows(E: np.ndarray, k: int, seed: int = 0,
             if np.any(assign == c)]
 
 
-def _tree_clusters(D: np.ndarray, max_size: int) -> List[np.ndarray]:
+def _tree_clusters(D: np.ndarray, max_size: int,
+                   min_size: Optional[int] = None) -> List[np.ndarray]:
     """UPGMA tree over D, cut top-down into clusters <= max_size
-    (centroid-style decomposition on the guide tree)."""
+    (centroid-style decomposition on the guide tree).
+
+    Undersized clusters (outlier clades the cut strands as singletons
+    or pairs) are folded into their nearest cluster by mean distance —
+    tiny subsets starve the consistency transform (no relay partners)
+    and multiply merge boundaries."""
     from .backbone_progressive import upgma_merges
     n = D.shape[0]
     merges = upgma_merges(D)
@@ -650,7 +656,29 @@ def _tree_clusters(D: np.ndarray, max_size: int) -> List[np.ndarray]:
             out.append(np.asarray(sorted(members[nd])))
         else:
             stack.extend(children[nd])
-    return out
+    if min_size is None:
+        min_size = min(max(8, max_size // 6), max(2, n // 4))
+    clusters = [list(c) for c in out]
+    while len(clusters) > 1:
+        sizes = [len(c) for c in clusters]
+        small = min(range(len(clusters)), key=lambda i: sizes[i])
+        if sizes[small] >= min_size:
+            break
+        rows = clusters[small]
+        best, best_d = -1, np.inf
+        for j, other in enumerate(clusters):
+            if j == small:
+                continue
+            d = float(D[np.ix_(rows, other)].mean())
+            # prefer targets that stay within bounds; oversize only
+            # as a last resort (d penalized)
+            if len(other) + len(rows) > int(1.3 * max_size):
+                d += 1e3
+            if d < best_d:
+                best, best_d = j, d
+        clusters[best] = sorted(clusters[best] + rows)
+        clusters.pop(small)
+    return [np.asarray(c) for c in clusters]
 
 
 def _alignment_identity_dist(mat: np.ndarray, K: int,
