@@ -1,0 +1,46 @@
+"""Native host kernels (C++, CPython C API).
+
+The compiled extensions (_oa, _pairhmm, _domaindef) are not committed;
+they are built by ``python setup.py build_ext --inplace`` (CI does this)
+or, as a fallback, compiled on first import here so a fresh checkout
+works without a manual build step. Build output goes to stderr only on
+failure; importers fall back to their numpy paths when the build fails.
+"""
+
+import importlib
+import os
+import subprocess
+import sys
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_ROOT = os.path.dirname(os.path.dirname(_HERE))
+_MODULES = ("_oa", "_pairhmm", "_domaindef")
+
+
+def _have_all():
+    import importlib.util
+    return all(
+        importlib.util.find_spec("witch_tpu.native." + m) is not None
+        for m in _MODULES)
+
+
+def _build_inplace():
+    """Best-effort in-place build of the native extensions."""
+    setup_py = os.path.join(_ROOT, "setup.py")
+    if not os.path.exists(setup_py):
+        return
+    try:
+        r = subprocess.run(
+            [sys.executable, setup_py, "build_ext", "--inplace"],
+            cwd=_ROOT, capture_output=True, text=True, timeout=600)
+        if r.returncode != 0:
+            sys.stderr.write(
+                "witch_tpu.native: in-place build failed (rc=%d):\n%s\n"
+                % (r.returncode, r.stderr[-2000:]))
+    except Exception as e:  # pragma: no cover - environment-dependent
+        sys.stderr.write("witch_tpu.native: in-place build error: %s\n" % e)
+
+
+if not _have_all():
+    _build_inplace()
+    importlib.invalidate_caches()
