@@ -203,3 +203,20 @@ def test_align_backbone_consistency_subsets():
     assert aln.n_cols <= 3.5 * med
     rec = _sp_recall(aln, names, seqs, truth)
     assert rec >= 0.60, "subset-merge SP-recall %.3f below floor" % rec
+
+
+def test_align_backbone_consistency_pasta_iteration():
+    """iters=2 (the --backbone-method pasta path): second pass re-derives
+    clusters/merge order from the first-pass alignment and must keep all
+    sequences, bounded width, and at least the single-pass quality floor."""
+    from witch_tpu.backbone_consistency import align_backbone_consistency
+    rng = np.random.default_rng(29)
+    names, seqs, truth = _family(rng, 42, anc_len=250)
+    aln = align_backbone_consistency(names, seqs, "dna", subset_size=16,
+                                     refine_rounds=10, iters=2, workers=4)
+    assert aln.n_seqs == 42
+    assert list(aln.names) == names
+    med = float(np.median([len(s) for s in seqs]))
+    assert aln.n_cols <= 3.5 * med
+    rec = _sp_recall(aln, names, seqs, truth)
+    assert rec >= 0.60, "pasta-iteration SP-recall %.3f below floor" % rec
