@@ -49,3 +49,23 @@ def test_identical_vs_shuffled_ordering():
     out = np.asarray(pairhmm_forward_logodds(cA, lens, cB, lens, em,
                                              0.01, 0.75))
     assert out[0] > out[1] + 5.0  # identity scores far above shuffled
+
+
+def test_device_embedding_matches_reference_normalization():
+    """_device_embedding = forward log-odds / min(len) per (seq, anchor),
+    through padding and chunked batching (opt-in embedding backend)."""
+    from witch_tpu.backbone_consistency import _device_embedding
+    al = ALPHABETS["dna"]
+    em = _emission_odds(al, 0.30)
+    rng = np.random.default_rng(3)
+    codes = [np.ascontiguousarray(rng.integers(0, 4, rng.integers(40, 90)),
+                                  np.int32) for _ in range(7)]
+    anchors = [0, 4]
+    E = _device_embedding(codes, anchors, em, 0.02, 0.75, chunk=4)
+    assert E.shape == (7, 2)
+    for s in (1, 3, 6):
+        for t, ai in enumerate(anchors):
+            want = pairhmm_forward_logodds_np(codes[s], codes[ai], em,
+                                              0.02, 0.75)
+            want /= min(len(codes[s]), len(codes[ai]))
+            assert abs(E[s, t] - want) < 2e-4, (s, t, E[s, t], want)
