@@ -112,13 +112,15 @@ def main():
     QT = 128
     if on_tpu:
         from witch_tpu.ops.pallas_forward import (bank_to_pallas_arrays,
+                                                  effective_n_dbl,
                                                   pallas_forward_nats)
         groups = build_groups(codes, lens, QT, pad_code=4, max_shapes=2)
         devbanks = []
         padded_cells = 0
         for b in banks:
             emT, trans = bank_to_pallas_arrays(b)
-            devbanks.append((jnp.asarray(emT), jnp.asarray(trans)))
+            devbanks.append((jnp.asarray(emT), jnp.asarray(trans),
+                             effective_n_dbl(trans)))
             padded_cells += sum(QT * g[2] for g in groups) \
                 * emT.shape[2] * b.H
         gdev = [(jnp.asarray(cp), jnp.asarray(lp)) for cp, lp, _ in groups]
@@ -127,10 +129,10 @@ def main():
             # separate dispatches per (bank, group): small, individually
             # cacheable compiles instead of one monolithic program
             tot = jnp.zeros((), jnp.float32)
-            for emTj, transj in devbanks:
+            for emTj, transj, ndbl in devbanks:
                 for cpj, lpj in gdev:
                     tot = tot + pallas_forward_nats(
-                        emTj, transj, cpj, lpj, QT=QT).sum()
+                        emTj, transj, cpj, lpj, QT=QT, n_dbl=ndbl).sum()
             return tot
 
         log("compiling/warming (%d banks x %d shapes)..."

@@ -86,12 +86,12 @@ def _sharded_xla_step(mesh):
 
 
 @functools.cache
-def _sharded_pallas_step(mesh, QT):
+def _sharded_pallas_step(mesh, QT, n_dbl=None):
     from ..ops.pallas_forward import pallas_forward_nats
     in_specs = (P(), P(), P("data", None), P("data"))
     return jax.jit(jax.shard_map(
         lambda emT, trans, c, l: pallas_forward_nats(
-            emT, trans, c, l, QT=QT),
+            emT, trans, c, l, QT=QT, n_dbl=n_dbl),
         mesh=mesh, in_specs=in_specs, out_specs=P("data", None),
         check_vma=False))
 
@@ -108,11 +108,13 @@ def sharded_score_bank(mesh: Mesh, bank, codes: np.ndarray,
     if backend == "pallas":
         from ..ops.pallas_forward import (bank_to_pallas_arrays,
                                           _bits_from_nats)
+        from ..ops.pallas_forward import effective_n_dbl
         emT, trans = bank_to_pallas_arrays(bank)
         gaps = np.where(np.abs(emT).sum(axis=(0, 2)) == 0)[0]
         pad_code = int(gaps[0]) if len(gaps) else 4
         emTj, transj = jnp.asarray(emT), jnp.asarray(trans)
-        step = _sharded_pallas_step(mesh, QT)
+        # same truncated scan as the single-device path (bit-identity)
+        step = _sharded_pallas_step(mesh, QT, effective_n_dbl(trans))
         blk = n * QT
         order = np.argsort(qlens, kind="stable")
         # quantized group lengths (multiples of 64), <= max_shapes shapes
