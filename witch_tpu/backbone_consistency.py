@@ -594,10 +594,14 @@ def _device_embedding(codes32, anchors, em, delta, eps,
         blk = pairs[off:off + chunk]
         P = len(blk)
         LAp = max(128, -(-int(max(lens[s] for s, _ in blk)) // 128) * 128)
-        cA = np.zeros((chunk, LAp), np.int32)
-        lA = np.ones(chunk, np.int32)
-        cB = np.zeros((chunk, LBp), np.int32)
-        lB = np.ones(chunk, np.int32)
+        # pad the batch dim only to the next multiple of 128 (not the
+        # full chunk) so the trailing partial block doesn't waste
+        # chunk-1 rows of compute
+        Pp = max(128, -(-P // 128) * 128)
+        cA = np.zeros((Pp, LAp), np.int32)
+        lA = np.ones(Pp, np.int32)
+        cB = np.zeros((Pp, LBp), np.int32)
+        lB = np.ones(Pp, np.int32)
         for r, (s, t) in enumerate(blk):
             cA[r, :lens[s]] = codes32[s]
             lA[r] = lens[s]
@@ -649,7 +653,8 @@ def anchor_embedding(codes: List[np.ndarray], alphabet: Alphabet,
     codes32 = [np.ascontiguousarray(c, np.int32) for c in codes]
 
     if use_device is None:
-        use_device = bool(os.environ.get("WITCH_TPU_DEVICE_EMBED"))
+        use_device = os.environ.get(
+            "WITCH_TPU_DEVICE_EMBED", "") not in ("", "0", "false")
     if use_device:
         return _device_embedding(codes32, anchors, em, delta, eps)
 

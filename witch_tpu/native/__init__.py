@@ -5,6 +5,11 @@ they are built by ``python setup.py build_ext --inplace`` (CI does this)
 or, as a fallback, compiled on first import here so a fresh checkout
 works without a manual build step. Build output goes to stderr only on
 failure; importers fall back to their numpy paths when the build fails.
+
+Concurrent interpreters (pytest-xdist, spawned workers) serialize the
+first-import build through an exclusive file lock; whoever loses the
+race waits for the winner and then just re-checks for the .so files.
+Set WITCH_TPU_NO_AUTOBUILD=1 to disable the auto-build entirely.
 """
 
 import importlib
@@ -41,6 +46,22 @@ def _build_inplace():
         sys.stderr.write("witch_tpu.native: in-place build error: %s\n" % e)
 
 
-if not _have_all():
-    _build_inplace()
+def _build_locked():
+    """Run the build under an exclusive flock; losers wait, then return."""
+    lock_path = os.path.join(_HERE, ".autobuild.lock")
+    try:
+        import fcntl
+        with open(lock_path, "a+") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)  # blocks until winner finishes
+            try:
+                if not _have_all():
+                    _build_inplace()
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
+    except ImportError:  # non-POSIX: no flock, accept the race
+        _build_inplace()
+
+
+if not _have_all() and not os.environ.get("WITCH_TPU_NO_AUTOBUILD"):
+    _build_locked()
     importlib.invalidate_caches()

@@ -159,6 +159,13 @@ def effective_n_dbl(trans: np.ndarray) -> int:
     later passes can be skipped. tdd products shrink monotonically
     (each tdd < 1), hence one all-tiny pass implies the rest. For the
     example's 16S-scale models this cuts 11-12 passes to 8-9.
+
+    The bit-identity argument assumes the device flushes f32 subnormals
+    to zero (true on TPU). Backends that preserve subnormals (e.g.
+    interpret=True on CPU) can pick up sub-ulp-but-nonzero terms from a
+    skipped pass, so truncated-vs-full results there agree only to the
+    validated ~1e-3-bit tolerance, not bitwise — don't assert exact
+    equality against an n_dbl=None run in interpret mode.
     """
     H, _, Mp = trans.shape
     n_dbl = max(1, int(np.ceil(np.log2(max(2, Mp)))))
