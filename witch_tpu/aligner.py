@@ -327,16 +327,25 @@ def align_all_queries(ens: Ensemble, qnames, qseqs, qcodes,
                 if checkpoint_cb:
                     checkpoint_cb(qname, row)
     else:
-        for qname in todo_names:
-            qi = name_to_i[qname]
-            row = align_query_row(qseqs[qi], backbone_length,
-                                  _per_hmm(qname))
-            if not row:
-                ignored.append(qname)
-                continue
-            rows.append((qname, row))
-            if checkpoint_cb:
-                checkpoint_cb(qname, row)
+        # the native merge DP releases the GIL; thread across queries
+        # (ex.map preserves order, so rows/checkpoint order — and hence
+        # the output files — are identical to the serial loop)
+        from concurrent.futures import ThreadPoolExecutor
+        n_thr = max(1, min(8, int(getattr(Configs, "num_cpus", 4))))
+
+        def _merge_one(qname):
+            return align_query_row(qseqs[name_to_i[qname]],
+                                   backbone_length, _per_hmm(qname))
+
+        with ThreadPoolExecutor(max_workers=n_thr) as ex:
+            for qname, row in zip(todo_names,
+                                  ex.map(_merge_one, todo_names)):
+                if not row:
+                    ignored.append(qname)
+                    continue
+                rows.append((qname, row))
+                if checkpoint_cb:
+                    checkpoint_cb(qname, row)
     Configs.runtime("  align: merge DP for %d queries (s): %f"
                     % (len(todo_names), _time.time() - t_merge0))
     return rows, ignored

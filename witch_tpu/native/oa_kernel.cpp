@@ -474,9 +474,70 @@ static PyObject *pp_affine(PyObject *self, PyObject *args) {
     return (PyObject *)out;
 }
 
+/* Witch-ng weighted merge DP + traceback (the banded_dp/traceback pair
+ * in witch_tpu/ops/merge_dp.py, semantics of the reference's
+ * alignSubQueriesNew DP, witch_msa/gcmm/aligner.py:426-482).
+ *
+ * Input: cw [n_res, band] float64 accumulated edge weights.
+ * Output: int8 ops in forward order (0 = diagonal/match, 1 = up/query
+ * insertion, 2 = left/deletion), covering the full path incl. the
+ * i>0 / t>0 tails. Float64 op order matches the numpy version exactly
+ * (d = prev[j] + w[j]; running cummax), so outputs are bit-identical.
+ */
+static PyObject *merge_dp_trace(PyObject *, PyObject *args) {
+    PyObject *ocw;
+    if (!PyArg_ParseTuple(args, "O", &ocw)) return NULL;
+    View2D cw;
+    if (!get2d(ocw, &cw)) return NULL;
+    npy_intp n = cw.rows, band = cw.cols;
+    std::vector<signed char> ops;
+    Py_BEGIN_ALLOW_THREADS
+    std::vector<double> prev((size_t)band + 1, 0.0),
+        row((size_t)band + 1, 0.0);
+    std::vector<signed char> bt((size_t)(n + 1) * (band + 1), 0);
+    for (npy_intp i = 1; i <= n; i++) {
+        const double *w = cw.p + (size_t)(i - 1) * band;
+        signed char *bi = &bt[(size_t)i * (band + 1)];
+        double run = 0.0;               /* row[j] (cummax so far) */
+        for (npy_intp j = 0; j < band; j++) {
+            double d = prev[j] + w[j];
+            double up = prev[j + 1];
+            bool has = w[j] > 0.0;
+            double c = has ? (d > up ? d : up) : up;
+            /* left wins only if strictly greater; diagonal beats up on
+             * ties when the edge weight is positive */
+            bi[j + 1] = (run > c) ? 2 : ((has && d >= up) ? 0 : 1);
+            if (c > run) run = c;
+            row[j + 1] = run;
+        }
+        row[0] = 0.0;
+        std::swap(prev, row);
+    }
+    npy_intp i = n, t = band;
+    while (i > 0 && t > 0) {
+        signed char b = bt[(size_t)i * (band + 1) + t];
+        ops.push_back(b);
+        if (b == 0) { i--; t--; }
+        else if (b == 1) i--;
+        else t--;
+    }
+    while (i > 0) { ops.push_back(1); i--; }
+    while (t > 0) { ops.push_back(2); t--; }
+    Py_END_ALLOW_THREADS
+    npy_intp no = (npy_intp)ops.size();
+    PyArrayObject *out =
+        (PyArrayObject *)PyArray_SimpleNew(1, &no, NPY_INT8);
+    if (!out) return NULL;
+    signed char *op = (signed char *)PyArray_DATA(out);
+    for (npy_intp z = 0; z < no; z++) op[z] = ops[(size_t)(no - 1 - z)];
+    return (PyObject *)out;
+}
+
 static PyMethodDef methods[] = {
     {"oa_align", oa_align, METH_VARARGS,
      "Optimal-accuracy fill+traceback -> aligned columns"},
+    {"merge_dp_trace", merge_dp_trace, METH_VARARGS,
+     "Witch-ng weighted merge DP + traceback -> ops"},
     {"pp_nw", pp_nw, METH_VARARGS,
      "Profile-profile global NW -> ops (0 diag, 1 up, 2 left)"},
     {"pp_affine", pp_affine, METH_VARARGS,

@@ -147,6 +147,25 @@ def compress_insertions(seq: str) -> str:
     return f_str + seq[f_end:b_start] + b_str
 
 
+def _row_from_ops(seq: str, ops: np.ndarray, min_col: int, max_col: int,
+                  backbone_length: int) -> str:
+    """Assemble the aligned row from forward-order path ops
+    (0 diag -> upper, 1 up -> lower, 2 left -> '-')."""
+    out = []
+    i = 0
+    for op in ops:
+        if op == 0:
+            out.append(seq[i])
+            i += 1
+        elif op == 1:
+            out.append(seq[i].lower())
+            i += 1
+        else:
+            out.append("-")
+    mid = "".join(out)
+    return "-" * min_col + mid + "-" * (backbone_length - max_col - 1)
+
+
 def align_query_row(seq: str, backbone_length: int,
                     per_hmm: Sequence[Tuple[np.ndarray, np.ndarray,
                                             np.ndarray, float]]) -> str:
@@ -157,6 +176,11 @@ def align_query_row(seq: str, backbone_length: int,
                                             per_hmm)
     if cw is None:
         return ""
-    bt = banded_dp(cw)
-    row = traceback(seq, bt, min_col, max_col, backbone_length)
+    try:
+        from ..native import _oa
+        ops = _oa.merge_dp_trace(np.ascontiguousarray(cw))
+        row = _row_from_ops(seq, ops, min_col, max_col, backbone_length)
+    except ImportError:
+        bt = banded_dp(cw)
+        row = traceback(seq, bt, min_col, max_col, backbone_length)
     return compress_insertions(row)
