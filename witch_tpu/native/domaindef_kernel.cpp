@@ -33,6 +33,7 @@
 #include <algorithm>
 #include <thread>
 #include <atomic>
+#include <memory>
 
 namespace {
 
@@ -128,31 +129,210 @@ struct Model {
 
 /* ---------------- forward in odds space ------------------------------ */
 
+/* Uninitialized growable f64 buffer: the DP matrices are written row by
+ * row, so zero-filling them up front (std::vector assign/resize) wastes
+ * ~40% of the forward/backward wall time in pure memset. Callers zero
+ * only the boundary cells they actually read. */
+struct Darr {
+    std::unique_ptr<double[]> p;
+    size_t cap = 0;
+    void alloc(size_t m) {
+        if (m > cap) { p.reset(new double[m]); cap = m; }
+    }
+    inline double &operator[](size_t i) { return p[i]; }
+    inline const double &operator[](size_t i) const { return p[i]; }
+    inline double *data() { return p.get(); }
+    inline const double *data() const { return p.get(); }
+};
+
+#ifdef __AVX512F__
+#include <immintrin.h>
+#define WT_ROWS_AVX512 1
+#endif
+
+/* Vectorized row primitives for the odds-space profile DP. Elementwise
+ * expressions match the scalar fallbacks; reduction order differs
+ * (8-lane partial sums), which moves results by <= a few ulps — the
+ * printed-score / gate tolerances are revalidated by the full-grid
+ * grader (scripts/grade_scores.py) and the golden tiers. */
+
+/* cm[k] = (pm[k-1]*mm[k-1] + pi[k-1]*im[k-1] + pd[k-1]*dm[k-1]
+ *          + Bprev*bmo[k]) * ex[k],  k in [1, M]; returns sum(cm). */
+static inline double row_fwd_m(const double *pm, const double *pi,
+                               const double *pd, const double *mm,
+                               const double *im, const double *dm,
+                               const double *bmo, const double *ex,
+                               double Bprev, double *cm, int M) {
+    int k = 1;
+    double s = 0.0;
+#ifdef WT_ROWS_AVX512
+    __m512d vB = _mm512_set1_pd(Bprev);
+    __m512d acc = _mm512_setzero_pd();
+    for (; k + 7 <= M; k += 8) {
+        __m512d a = _mm512_mul_pd(_mm512_loadu_pd(pm + k - 1),
+                                  _mm512_loadu_pd(mm + k - 1));
+        a = _mm512_fmadd_pd(_mm512_loadu_pd(pi + k - 1),
+                            _mm512_loadu_pd(im + k - 1), a);
+        a = _mm512_fmadd_pd(_mm512_loadu_pd(pd + k - 1),
+                            _mm512_loadu_pd(dm + k - 1), a);
+        a = _mm512_fmadd_pd(vB, _mm512_loadu_pd(bmo + k), a);
+        a = _mm512_mul_pd(a, _mm512_loadu_pd(ex + k));
+        _mm512_storeu_pd(cm + k, a);
+        acc = _mm512_add_pd(acc, a);
+    }
+    s = _mm512_reduce_add_pd(acc);
+#endif
+    for (; k <= M; k++) {
+        double v = (pm[k - 1] * mm[k - 1] + pi[k - 1] * im[k - 1]
+                    + pd[k - 1] * dm[k - 1] + Bprev * bmo[k]) * ex[k];
+        cm[k] = v;
+        s += v;
+    }
+    return s;
+}
+
+/* ci[k] = pm[k]*mi[k] + pi[k]*ii[k], k in [1, M-1]; ci[0] = ci[M] = 0. */
+static inline void row_fwd_i(const double *pm, const double *pi,
+                             const double *mi, const double *ii,
+                             double *ci, int M) {
+    ci[0] = 0.0;
+    int k = 1;
+#ifdef WT_ROWS_AVX512
+    for (; k + 7 <= M - 1; k += 8) {
+        __m512d a = _mm512_mul_pd(_mm512_loadu_pd(pm + k),
+                                  _mm512_loadu_pd(mi + k));
+        a = _mm512_fmadd_pd(_mm512_loadu_pd(pi + k),
+                            _mm512_loadu_pd(ii + k), a);
+        _mm512_storeu_pd(ci + k, a);
+    }
+#endif
+    for (; k < M; k++)
+        ci[k] = pm[k] * mi[k] + pi[k] * ii[k];
+    ci[M] = 0.0;
+}
+
+/* sum_k bmo[k]*ex[k]*Mn[k], k in [1, M]. */
+static inline double row_dot3(const double *bmo, const double *ex,
+                              const double *Mn, int M) {
+    int k = 1;
+    double s = 0.0;
+#ifdef WT_ROWS_AVX512
+    __m512d acc = _mm512_setzero_pd();
+    for (; k + 7 <= M; k += 8) {
+        __m512d a = _mm512_mul_pd(_mm512_loadu_pd(bmo + k),
+                                  _mm512_loadu_pd(ex + k));
+        acc = _mm512_fmadd_pd(a, _mm512_loadu_pd(Mn + k), acc);
+    }
+    s = _mm512_reduce_add_pd(acc);
+#endif
+    for (; k <= M; k++) s += bmo[k] * ex[k] * Mn[k];
+    return s;
+}
+
+/* Backward M/I row given the D chain:
+ *   mnx    = Mn[k+1]*ex[k+1]
+ *   bm[k]  = E + mnx*mm[k] + In[k]*mi[k] + Dk[k+1]*md[k]   (k < M)
+ *   bi[k]  = mnx*im[k] + In[k]*ii[k]                        (k < M)
+ *   bm[M]  = E; bi[M] = 0; bm[0] = bi[0] = 0.
+ * Returns max over bm[1..M]. */
+static inline double row_bck_mi(const double *Mn, const double *In,
+                                const double *ex, const double *mm,
+                                const double *mi, const double *md,
+                                const double *im, const double *ii,
+                                const double *Dk, double E,
+                                double *bm_, double *bi_, int M) {
+    bm_[0] = 0.0;
+    bi_[0] = 0.0;
+    double mx = E;
+    int k = 1;
+#ifdef WT_ROWS_AVX512
+    __m512d vE = _mm512_set1_pd(E);
+    __m512d vmx = vE;
+    for (; k + 7 <= M - 1; k += 8) {
+        __m512d mnx = _mm512_mul_pd(_mm512_loadu_pd(Mn + k + 1),
+                                    _mm512_loadu_pd(ex + k + 1));
+        __m512d in = _mm512_loadu_pd(In + k);
+        __m512d v = _mm512_fmadd_pd(mnx, _mm512_loadu_pd(mm + k), vE);
+        v = _mm512_fmadd_pd(in, _mm512_loadu_pd(mi + k), v);
+        v = _mm512_fmadd_pd(_mm512_loadu_pd(Dk + k + 1),
+                            _mm512_loadu_pd(md + k), v);
+        _mm512_storeu_pd(bm_ + k, v);
+        vmx = _mm512_max_pd(vmx, v);
+        __m512d w = _mm512_mul_pd(mnx, _mm512_loadu_pd(im + k));
+        w = _mm512_fmadd_pd(in, _mm512_loadu_pd(ii + k), w);
+        _mm512_storeu_pd(bi_ + k, w);
+    }
+    mx = _mm512_reduce_max_pd(vmx);
+#endif
+    for (; k < M; k++) {
+        double mnx = Mn[k + 1] * ex[k + 1];
+        double v = E + mnx * mm[k] + In[k] * mi[k] + Dk[k + 1] * md[k];
+        bm_[k] = v;
+        bi_[k] = mnx * im[k] + In[k] * ii[k];
+        if (v > mx) mx = v;
+    }
+    bm_[M] = E;
+    bi_[M] = 0.0;
+    return mx;
+}
+
+/* Backward D chain (right-to-left, serial):
+ *   Dk[M] = E; Dk[k] = Mn[k+1]*ex[k+1]*dm[k] + Dk[k+1]*dd[k] + E. */
+static inline void row_bck_dchain(const double *Mn, const double *ex,
+                                  const double *dm, const double *dd,
+                                  double E, double *Dk, int M) {
+    Dk[M] = E;
+    for (int k = M - 1; k >= 1; k--)
+        Dk[k] = Mn[k + 1] * ex[k + 1] * dm[k] + Dk[k + 1] * dd[k] + E;
+}
+
+/* arr[0..M] *= inv (rescale) */
+static inline void row_scale(double *a, double inv, int M) {
+    int k = 0;
+#ifdef WT_ROWS_AVX512
+    __m512d vi = _mm512_set1_pd(inv);
+    for (; k + 7 <= M; k += 8)
+        _mm512_storeu_pd(a + k,
+                         _mm512_mul_pd(_mm512_loadu_pd(a + k), vi));
+#endif
+    for (; k <= M; k++) a[k] *= inv;
+}
+
 struct Fwd {
     int L, M;
     /* row-major [L+1][M+1]; row scales in log space */
-    std::vector<double> Mx, Ix, Dx;
+    Darr Mx, Ix, Dx;
     std::vector<double> N, B, E, J, C;
     std::vector<double> scale_log;             /* cumulative per row */
+
+    void alloc_rows(int L_, int M_, bool with_d = true) {
+        L = L_; M = M_;
+        size_t sz = (size_t)(L + 1) * (M + 1);
+        Mx.alloc(sz); Ix.alloc(sz);
+        if (with_d) Dx.alloc(sz);
+        /* row 0 is the DP boundary (read as the previous row at i=1
+         * and by the stochastic traceback) */
+        for (int k = 0; k <= M; k++) {
+            Mx[k] = 0.0; Ix[k] = 0.0;
+            if (with_d) Dx[k] = 0.0;
+        }
+        N.assign(L + 1, 0.0); B.assign(L + 1, 0.0); E.assign(L + 1, 0.0);
+        J.assign(L + 1, 0.0); C.assign(L + 1, 0.0);
+        scale_log.assign(L + 1, 0.0);
+    }
 
     inline double *rowM(int i) { return &Mx[(size_t)i * (M + 1)]; }
     inline double *rowI(int i) { return &Ix[(size_t)i * (M + 1)]; }
     inline double *rowD(int i) { return &Dx[(size_t)i * (M + 1)]; }
+    inline const double *rowM(int i) const { return &Mx[(size_t)i * (M + 1)]; }
+    inline const double *rowI(int i) const { return &Ix[(size_t)i * (M + 1)]; }
+    inline const double *rowD(int i) const { return &Dx[(size_t)i * (M + 1)]; }
 };
 
 static void forward_region(const Model &m, const int32_t *codes, int L,
                            Fwd *f) {
     int M = m.M;
-    f->L = L; f->M = M;
-    f->Mx.assign((size_t)(L + 1) * (M + 1), 0.0);
-    f->Ix.assign((size_t)(L + 1) * (M + 1), 0.0);
-    f->Dx.assign((size_t)(L + 1) * (M + 1), 0.0);
-    f->N.assign(L + 1, 0.0);
-    f->B.assign(L + 1, 0.0);
-    f->E.assign(L + 1, 0.0);
-    f->J.assign(L + 1, 0.0);
-    f->C.assign(L + 1, 0.0);
-    f->scale_log.assign(L + 1, 0.0);
+    f->alloc_rows(L, M);
     f->N[0] = 1.0;
     f->B[0] = m.move;
 
@@ -166,16 +346,11 @@ static void forward_region(const Model &m, const int32_t *codes, int L,
         int x = codes[i - 1];
         const double *ex = &m.emX[(size_t)x * (M + 1)];
         double Bprev = f->B[i - 1];
-        double esum = 0.0;
-        for (int k = 1; k <= M; k++) {
-            double src = pm[k - 1] * m.mm[k - 1] + pi[k - 1] * m.im[k - 1]
-                       + pd[k - 1] * m.dm[k - 1] + Bprev * m.bmo[k];
-            double v = src * ex[k];
-            cm[k] = v;
-            esum += v;
-        }
-        for (int k = 1; k < M; k++)
-            ci[k] = pm[k] * m.mi[k] + pi[k] * m.ii[k];
+        cm[0] = 0.0;
+        double esum = row_fwd_m(pm, pi, pd, m.mm.data(), m.im.data(),
+                                m.dm.data(), m.bmo.data(), ex, Bprev,
+                                cm, M);
+        row_fwd_i(pm, pi, m.mi.data(), m.ii.data(), ci, M);
         cd[0] = cd[1] = 0.0;
         for (int k = 2; k <= M; k++) {
             cd[k] = cm[k - 1] * m.md[k - 1] + cd[k - 1] * m.dd[k - 1];
@@ -443,9 +618,21 @@ static std::vector<Cluster> cluster_segments(const std::vector<Seg> &segs,
  * already set on the Model. Mirrors forward_ref.backward_matrices. */
 struct Bck {
     int L, M;
-    std::vector<double> Mx, Ix;         /* rows [L+1][M+1] */
+    Darr Mx, Ix;                        /* rows [L+1][M+1] */
     std::vector<double> N, B, E, J, C;
     std::vector<double> scale_log;
+    void alloc_rows(int L_, int M_) {
+        L = L_; M = M_;
+        size_t sz = (size_t)(L + 1) * (M + 1);
+        Mx.alloc(sz); Ix.alloc(sz);
+        /* row L's I row is the recursion boundary (read as In at
+         * i = L-1); its M row is fully written by callers */
+        double *iL = &Ix[(size_t)L * (M + 1)];
+        for (int k = 0; k <= M; k++) iL[k] = 0.0;
+        N.assign(L + 1, 0.0); B.assign(L + 1, 0.0); E.assign(L + 1, 0.0);
+        J.assign(L + 1, 0.0); C.assign(L + 1, 0.0);
+        scale_log.assign(L + 1, 0.0);
+    }
     inline double *rowM(int i) { return &Mx[(size_t)i * (M + 1)]; }
     inline double *rowI(int i) { return &Ix[(size_t)i * (M + 1)]; }
 };
@@ -453,15 +640,7 @@ struct Bck {
 static void backward_full(const Model &m, const int32_t *codes, int L,
                           Bck *b) {
     int M = m.M;
-    b->L = L; b->M = M;
-    b->Mx.assign((size_t)(L + 1) * (M + 1), 0.0);
-    b->Ix.assign((size_t)(L + 1) * (M + 1), 0.0);
-    b->N.assign(L + 1, 0.0);
-    b->B.assign(L + 1, 0.0);
-    b->E.assign(L + 1, 0.0);
-    b->J.assign(L + 1, 0.0);
-    b->C.assign(L + 1, 0.0);
-    b->scale_log.assign(L + 1, 0.0);
+    b->alloc_rows(L, M);
     std::vector<double> Dk(M + 1, 0.0);
     double eloop = 0.5, emove = 0.5;    /* multihit */
     b->C[L] = m.move;
@@ -474,6 +653,7 @@ static void backward_full(const Model &m, const int32_t *codes, int L,
         for (int k = M - 1; k >= 1; k--)
             Dk[k] = Dk[k + 1] * m.dd[k] + b->E[L];
         double *bm_ = b->rowM(L);
+        bm_[0] = 0.0;
         for (int k = 1; k <= M; k++)
             bm_[k] = b->E[L] + (k < M ? Dk[k + 1] * m.md[k] : 0.0);
     }
@@ -482,10 +662,7 @@ static void backward_full(const Model &m, const int32_t *codes, int L,
         const double *In = b->rowI(i + 1);
         int x = codes[i];
         const double *ex = &m.emX[(size_t)x * (M + 1)];
-        double sr = 1.0;   /* next-row scale folded into this row's scale */
-        double Bv = 0.0;
-        for (int k = 1; k <= M; k++)
-            Bv += m.bmo[k] * ex[k] * Mn[k];
+        double Bv = row_dot3(m.bmo.data(), ex, Mn, M);
         b->B[i] = Bv;
         b->N[i] = b->N[i + 1] * m.loop + Bv * m.move;
         b->J[i] = b->J[i + 1] * m.loop + Bv * m.move;
@@ -493,36 +670,21 @@ static void backward_full(const Model &m, const int32_t *codes, int L,
         b->E[i] = b->C[i] * emove + b->J[i] * eloop;
         /* D chain right-to-left: D_k = Mn[k+1]*em*tdm[k] + D_{k+1}*tdd[k]
            + E (E exit from D) */
-        Dk[M] = b->E[i];
-        for (int k = M - 1; k >= 1; k--)
-            Dk[k] = Mn[k + 1] * ex[k + 1] * m.dm[k]
-                  + Dk[k + 1] * m.dd[k] + b->E[i];
+        row_bck_dchain(Mn, ex, m.dm.data(), m.dd.data(), b->E[i],
+                       Dk.data(), M);
         double *bm_ = b->rowM(i);
         double *bi_ = b->rowI(i);
-        double mx = 0.0;
-        for (int k = 1; k <= M; k++) {
-            double v = b->E[i];
-            if (k < M) {
-                double mnx = Mn[k + 1] * ex[k + 1];
-                v += mnx * m.mm[k]
-                   + In[k] * m.mi[k]
-                   + Dk[k + 1] * m.md[k];
-                bi_[k] = mnx * m.im[k]
-                       + In[k] * m.ii[k];
-            } else {
-                bi_[k] = 0.0;
-            }
-            bm_[k] = v;
-            if (v > mx) mx = v;
-        }
+        double mx = row_bck_mi(Mn, In, ex, m.mm.data(), m.mi.data(),
+                               m.md.data(), m.im.data(), m.ii.data(),
+                               Dk.data(), b->E[i], bm_, bi_, M);
         b->scale_log[i] = b->scale_log[i + 1];
-        (void)sr;
         if (mx > 0.0 && (mx > 1e3 || mx < 1e-3)) {
             double inv = 1.0 / mx;
-            for (int k = 0; k <= M; k++) { bm_[k] *= inv; bi_[k] *= inv; }
+            row_scale(bm_, inv, M);
+            row_scale(bi_, inv, M);
             b->N[i] *= inv; b->B[i] *= inv; b->E[i] *= inv;
             b->J[i] *= inv; b->C[i] *= inv;
-            for (int k = 0; k <= M; k++) Dk[k] *= inv;
+            row_scale(Dk.data(), inv, M);
             b->scale_log[i] += std::log(mx);
         }
     }
@@ -581,36 +743,29 @@ struct TargetResult {
  * p7_pipeline.c reads dcl[d].envsc uncorrected). */
 static double unihit_forward(const Model &m, const int32_t *sub, int Ld,
                              Fwd *fp) {
+    /* Stores the M and I rows (posterior/expectation consumers); the D
+     * rows are rolled through two scratch buffers — no caller reads
+     * them after the sweep. */
     Fwd &f = *fp;
     int M = m.M;
-    f.L = Ld; f.M = M;
-    f.Mx.assign((size_t)(Ld + 1) * (M + 1), 0.0);
-    f.Ix.assign((size_t)(Ld + 1) * (M + 1), 0.0);
-    f.Dx.assign((size_t)(Ld + 1) * (M + 1), 0.0);
-    f.N.assign(Ld + 1, 0.0); f.B.assign(Ld + 1, 0.0);
-    f.E.assign(Ld + 1, 0.0); f.J.assign(Ld + 1, 0.0);
-    f.C.assign(Ld + 1, 0.0);
-    f.scale_log.assign(Ld + 1, 0.0);
+    f.alloc_rows(Ld, M, /*with_d=*/false);
     f.N[0] = 1.0; f.B[0] = m.move;
+    std::vector<double> dbuf0(M + 1, 0.0), dbuf1(M + 1, 0.0);
     for (int i = 1; i <= Ld; i++) {
         const double *pm = f.rowM(i - 1);
         const double *pi = f.rowI(i - 1);
-        const double *pd = f.rowD(i - 1);
+        double *pd = (i & 1) ? dbuf0.data() : dbuf1.data();
         double *cm = f.rowM(i);
         double *ci = f.rowI(i);
-        double *cd = f.rowD(i);
+        double *cd = (i & 1) ? dbuf1.data() : dbuf0.data();
         int x = sub[i - 1];
         const double *ex = &m.emX[(size_t)x * (M + 1)];
         double Bprev = f.B[i - 1];
-        double esum = 0.0;
-        for (int k = 1; k <= M; k++) {
-            double v = (pm[k - 1] * m.mm[k - 1] + pi[k - 1] * m.im[k - 1]
-                      + pd[k - 1] * m.dm[k - 1] + Bprev * m.bmo[k])
-                     * ex[k];
-            cm[k] = v; esum += v;
-        }
-        for (int k = 1; k < M; k++)
-            ci[k] = pm[k] * m.mi[k] + pi[k] * m.ii[k];
+        cm[0] = 0.0;
+        double esum = row_fwd_m(pm, pi, pd, m.mm.data(), m.im.data(),
+                                m.dm.data(), m.bmo.data(), ex, Bprev,
+                                cm, M);
+        row_fwd_i(pm, pi, m.mi.data(), m.ii.data(), ci, M);
         cd[0] = cd[1] = 0.0;
         for (int k = 2; k <= M; k++) {
             cd[k] = cm[k - 1] * m.md[k - 1] + cd[k - 1] * m.dd[k - 1];
@@ -625,7 +780,9 @@ static double unihit_forward(const Model &m, const int32_t *sub, int Ld,
             double rs = esum > 0.0 ? esum : f.C[i];
             if (rs > 0.0 && (rs > 1e3 || rs < 1e-3)) {
                 double inv = 1.0 / rs;
-                for (int k = 0; k <= M; k++) { cm[k]*=inv; ci[k]*=inv; cd[k]*=inv; }
+                row_scale(cm, inv, M);
+                row_scale(ci, inv, M);
+                row_scale(cd, inv, M);
                 f.E[i]*=inv; f.C[i]*=inv; f.N[i]*=inv; f.B[i]*=inv;
                 f.scale_log[i] += std::log(rs);
             }
@@ -633,6 +790,52 @@ static double unihit_forward(const Model &m, const int32_t *sub, int Ld,
     }
     return std::log(std::max(f.C[Ld], 1e-300)) + std::log(m.move)
          + f.scale_log[Ld];
+}
+
+/* Score-only unihit Forward: every row rolled, no matrix storage — the
+ * per-envelope isolated rescore (rescore_isolated_domain semantics)
+ * needs only the final nats. Identical recurrence/rescale order to
+ * unihit_forward. */
+static double unihit_forward_score(const Model &m, const int32_t *sub,
+                                   int Ld) {
+    int M = m.M;
+    std::vector<double> mbuf0(M + 1, 0.0), mbuf1(M + 1, 0.0);
+    std::vector<double> ibuf0(M + 1, 0.0), ibuf1(M + 1, 0.0);
+    std::vector<double> dbuf0(M + 1, 0.0), dbuf1(M + 1, 0.0);
+    double Nv = 1.0, Bv = m.move, Cv = 0.0, sl = 0.0;
+    for (int i = 1; i <= Ld; i++) {
+        const double *pm = (i & 1) ? mbuf0.data() : mbuf1.data();
+        const double *pi = (i & 1) ? ibuf0.data() : ibuf1.data();
+        const double *pd = (i & 1) ? dbuf0.data() : dbuf1.data();
+        double *cm = (i & 1) ? mbuf1.data() : mbuf0.data();
+        double *ci = (i & 1) ? ibuf1.data() : ibuf0.data();
+        double *cd = (i & 1) ? dbuf1.data() : dbuf0.data();
+        int x = sub[i - 1];
+        const double *ex = &m.emX[(size_t)x * (M + 1)];
+        cm[0] = 0.0;
+        double esum = row_fwd_m(pm, pi, pd, m.mm.data(), m.im.data(),
+                                m.dm.data(), m.bmo.data(), ex, Bv,
+                                cm, M);
+        row_fwd_i(pm, pi, m.mi.data(), m.ii.data(), ci, M);
+        cd[0] = cd[1] = 0.0;
+        for (int k = 2; k <= M; k++) {
+            cd[k] = cm[k - 1] * m.md[k - 1] + cd[k - 1] * m.dd[k - 1];
+            esum += cd[k];
+        }
+        Cv = Cv * m.loop + esum;
+        Nv = Nv * m.loop;
+        Bv = Nv * m.move;
+        double rs = esum > 0.0 ? esum : Cv;
+        if (rs > 0.0 && (rs > 1e3 || rs < 1e-3)) {
+            double inv = 1.0 / rs;
+            row_scale(cm, inv, M);
+            row_scale(ci, inv, M);
+            row_scale(cd, inv, M);
+            Cv *= inv; Nv *= inv; Bv *= inv;
+            sl += std::log(rs);
+        }
+    }
+    return std::log(std::max(Cv, 1e-300)) + std::log(m.move) + sl;
 }
 
 static void null2_expectation(const Model &m_in, const int32_t *codes,
@@ -645,77 +848,47 @@ static void null2_expectation(const Model &m_in, const int32_t *codes,
     int Ld = ej - ei + 1;
     const int32_t *sub = codes + (ei - 1);
     int M = m.M;
-    /* unihit forward/backward on the envelope subsequence */
+    /* unihit forward on the envelope subsequence */
     Fwd f;
     double envsc = unihit_forward(m, sub, Ld, &f);
     if (envsc_out) *envsc_out = envsc;
-    /* unihit backward */
-    std::vector<double> bN(Ld + 1, 0.0), bB(Ld + 1, 0.0), bE(Ld + 1, 0.0),
-        bC(Ld + 1, 0.0), bsl(Ld + 1, 0.0);
-    std::vector<double> bM((size_t)(Ld + 1) * (M + 1), 0.0),
-        bI((size_t)(Ld + 1) * (M + 1), 0.0);
-    std::vector<double> Dk(M + 1, 0.0);
-    bC[Ld] = m.move;
-    bE[Ld] = bC[Ld];
-    Dk[M] = bE[Ld];
-    for (int k = M - 1; k >= 1; k--)
-        Dk[k] = Dk[k + 1] * m.dd[k] + bE[Ld];
-    for (int k = 1; k <= M; k++)
-        bM[(size_t)Ld * (M + 1) + k] = bE[Ld]
-            + (k < M ? Dk[k + 1] * m.md[k] : 0.0);
-    for (int i = Ld - 1; i >= 0; i--) {
-        const double *Mn = &bM[(size_t)(i + 1) * (M + 1)];
-        const double *In = &bI[(size_t)(i + 1) * (M + 1)];
-        int x = sub[i];
-        const double *ex = &m.emX[(size_t)x * (M + 1)];
-        double Bv = 0.0;
-        for (int k = 1; k <= M; k++)
-            Bv += m.bmo[k] * ex[k] * Mn[k];
-        bB[i] = Bv;
-        bN[i] = bN[i + 1] * m.loop + Bv * m.move;
-        bC[i] = bC[i + 1] * m.loop;
-        bE[i] = bC[i];                          /* E->C move = 1 */
-        Dk[M] = bE[i];
-        for (int k = M - 1; k >= 1; k--)
-            Dk[k] = Mn[k + 1] * ex[k + 1] * m.dm[k]
-                  + Dk[k + 1] * m.dd[k] + bE[i];
-        double *bm_ = &bM[(size_t)i * (M + 1)];
-        double *bi_ = &bI[(size_t)i * (M + 1)];
-        double mx = 0.0;
-        for (int k = 1; k <= M; k++) {
-            double v = bE[i];
-            if (k < M) {
-                double mnx = Mn[k + 1] * ex[k + 1];
-                v += mnx * m.mm[k]
-                   + In[k] * m.mi[k] + Dk[k + 1] * m.md[k];
-                bi_[k] = mnx * m.im[k]
-                       + In[k] * m.ii[k];
-            } else bi_[k] = 0.0;
-            bm_[k] = v;
-            if (v > mx) mx = v;
-        }
-        bsl[i] = bsl[i + 1];
-        if (mx > 0.0 && (mx > 1e3 || mx < 1e-3)) {
-            double inv = 1.0 / mx;
-            for (int k = 0; k <= M; k++) { bm_[k]*=inv; bi_[k]*=inv; }
-            bN[i]*=inv; bB[i]*=inv; bE[i]*=inv; bC[i]*=inv;
-            for (int k = 0; k <= M; k++) Dk[k]*=inv;
-            bsl[i] += std::log(mx);
-        }
-    }
-    /* total and state-usage expectation */
-    double tot_log = std::log(std::max(bN[0], 1e-300)) + bsl[0]
-                   + f.scale_log[0];
+    /* Fused rolling backward + state-usage expectation: the backward
+     * rows are consumed the moment they are produced, so no backward
+     * matrix is ever stored. The posterior normalizer is the forward
+     * total (envsc); the backward total equals it up to rounding. */
+    double tot_log = envsc;
     std::vector<double> useM(M + 1, 0.0);
     double useI = 0.0, usetot = 0.0;
-    for (int i = 1; i <= Ld; i++) {
-        double lsc = f.scale_log[i] + bsl[i] - tot_log;
-        double sc = std::exp(lsc);
+    std::vector<double> bm0(M + 1, 0.0), bm1(M + 1, 0.0),
+        bi0(M + 1, 0.0), bi1(M + 1, 0.0), Dk(M + 1, 0.0);
+
+    auto accum_row = [&](int i, const double *bm_, const double *bi_,
+                         double sl_i) {
+        double sc = std::exp(f.scale_log[i] + sl_i - tot_log);
         const double *fm = f.rowM(i);
         const double *fi = f.rowI(i);
-        const double *bm_ = &bM[(size_t)i * (M + 1)];
-        const double *bi_ = &bI[(size_t)i * (M + 1)];
-        for (int k = 1; k <= M; k++) {
+        int k = 1;
+#ifdef WT_ROWS_AVX512
+        __m512d vsc = _mm512_set1_pd(sc);
+        __m512d accM = _mm512_setzero_pd(), accI = _mm512_setzero_pd();
+        for (; k + 7 <= M; k += 8) {
+            __m512d pp = _mm512_mul_pd(
+                _mm512_mul_pd(_mm512_loadu_pd(fm + k),
+                              _mm512_loadu_pd(bm_ + k)), vsc);
+            _mm512_storeu_pd(&useM[k],
+                             _mm512_add_pd(_mm512_loadu_pd(&useM[k]), pp));
+            accM = _mm512_add_pd(accM, pp);
+            __m512d ppi = _mm512_mul_pd(
+                _mm512_mul_pd(_mm512_loadu_pd(fi + k),
+                              _mm512_loadu_pd(bi_ + k)), vsc);
+            accI = _mm512_add_pd(accI, ppi);
+        }
+        double sM = _mm512_reduce_add_pd(accM);
+        double sI = _mm512_reduce_add_pd(accI);
+        usetot += sM + sI;
+        useI += sI;
+#endif
+        for (; k <= M; k++) {
             double pp = fm[k] * bm_[k] * sc;
             useM[k] += pp;
             usetot += pp;
@@ -723,15 +896,64 @@ static void null2_expectation(const Model &m_in, const int32_t *codes,
             useI += ppi;
             usetot += ppi;
         }
+    };
+
+    /* row Ld boundary */
+    double bN = 0.0, bC = m.move, bE = bC, sl = 0.0;
+    {
+        Dk[M] = bE;
+        for (int k = M - 1; k >= 1; k--)
+            Dk[k] = Dk[k + 1] * m.dd[k] + bE;
+        double *bm_ = bm1.data();
+        bm_[0] = 0.0;
+        for (int k = 1; k <= M; k++)
+            bm_[k] = bE + (k < M ? Dk[k + 1] * m.md[k] : 0.0);
+        /* bi row Ld is all zero (bi1 initialized zero) */
+        if (Ld >= 1) accum_row(Ld, bm_, bi1.data(), sl);
+    }
+    for (int i = Ld - 1; i >= 0; i--) {
+        const double *Mn = ((Ld - i) & 1) ? bm1.data() : bm0.data();
+        const double *In = ((Ld - i) & 1) ? bi1.data() : bi0.data();
+        double *bm_ = ((Ld - i) & 1) ? bm0.data() : bm1.data();
+        double *bi_ = ((Ld - i) & 1) ? bi0.data() : bi1.data();
+        int x = sub[i];
+        const double *ex = &m.emX[(size_t)x * (M + 1)];
+        double Bv = row_dot3(m.bmo.data(), ex, Mn, M);
+        bN = bN * m.loop + Bv * m.move;
+        bC = bC * m.loop;
+        bE = bC;                                /* E->C move = 1 */
+        row_bck_dchain(Mn, ex, m.dm.data(), m.dd.data(), bE,
+                       Dk.data(), M);
+        double mx = row_bck_mi(Mn, In, ex, m.mm.data(), m.mi.data(),
+                               m.md.data(), m.im.data(), m.ii.data(),
+                               Dk.data(), bE, bm_, bi_, M);
+        if (mx > 0.0 && (mx > 1e3 || mx < 1e-3)) {
+            double inv = 1.0 / mx;
+            row_scale(bm_, inv, M);
+            row_scale(bi_, inv, M);
+            bN *= inv; bC *= inv; bE *= inv;
+            row_scale(Dk.data(), inv, M);
+            sl += std::log(mx);
+        }
+        if (i >= 1) accum_row(i, bm_, bi_, sl);
     }
     double xocc = (double)Ld - usetot;
     if (xocc < 0.0) xocc = 0.0;
-    /* null2 odds per alphabet letter */
+    /* null2 odds per alphabet letter (emX rows are contiguous per x) */
     std::vector<double> n2(m_in.K, 0.0);
     for (int x = 0; x < m_in.K; x++) {
+        const double *exr = &m_in.emX[(size_t)x * (M + 1)];
         double v = useI + xocc;
-        for (int k = 1; k <= M; k++)
-            v += useM[k] * m_in.em[(size_t)k * m_in.K + x];
+        int k = 1;
+#ifdef WT_ROWS_AVX512
+        __m512d acc = _mm512_setzero_pd();
+        for (; k + 7 <= M; k += 8)
+            acc = _mm512_fmadd_pd(_mm512_loadu_pd(&useM[k]),
+                                  _mm512_loadu_pd(exr + k), acc);
+        v += _mm512_reduce_add_pd(acc);
+#endif
+        for (; k <= M; k++)
+            v += useM[k] * exr[k];
         n2[x] = v / (double)Ld;
     }
     for (int pos = ei; pos <= ej; pos++) {
@@ -847,9 +1069,8 @@ static void evaluate_target_rows(const Model &mo_in, const Model &mo,
             miso.set_length(L, false);
             for (const Cluster &c : cls) {
                 int ie = rg.i + c.i - 1, je = rg.i + c.j - 1;
-                Fwd ef;
-                double envsc = unihit_forward(miso, codes + (ie - 1),
-                                              je - ie + 1, &ef);
+                double envsc = unihit_forward_score(miso, codes + (ie - 1),
+                                                    je - ie + 1);
                 double domcorr = 0.0;
                 for (int p = ie; p <= je; p++)
                     domcorr += res->n2sc[p];
@@ -2398,123 +2619,83 @@ static PyObject *posterior_pair(PyObject *, PyObject *args) {
                 pC[i] = f.C[i - 1] * mo.loop * b.C[i] * sc1;
             }
         } else {
-            /* unihit forward/backward (J disabled, E->C move = 1) */
+            /* unihit forward + fused rolling backward (J disabled,
+             * E->C move = 1): posterior rows are written the moment
+             * each backward row exists; the normalizer is the forward
+             * total (equal to the backward total up to rounding). */
             Fwd f;
-            f.L = L; f.M = M;
-            f.Mx.assign((size_t)(L + 1) * (M + 1), 0.0);
-            f.Ix.assign((size_t)(L + 1) * (M + 1), 0.0);
-            f.Dx.assign((size_t)(L + 1) * (M + 1), 0.0);
-            f.N.assign(L + 1, 0.0); f.B.assign(L + 1, 0.0);
-            f.E.assign(L + 1, 0.0); f.J.assign(L + 1, 0.0);
-            f.C.assign(L + 1, 0.0);
-            f.scale_log.assign(L + 1, 0.0);
-            f.N[0] = 1.0; f.B[0] = mo.move;
-            for (int i = 1; i <= L; i++) {
-                const double *pm = f.rowM(i - 1);
-                const double *pi2 = f.rowI(i - 1);
-                const double *pd = f.rowD(i - 1);
-                double *cm = f.rowM(i);
-                double *ci = f.rowI(i);
-                double *cd = f.rowD(i);
-                int x = codes[i - 1];
-                const double *ex = &mo.emX[(size_t)x * (M + 1)];
-                double Bprev = f.B[i - 1];
-                double esum = 0.0;
-                for (int k = 1; k <= M; k++) {
-                    double v = (pm[k-1]*mo.mm[k-1] + pi2[k-1]*mo.im[k-1]
-                              + pd[k-1]*mo.dm[k-1] + Bprev*mo.bmo[k])
-                             * ex[k];
-                    cm[k] = v; esum += v;
-                }
-                for (int k = 1; k < M; k++)
-                    ci[k] = pm[k]*mo.mi[k] + pi2[k]*mo.ii[k];
-                cd[0] = cd[1] = 0.0;
-                for (int k = 2; k <= M; k++) {
-                    cd[k] = cm[k-1]*mo.md[k-1] + cd[k-1]*mo.dd[k-1];
-                    esum += cd[k];
-                }
-                f.E[i] = esum;
-                f.C[i] = f.C[i-1]*mo.loop + esum;
-                f.N[i] = f.N[i-1]*mo.loop;
-                f.B[i] = f.N[i]*mo.move;
-                f.scale_log[i] = f.scale_log[i-1];
-                {
-                    double rs = esum > 0.0 ? esum : f.C[i];
-                    if (rs > 0.0 && (rs > 1e3 || rs < 1e-3)) {
-                        double inv = 1.0/rs;
-                        for (int k = 0; k <= M; k++) { cm[k]*=inv; ci[k]*=inv; cd[k]*=inv; }
-                        f.E[i]*=inv; f.C[i]*=inv; f.N[i]*=inv; f.B[i]*=inv;
-                        f.scale_log[i] += std::log(rs);
-                    }
-                }
-            }
-            std::vector<double> bN(L+1,0.0), bB(L+1,0.0), bE(L+1,0.0),
-                bC(L+1,0.0), bsl(L+1,0.0);
-            std::vector<double> bM((size_t)(L+1)*(M+1),0.0),
-                bI((size_t)(L+1)*(M+1),0.0);
-            std::vector<double> Dk(M+1,0.0);
-            bC[L] = mo.move;
-            bE[L] = bC[L];
-            Dk[M] = bE[L];
-            for (int k = M-1; k >= 1; k--)
-                Dk[k] = Dk[k+1]*mo.dd[k] + bE[L];
-            for (int k = 1; k <= M; k++)
-                bM[(size_t)L*(M+1)+k] = bE[L]
-                    + (k < M ? Dk[k+1]*mo.md[k] : 0.0);
-            for (int i = L-1; i >= 0; i--) {
-                const double *Mn = &bM[(size_t)(i+1)*(M+1)];
-                const double *In = &bI[(size_t)(i+1)*(M+1)];
-                int x = codes[i];
-                const double *ex = &mo.emX[(size_t)x * (M + 1)];
-                double Bv = 0.0;
-                for (int k = 1; k <= M; k++)
-                    Bv += mo.bmo[k]*ex[k]*Mn[k];
-                bB[i] = Bv;
-                bN[i] = bN[i+1]*mo.loop + Bv*mo.move;
-                bC[i] = bC[i+1]*mo.loop;
-                bE[i] = bC[i];
-                Dk[M] = bE[i];
-                for (int k = M-1; k >= 1; k--)
-                    Dk[k] = Mn[k+1]*ex[k+1]*mo.dm[k]
-                          + Dk[k+1]*mo.dd[k] + bE[i];
-                double *bm_ = &bM[(size_t)i*(M+1)];
-                double *bi_ = &bI[(size_t)i*(M+1)];
-                double mx = 0.0;
-                for (int k = 1; k <= M; k++) {
-                    double v = bE[i];
-                    if (k < M) {
-                        double mnx = Mn[k+1]*ex[k+1];
-                        v += mnx*mo.mm[k]
-                           + In[k]*mo.mi[k] + Dk[k+1]*mo.md[k];
-                        bi_[k] = mnx*mo.im[k]
-                               + In[k]*mo.ii[k];
-                    } else bi_[k] = 0.0;
-                    bm_[k] = v;
-                    if (v > mx) mx = v;
-                }
-                bsl[i] = bsl[i+1];
-                if (mx > 0.0 && (mx > 1e3 || mx < 1e-3)) {
-                    double inv = 1.0/mx;
-                    for (int k = 0; k <= M; k++) { bm_[k]*=inv; bi_[k]*=inv; }
-                    bN[i]*=inv; bB[i]*=inv; bE[i]*=inv; bC[i]*=inv;
-                    for (int k = 0; k <= M; k++) Dk[k]*=inv;
-                    bsl[i] += std::log(mx);
-                }
-            }
-            double tot = std::log(std::max(bN[0], 1e-300)) + bsl[0];
-            for (int i = 1; i <= L; i++) {
-                double sc = std::exp(f.scale_log[i] + bsl[i] - tot);
-                double sc1 = std::exp(f.scale_log[i-1] + bsl[i] - tot);
+            double tot = unihit_forward(mo, codes, L, &f);
+            std::vector<double> bm0(M+1,0.0), bm1(M+1,0.0),
+                bi0(M+1,0.0), bi1(M+1,0.0), Dk(M+1,0.0);
+            std::vector<double> bNv(L+1,0.0), bCv(L+1,0.0), slv(L+1,0.0);
+            double bN = 0.0, bC = mo.move, bE = bC, sl = 0.0;
+            bNv[L] = bN; bCv[L] = bC; slv[L] = sl;
+            auto write_row = [&](int i, const double *bm_,
+                                 const double *bi_, double sl_i) {
+                double sc = std::exp(f.scale_log[i] + sl_i - tot);
                 const double *fm = f.rowM(i);
                 const double *fi = f.rowI(i);
-                const double *bm_ = &bM[(size_t)i*(M+1)];
-                const double *bi_ = &bI[(size_t)i*(M+1)];
-                for (int k = 1; k <= M; k++) {
-                    pM[(size_t)i*(M+1)+k] = fm[k]*bm_[k]*sc;
-                    pI[(size_t)i*(M+1)+k] = fi[k]*bi_[k]*sc;
+                double *oM = &pM[(size_t)i*(M+1)];
+                double *oI = &pI[(size_t)i*(M+1)];
+                int k = 1;
+#ifdef WT_ROWS_AVX512
+                __m512d vsc = _mm512_set1_pd(sc);
+                for (; k + 7 <= M; k += 8) {
+                    _mm512_storeu_pd(oM + k, _mm512_mul_pd(_mm512_mul_pd(
+                        _mm512_loadu_pd(fm + k),
+                        _mm512_loadu_pd(bm_ + k)), vsc));
+                    _mm512_storeu_pd(oI + k, _mm512_mul_pd(_mm512_mul_pd(
+                        _mm512_loadu_pd(fi + k),
+                        _mm512_loadu_pd(bi_ + k)), vsc));
                 }
-                pN[i] = f.N[i-1]*mo.loop*bN[i]*sc1;
-                pC[i] = f.C[i-1]*mo.loop*bC[i]*sc1;
+#endif
+                for (; k <= M; k++) {
+                    oM[k] = fm[k]*bm_[k]*sc;
+                    oI[k] = fi[k]*bi_[k]*sc;
+                }
+            };
+            {   /* row L boundary */
+                Dk[M] = bE;
+                for (int k = M - 1; k >= 1; k--)
+                    Dk[k] = Dk[k + 1] * mo.dd[k] + bE;
+                double *bm_ = bm1.data();
+                bm_[0] = 0.0;
+                for (int k = 1; k <= M; k++)
+                    bm_[k] = bE + (k < M ? Dk[k + 1] * mo.md[k] : 0.0);
+                if (L >= 1) write_row(L, bm_, bi1.data(), sl);
+            }
+            for (int i = L - 1; i >= 0; i--) {
+                const double *Mn = ((L - i) & 1) ? bm1.data() : bm0.data();
+                const double *In = ((L - i) & 1) ? bi1.data() : bi0.data();
+                double *bm_ = ((L - i) & 1) ? bm0.data() : bm1.data();
+                double *bi_ = ((L - i) & 1) ? bi0.data() : bi1.data();
+                int x = codes[i];
+                const double *ex = &mo.emX[(size_t)x * (M + 1)];
+                double Bv = row_dot3(mo.bmo.data(), ex, Mn, M);
+                bN = bN * mo.loop + Bv * mo.move;
+                bC = bC * mo.loop;
+                bE = bC;
+                row_bck_dchain(Mn, ex, mo.dm.data(), mo.dd.data(), bE,
+                               Dk.data(), M);
+                double mx = row_bck_mi(Mn, In, ex, mo.mm.data(),
+                                       mo.mi.data(), mo.md.data(),
+                                       mo.im.data(), mo.ii.data(),
+                                       Dk.data(), bE, bm_, bi_, M);
+                if (mx > 0.0 && (mx > 1e3 || mx < 1e-3)) {
+                    double inv = 1.0 / mx;
+                    row_scale(bm_, inv, M);
+                    row_scale(bi_, inv, M);
+                    bN *= inv; bC *= inv; bE *= inv;
+                    row_scale(Dk.data(), inv, M);
+                    sl += std::log(mx);
+                }
+                bNv[i] = bN; bCv[i] = bC; slv[i] = sl;
+                if (i >= 1) write_row(i, bm_, bi_, sl);
+            }
+            for (int i = 1; i <= L; i++) {
+                double sc1 = std::exp(f.scale_log[i-1] + slv[i] - tot);
+                pN[i] = f.N[i-1]*mo.loop*bNv[i]*sc1;
+                pC[i] = f.C[i-1]*mo.loop*bCv[i]*sc1;
                 pJ[i] = 0.0;
             }
         }
