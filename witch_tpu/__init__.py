@@ -23,18 +23,26 @@ def witch_runner(argv=None):
         # first compile. Probe in a subprocess so a broken backend
         # never contaminates this process, and fall back to CPU.
         import subprocess
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, numpy\n"
-                 "d = jax.devices()\n"
-                 "x = jax.numpy.zeros(8) + 1\n"
-                 "assert float(numpy.asarray(x).sum()) == 8.0\n"
-                 "print(d[0].platform)"],
-                capture_output=True, text=True, timeout=120)
-            ok = r.returncode == 0
-        except Exception:
-            ok = False
+        ok = False
+        for attempt in range(3):
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, numpy\n"
+                     "d = jax.devices()\n"
+                     "x = jax.numpy.zeros(8) + 1\n"
+                     "assert float(numpy.asarray(x).sum()) == 8.0\n"
+                     "print(d[0].platform)"],
+                    capture_output=True, text=True, timeout=120)
+                ok = r.returncode == 0
+            except Exception:
+                ok = False
+            if ok:
+                break
+            sys.stderr.write(
+                "WARNING: accelerator probe attempt %d failed%s\n"
+                % (attempt + 1, "; retrying" if attempt < 2 else ""))
+            time.sleep(5 * (attempt + 1))
         if not ok:
             import jax
             jax.config.update("jax_platforms", "cpu")

@@ -472,6 +472,20 @@ def read_checkpoint(path: str) -> Dict[str, str]:
 
 def main_alignment_process(args=None):
     t_start = time.time()
+    # Remote-accelerator handshake (device enumeration + client init) can
+    # cost ~10 s per process on tunneled hosts; start it now in the
+    # background so it overlaps the ensemble build instead of stalling
+    # the first scoring dispatch.
+    import threading
+
+    def _warm_devices():
+        try:
+            import jax
+            jax.devices()
+        except Exception:
+            pass
+
+    threading.Thread(target=_warm_devices, daemon=True).start()
     molecule = Configs.molecule
     if molecule is None:
         src = (Configs.backbone_path or Configs.query_path
