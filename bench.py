@@ -188,13 +188,46 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        try:
-            dt, padded_cells = run_tpu_tier()
-        except Exception as e:
-            log("TPU tier failed mid-run (%s); falling back to CPU tier"
-                % type(e).__name__)
-            on_tpu = False
-            dt, padded_cells = run_cpu_tier()
+        # Watchdog: the remote-TPU server intermittently takes minutes
+        # per program load (observed 150-500 s after idle/eviction, vs
+        # ~4 s warm). If the TPU tier outlives its budget, abandon the
+        # process-shared device state entirely by finishing the run in
+        # a CPU-tier subprocess — the driver must always get its JSON.
+        budget = float(os.environ.get("WITCH_TPU_BENCH_BUDGET", "360"))
+        import threading
+        result = {}
+
+        def tpu_work():
+            try:
+                result["v"] = run_tpu_tier()
+            except Exception as e:
+                result["err"] = e
+
+        th = threading.Thread(target=tpu_work, daemon=True)
+        th.start()
+        th.join(budget)
+        if "v" in result:
+            dt, padded_cells = result["v"]
+        else:
+            why = ("timed out after %.0fs" % budget if th.is_alive()
+                   else "failed (%s)" % type(result["err"]).__name__)
+            log("TPU tier %s; finishing on the CPU tier in a clean "
+                "subprocess" % why)
+            env = dict(os.environ, WITCH_TPU_PLATFORM="cpu")
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, timeout=1200, text=True,
+                               capture_output=True)
+            sys.stderr.write(r.stderr[-2000:])
+            line = [x for x in r.stdout.splitlines()
+                    if x.startswith("{")]
+            if r.returncode == 0 and line:
+                print(line[-1], flush=True)
+                # hard-exit: the abandoned TPU thread may be wedged
+                # inside the remote runtime and would block interpreter
+                # teardown
+                os._exit(0)
+            raise SystemExit("bench CPU-tier subprocess failed (rc=%d)"
+                             % r.returncode)
     else:
         dt, padded_cells = run_cpu_tier()
 
