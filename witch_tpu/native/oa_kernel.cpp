@@ -126,53 +126,93 @@ static PyObject *oa_align(PyObject *, PyObject *args) {
     npy_int64 *cols = (npy_int64 *)PyArray_DATA(out);
     for (npy_intp i = 0; i < L; i++) cols[i] = -1;
 
-    const size_t sz = (size_t)(L + 1) * (size_t)(M + 1);
-    std::vector<double> Mx(sz, NEG), Ix(sz, NEG), Dx(sz, NEG);
+    /* Rolling-row fill with recorded traceback choices: instead of three
+     * [L+1, M+1] float64 matrices (re-read by a value-re-deriving
+     * traceback), keep two rows of each DP plane and record, per cell,
+     * the choice the traceback WOULD make — evaluated with the
+     * traceback's exact candidate order and tie rules, on the same
+     * values — packed into one u8 plane. ~24 MB of DP traffic per pair
+     * becomes ~0.5 MB. Outputs are bit-identical by construction.
+     *
+     * ptr bits: 0-1 = M-source (0 M, 1 I, 2 D, 3 B);
+     *           bit 2 = I-source (0 M, 1 I);
+     *           bit 3 = D-source (0 M, 1 D-continue). */
+    const size_t rowsz = (size_t)(M + 1);
+    std::vector<double> mrow0(rowsz, NEG), mrow1(rowsz, NEG),
+        irow0(rowsz, NEG), irow1(rowsz, NEG),
+        drow0(rowsz, NEG), drow1(rowsz, NEG);
+    std::vector<unsigned char> ptr((size_t)(L + 1) * rowsz, 0);
     std::vector<double> N(L + 1, 0.0), B(L + 1, 0.0), E(L + 1, NEG),
         J(L + 1, NEG), C(L + 1, NEG);
-    auto MX = [&](npy_intp i, npy_intp k) -> double & {
-        return Mx[(size_t)i * (M + 1) + k];
-    };
-    auto IX = [&](npy_intp i, npy_intp k) -> double & {
-        return Ix[(size_t)i * (M + 1) + k];
-    };
-    auto DX = [&](npy_intp i, npy_intp k) -> double & {
-        return Dx[(size_t)i * (M + 1) + k];
-    };
+    std::vector<npy_intp> ek(L + 1, 1);    /* E argmax k per row */
+    std::vector<unsigned char> ed(L + 1, 0);  /* E came from D */
     auto DEL = [](unsigned char f) { return f ? 1.0 : DELTA_OFF; };
 
     /* ------------------------------- fill ------------------------------- */
     for (npy_intp i = 1; i <= L; i++) {
+        const double *pM = (i & 1) ? mrow0.data() : mrow1.data();
+        const double *pI = (i & 1) ? irow0.data() : irow1.data();
+        const double *pD = (i & 1) ? drow0.data() : drow1.data();
+        double *cM = (i & 1) ? mrow1.data() : mrow0.data();
+        double *cI = (i & 1) ? irow1.data() : irow0.data();
+        double *cD = (i & 1) ? drow1.data() : drow0.data();
+        unsigned char *pt = &ptr[(size_t)i * rowsz];
+        cM[0] = NEG; cI[0] = NEG; cD[0] = NEG;
+        cD[1] = NEG;
         double emax = NEG;
+        npy_intp emax_k = 1;
+        unsigned char emax_d = 0;
         const double Bprev = B[i - 1];
         double dacc = NEG; /* running-max delete chain */
         for (npy_intp k = 1; k <= M; k++) {
             const double pm = ppM.at(i, k);
-            double cand = DEL(dbm[k]) * Bprev;
-            double v = DEL(dmm[k - 1]) * MX(i - 1, k - 1);
-            if (v > cand) cand = v;
-            v = DEL(dim[k - 1]) * IX(i - 1, k - 1);
-            if (v > cand) cand = v;
-            v = DEL(ddm[k - 1]) * DX(i - 1, k - 1);
-            if (v > cand) cand = v;
-            const double mval = pm + cand;
-            MX(i, k) = mval;
+            /* traceback candidate order: M, I, D, B (strict >) */
+            const double c0 = DEL(dmm[k - 1]) * pM[k - 1];
+            const double c1 = DEL(dim[k - 1]) * pI[k - 1];
+            const double c2 = DEL(ddm[k - 1]) * pD[k - 1];
+            const double c3 = DEL(dbm[k]) * Bprev;
+            double best = c0;
+            unsigned char which = 0;
+            if (c1 > best) { best = c1; which = 1; }
+            if (c2 > best) { best = c2; which = 2; }
+            if (c3 > best) { best = c3; which = 3; }
+            const double mval = pm + best;
+            cM[k] = mval;
+            unsigned char pb = which;
             if (k < M) {
-                double iv = DEL(dmi[k]) * MX(i - 1, k);
-                const double iv2 = DEL(dii[k]) * IX(i - 1, k);
-                if (iv2 > iv) iv = iv2;
-                IX(i, k) = ppI.at(i, k) + iv;
+                const double a = DEL(dmi[k]) * pM[k];
+                const double b = DEL(dii[k]) * pI[k];
+                if (!(a >= b)) pb |= 4;        /* I came from I */
+                cI[k] = ppI.at(i, k) + (a >= b ? a : b);
+            } else {
+                cI[k] = NEG;
             }
-            /* delete chain (interior deltas are 1):
-               Dx[i,k] = max(dmd[k-1]*Mx[i,k-1], Dx[i,k-1]) for k >= 2 */
             if (k >= 2) {
-                const double md = DEL(dmd[k - 1 - 1 + 1]) /*dmd[k-1]*/ *
-                                  MX(i, k - 1);
+                const double md = DEL(dmd[k - 1]) * cM[k - 1];
+                const double dc = DEL(ddd[k - 1]) * cD[k - 1];
+                if (!(md >= dc)) pb |= 8;      /* D continues */
                 if (md > dacc) dacc = md;
-                DX(i, k) = dacc;
-                if (dacc > emax) emax = dacc;
+                cD[k] = dacc;
+                if (dacc > emax) {
+                    emax = dacc; emax_k = k; emax_d = 1;
+                }
             }
-            if (mval > emax) emax = mval;
+            if (mval > emax) { emax = mval; emax_k = k; emax_d = 0; }
+            pt[k] = pb;
+        }
+        /* the traceback's E scan walks kk ascending comparing M then D
+         * per kk with strict > — re-derive its pick on the same values */
+        {
+            double best = NEG;
+            npy_intp kmax = 1;
+            unsigned char dmx = 0;
+            for (npy_intp kk = 1; kk <= M; kk++) {
+                if (cM[kk] > best) { best = cM[kk]; kmax = kk; dmx = 0; }
+                if (cD[kk] > best) { best = cD[kk]; kmax = kk; dmx = 1; }
+            }
+            ek[i] = kmax;
+            ed[i] = dmx;
+            (void)emax_k; (void)emax_d;
         }
         E[i] = emax;
         const double jloop = (J[i - 1] == NEG) ? NEG : J[i - 1] + ppJ[i];
@@ -187,7 +227,6 @@ static PyObject *oa_align(PyObject *, PyObject *args) {
             B[i] = J[i];
         else
             B[i] = N[i];
-        dacc = NEG; /* reset for next row (declared per-row above) */
     }
 
     /* ---------------------------- traceback ---------------------------- */
@@ -223,39 +262,13 @@ static PyObject *oa_align(PyObject *, PyObject *args) {
                 st = S_E;
             break;
         }
-        case S_E: {
-            double best = NEG;
-            int smax = S_M;
-            npy_intp kmax = 1;
-            for (npy_intp kk = 1; kk <= M; kk++) {
-                if (MX(i, kk) > best) {
-                    best = MX(i, kk);
-                    smax = S_M;
-                    kmax = kk;
-                }
-                if (DX(i, kk) > best) {
-                    best = DX(i, kk);
-                    smax = S_D;
-                    kmax = kk;
-                }
-            }
-            st = (decltype(st))smax;
-            k = kmax;
+        case S_E:
+            k = ek[i];
+            st = ed[i] ? S_D : S_M;
             break;
-        }
         case S_M: {
             if (i >= 1 && i <= L) cols[i - 1] = k - 1;
-            const double c0 = DEL(dmm[k - 1]) * MX(i - 1, k - 1);
-            const double c1 = DEL(dim[k - 1]) * IX(i - 1, k - 1);
-            const double c2 = DEL(ddm[k - 1]) * DX(i - 1, k - 1);
-            const double c3 = DEL(dbm[k]) * B[i - 1];
-            /* first max wins, order M, I, D, B */
-            double best = c0;
-            int which = 0;
-            if (c1 > best) { best = c1; which = 1; }
-            if (c2 > best) { best = c2; which = 2; }
-            if (c3 > best) { best = c3; which = 3; }
-            switch (which) {
+            switch (ptr[(size_t)i * rowsz + k] & 3) {
             case 0: st = S_M; k -= 1; break;
             case 1: st = S_I; k -= 1; break;
             case 2: st = S_D; k -= 1; break;
@@ -264,25 +277,19 @@ static PyObject *oa_align(PyObject *, PyObject *args) {
             i -= 1;
             break;
         }
-        case S_I: {
-            const double a = DEL(dmi[k]) * MX(i - 1, k);
-            const double b = DEL(dii[k]) * IX(i - 1, k);
-            st = (a >= b) ? S_M : S_I;
+        case S_I:
+            st = (ptr[(size_t)i * rowsz + k] & 4) ? S_I : S_M;
             i -= 1;
             break;
-        }
-        case S_D: {
-            const double a = DEL(dmd[k - 1]) * MX(i, k - 1);
-            const double b = DEL(ddd[k - 1]) * DX(i, k - 1);
-            if (a >= b) {
-                st = S_M;
+        case S_D:
+            if (ptr[(size_t)i * rowsz + k] & 8) {
+                st = S_D;
                 k -= 1;
             } else {
-                st = S_D;
+                st = S_M;
                 k -= 1;
             }
             break;
-        }
         case S_B:
             st = (multihit && J[i] > N[i]) ? S_J : S_N;
             break;
