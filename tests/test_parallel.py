@@ -54,6 +54,65 @@ def test_mesh_helpers():
     assert mesh2.shape["model"] == 4
 
 
+def test_pipeline_sharded_end_to_end(tmp_path, monkeypatch):
+    """Multi-host query sharding (WITCH_TPU_SHARD emulation): every
+    shard runs score->gate->align on its owned query block only; the
+    last shard gathers all rows and merges. Output files must be
+    byte-identical to the unsharded run (SURVEY §2.4/§5.8)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from witch_tpu.cli import init_parser
+    from witch_tpu.config import build_configs
+    from witch_tpu.io.fasta import read_fasta, write_fasta
+    from witch_tpu.pipeline import main_alignment_process
+
+    rng = np.random.default_rng(11)
+    letters = np.array(list("ACGT"))
+    base = letters[rng.integers(0, 4, 90)]
+    rows = []
+    for i in range(20):
+        s = base.copy()
+        mut = rng.random(90) < 0.12
+        s[mut] = letters[rng.integers(0, 4, mut.sum())]
+        rows.append((f"t{i}", "".join(s)))
+    write_fasta(rows, str(tmp_path / "bb.fasta"))
+    queries = []
+    for i in range(9):
+        src = rows[rng.integers(0, 20)][1]
+        a = rng.integers(0, 25)
+        queries.append((f"q{i}", src[a:a + 45]))
+    write_fasta(queries, str(tmp_path / "q.fasta"))
+
+    def run(outdir, shard_env):
+        if shard_env:
+            monkeypatch.setenv("WITCH_TPU_SHARD", shard_env)
+        else:
+            monkeypatch.delenv("WITCH_TPU_SHARD", raising=False)
+        parser = init_parser()
+        build_configs(parser, [
+            "-b", str(tmp_path / "bb.fasta"),
+            "-q", str(tmp_path / "q.fasta"),
+            "-d", str(outdir), "-o", "aligned.fasta"])
+        return main_alignment_process()
+
+    ref_out = run(tmp_path / "out_single", "")
+    ref = dict(read_fasta(ref_out))
+
+    out_sh = tmp_path / "out_sharded"
+    assert run(out_sh, "0/3") is None        # stages rows, no merge
+    assert run(out_sh, "2/3") is None
+    merged_out = run(out_sh, "1/3")          # last shard merges
+    assert merged_out is not None
+    assert dict(read_fasta(merged_out)) == ref
+    masked = str(merged_out).replace("aligned.fasta",
+                                     "aligned.masked.fasta")
+    ref_masked = str(ref_out).replace("aligned.fasta",
+                                      "aligned.masked.fasta")
+    assert dict(read_fasta(masked)) == dict(read_fasta(ref_masked))
+    monkeypatch.delenv("WITCH_TPU_SHARD", raising=False)
+
+
 def test_pipeline_identical_outputs_with_mesh(tmp_path, monkeypatch):
     """End-to-end: the pipeline run on the 8-device mesh writes the same
     aligned.fasta + weights.txt as the single-device run."""

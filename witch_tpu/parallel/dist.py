@@ -160,3 +160,115 @@ def sharded_score_bank(mesh: Mesh, bank, codes: np.ndarray,
 def replicate_bank_args(bank):
     return (bank.em_odds, bank.t_mm, bank.t_mi, bank.t_md, bank.t_im,
             bank.t_ii, bank.t_dm, bank.t_dd, bank.bm)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end query sharding (multi-host pipeline distribution)
+#
+# The device mesh shards the *device* stages (Forward scoring). The host
+# stages — reporting gate (native domaindef), per-query posterior/OA
+# alignment, merge DP — are per-query independent, so a multi-host
+# deployment shards the query list across hosts: each host gates and
+# aligns only its owned shard, then the aligned rows are gathered to one
+# host for the transitive merge (SURVEY.md §2.4/§5.8; the reference's
+# analogue is the subprocess farm + filesystem bus,
+# witch_msa/gcmm/results_handler.py:91-236).
+# ---------------------------------------------------------------------------
+
+def process_shard():
+    """(shard, n_shards) for this process.
+
+    Resolution order: WITCH_TPU_SHARD="i/n" (explicit; also how the
+    single-process dryrun emulates n hosts), else JAX multi-process
+    (jax.process_index/process_count), else (0, 1)."""
+    import os
+    spec = os.environ.get("WITCH_TPU_SHARD")
+    if spec:
+        i, n = spec.split("/")
+        i, n = int(i), int(n)
+        assert 0 <= i < n, "bad WITCH_TPU_SHARD %r" % spec
+        return i, n
+    try:
+        import jax
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
+def shard_indices(Q: int, shard: int, n_shards: int) -> np.ndarray:
+    """Owned query indices: contiguous balanced blocks (the same
+    pad-to-multiple layout the P('data') device sharding uses, so a
+    host's owned queries are the ones its local devices scored)."""
+    per = -(-Q // n_shards)
+    lo = min(Q, shard * per)
+    return np.arange(lo, min(Q, lo + per))
+
+
+def gather_rows(rows, ignored, shard: int, n_shards: int, outdir: str):
+    """Gather per-shard aligned rows; returns (rows, ignored) on the
+    merging host and None elsewhere.
+
+    Real multi-host JAX (process_count > 1): all-gather over DCN of the
+    utf-8-packed rows; host 0 merges. Single-process emulation (the
+    WITCH_TPU_SHARD path used by dryrun_multichip and tests): shards
+    stage rows under outdir and the last shard to complete merges."""
+    import os
+
+    try:
+        import jax
+        multi_process = jax.process_count() > 1
+    except Exception:
+        multi_process = False
+    payload = _pack_rows(rows, ignored)
+    if multi_process:
+        from jax.experimental import multihost_utils
+        buf = np.frombuffer(payload, np.uint8)
+        n = np.array([buf.size], np.int64)
+        sizes = np.asarray(multihost_utils.process_allgather(n)).ravel()
+        pad = np.zeros(int(sizes.max()), np.uint8)
+        pad[:buf.size] = buf
+        all_bufs = np.asarray(multihost_utils.process_allgather(pad))
+        if jax.process_index() != 0:
+            return None
+        rows_all, ignored_all = [], []
+        for k in range(len(sizes)):
+            r, i = _unpack_rows(all_bufs[k, :int(sizes[k])].tobytes())
+            rows_all.extend(r)
+            ignored_all.extend(i)
+        return rows_all, ignored_all
+
+    import gzip
+    os.makedirs(outdir, exist_ok=True)
+    mine = os.path.join(outdir, "rows_shard_%d_of_%d.bin.gz"
+                        % (shard, n_shards))
+    with gzip.open(mine, "wb") as f:
+        f.write(payload)
+    paths = [os.path.join(outdir, "rows_shard_%d_of_%d.bin.gz"
+                          % (k, n_shards)) for k in range(n_shards)]
+    if not all(os.path.exists(p) for p in paths):
+        return None
+    rows_all, ignored_all = [], []
+    for p in paths:
+        with gzip.open(p, "rb") as f:
+            r, i = _unpack_rows(f.read())
+        rows_all.extend(r)
+        ignored_all.extend(i)
+    return rows_all, ignored_all
+
+
+def _pack_rows(rows, ignored) -> bytes:
+    out = ["%d\t%d" % (len(rows), len(ignored))]
+    for name, row in rows:
+        out.append("%s\t%s" % (name, row))
+    out.extend(ignored)
+    return "\n".join(out).encode("utf-8")
+
+
+def _unpack_rows(payload: bytes):
+    lines = payload.decode("utf-8").split("\n")
+    nr, ni = (int(x) for x in lines[0].split("\t"))
+    rows = []
+    for line in lines[1:1 + nr]:
+        name, _, row = line.rpartition("\t")
+        rows.append((name, row))
+    return rows, lines[1 + nr:1 + nr + ni]

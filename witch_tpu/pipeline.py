@@ -52,13 +52,20 @@ def _encode_queries(path: str, alphabet):
 
 
 def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
-                   q_chunk: int = 256):
+                   q_chunk: int = 256, q_owned=None):
     """Forward-score every query against every ensemble HMM.
 
     Returns (scores [Q, H_total] rounded to 0.1 bit as the reference
     parses them, valid [Q, H], index list). valid=False where the
     pre-score is below the model's calibrated forward tau (the hmmsearch
     reporting behavior WITCH inherits).
+
+    q_owned (multi-host sharding, parallel/dist.py): when given, the
+    host stages (native gate evaluation, candidate walks) run only for
+    these query indices — rows outside the shard are left at their
+    pre-gate values and must not be consumed downstream. Device scoring
+    stays whole-grid: on a real multi-process mesh the P('data')
+    sharding already gives each host only its local shard's work.
     """
     indices = ens.indices
     # Guard against pathologically wide models (an insertion-heavy
@@ -145,6 +152,8 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         except Exception:
             native_prescore = True
     H = len(indices)
+    owned = (np.arange(Q) if q_owned is None
+             else np.asarray(q_owned, np.int64))
     pre = np.zeros((Q, H), np.float64)
     tau = np.zeros(H, np.float64)
     if native_prescore:
@@ -159,7 +168,7 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         t0 = time.time()
         null1b = np.array([_null1_f(int(l)) for l in lens], np.float64)
         codes_list_all = [np.ascontiguousarray(qcodes[q], np.int32)
-                          for q in range(Q)]
+                          for q in owned]
 
         # AVX-512 lane-parallel f32 pre-ranker when built with it
         # (~14x the f64 scalar path, max error < 1e-4 bits); exact f64
@@ -180,9 +189,9 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         nt0 = max(1, min(8, Configs.num_cpus))
         with ThreadPoolExecutor(max_workers=nt0) as ex:
             for j, fwd in ex.map(fwd_model, range(H)):
-                pre[:, j] = (fwd - null1b) / np.log(2.0)
+                pre[owned, j] = (fwd - null1b[owned]) / np.log(2.0)
         Configs.runtime("  scoring: native Forward pre-rank %d pairs "
-                        "(s): %f" % (Q * H, time.time() - t0))
+                        "(s): %f" % (len(owned) * H, time.time() - t0))
     else:
         for b in banks:
             t0 = time.time()
@@ -263,10 +272,10 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                     "pairs (s): %f" % (int(drop.sum()), Q * H,
                                        time.time() - t0p))
             for j in range(H):
-                by_j[j] = [q for q in range(Q)
+                by_j[j] = [q for q in owned
                            if drop is None or not drop[q, j]]
         else:
-            for q in range(Q):
+            for q in owned:
                 top = np.argsort(-adj[q], kind="stable")[:TOPT]
                 depth = (NEAR
                          if np.all(pre[q, top[:NEAR]] >= GATE_SAFE)
@@ -364,7 +373,7 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
             reported = np.round(reported, 1)
             return reported, valid, indices, tau
         adj_rep = reported + np.log2(size_arr)[None, :]
-        for q in range(Q):
+        for q in owned:
             top = np.argsort(-adj_rep[q], kind="stable")[:TOPT]
             accepted = 0
             for j in top:
@@ -383,7 +392,7 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
             TOPT = min(H, max(18, int(Configs.num_hmms) + 8))
             pairs = []
             locs = []
-            for q in range(Q):
+            for q in owned:
                 top = np.argsort(-adj[q], kind="stable")[:TOPT]
                 for j in top:
                     pairs.append((int(indices[j]), qcodes[q]))
@@ -571,6 +580,21 @@ def main_alignment_process(args=None):
                                                      alphabet)
     Configs.log("Loaded %d queries" % len(qnames))
 
+    # multi-host query sharding (parallel/dist.py): this host gates and
+    # aligns only its owned contiguous query block; aligned rows are
+    # gathered for the merge. shard/n_shards come from jax process
+    # index/count (real multi-host) or WITCH_TPU_SHARD (emulation).
+    from .parallel.dist import gather_rows, process_shard, shard_indices
+    shard, n_shards = process_shard()
+    q_owned = None
+    if n_shards > 1:
+        q_owned = shard_indices(len(qnames), shard, n_shards)
+        Configs.log("Query shard %d/%d: owns %d/%d queries "
+                    "[%s..%s)" % (shard, n_shards, len(q_owned),
+                                  len(qnames),
+                                  q_owned[0] if len(q_owned) else "-",
+                                  q_owned[-1] + 1 if len(q_owned) else "-"))
+
     # weights (reuse weights.txt, then persisted hmmsearch results, then
     # score on device — the reference's resume ladder: weights.txt
     # (weighting.py:184-194) and -p search-result reuse
@@ -602,10 +626,12 @@ def main_alignment_process(args=None):
                 Configs.runtime("Time to load hmmsearch results (s): %f"
                                 % (time.time() - s))
         if scores is None:
-            scores, valid, indices, tau = compute_scores(ens, qcodes)
+            scores, valid, indices, tau = compute_scores(
+                ens, qcodes, q_owned=q_owned)
             Configs.runtime("Time for all-vs-all Forward scoring (s): %f"
                             % (time.time() - s))
-            if Configs.keep_decomposition and os.path.isdir(Configs.hmmdir):
+            if Configs.keep_decomposition and os.path.isdir(Configs.hmmdir) \
+                    and n_shards == 1:
                 s2 = time.time()
                 for j, idx in enumerate(indices):
                     res = {qnames[q]: (0.0, float(scores[q, j]))
@@ -614,18 +640,35 @@ def main_alignment_process(args=None):
                 Configs.runtime("Time to persist hmmsearch results (s): %f"
                                 % (time.time() - s2))
         s = time.time()
-        weights = rank_and_weight(scores, valid, indices, ens.sizes(),
-                                  qnames)
+        if n_shards > 1:
+            # weight only the owned shard (rows outside it were not
+            # gate-evaluated on this host)
+            weights = rank_and_weight(scores[q_owned], valid[q_owned],
+                                      indices, ens.sizes(),
+                                      [qnames[q] for q in q_owned])
+        else:
+            weights = rank_and_weight(scores, valid, indices, ens.sizes(),
+                                      qnames)
         Configs.runtime("Time to obtain weights (s): %f" % (time.time() - s))
-        if Configs.save_weight:
+        if Configs.save_weight and n_shards == 1:
             write_weights(weights, weight_path)
 
-    # per-query alignment
-    checkpoint_path = os.path.join(Configs.outdir,
-                                   "checkpoint_alignments.txt.gz")
+    # per-query alignment (shard-local when n_shards > 1: non-owned
+    # queries have no weights on this host and must not be aligned or
+    # counted as ignored here)
+    ckpt_name = ("checkpoint_alignments.txt.gz" if n_shards == 1 else
+                 "checkpoint_alignments.shard%d_of_%d.txt.gz"
+                 % (shard, n_shards))
+    checkpoint_path = os.path.join(Configs.outdir, ckpt_name)
     done = read_checkpoint(checkpoint_path)
+    if q_owned is None:
+        a_names, a_seqs, a_codes = qnames, qseqs, qcodes
+    else:
+        a_names = [qnames[q] for q in q_owned]
+        a_seqs = [qseqs[q] for q in q_owned]
+        a_codes = [qcodes[q] for q in q_owned]
     s = time.time()
-    rows, ignored = align_queries(ens, qnames, qseqs, qcodes, weights,
+    rows, ignored = align_queries(ens, a_names, a_seqs, a_codes, weights,
                                   backbone_length,
                                   checkpoint_path=checkpoint_path,
                                   done=done,
@@ -633,6 +676,23 @@ def main_alignment_process(args=None):
                                                 Configs.max_concurrent_jobs))
     Configs.runtime("Time for per-query alignment (s): %f"
                     % (time.time() - s))
+
+    if n_shards > 1:
+        # gather every shard's aligned rows; exactly one host proceeds
+        # to the merge (rows arrive in shard order = qnames order, so
+        # the merged file is identical to the unsharded run's)
+        s = time.time()
+        gathered = gather_rows(rows, ignored, shard, n_shards,
+                               os.path.join(Configs.outdir, "shards"))
+        Configs.runtime("Time to gather shard rows (s): %f"
+                        % (time.time() - s))
+        if gathered is None:
+            Configs.log("Shard %d/%d: rows staged; merge owned by "
+                        "another host" % (shard, n_shards))
+            Configs.runtime("Total runtime (s): %f"
+                            % (time.time() - t_start))
+            return None
+        rows, ignored = gathered
 
     # merge + outputs
     s = time.time()
@@ -676,7 +736,7 @@ def clear_temp_files():
     if Configs.keeptemp:
         return
     td = os.path.join(Configs.outdir, "tree_decomp")
-    targets = []
+    targets = [os.path.join(Configs.outdir, "shards")]
     if not Configs.keep_decomposition:
         targets.append(td)
     else:
