@@ -344,7 +344,12 @@ class BackboneJob:
         self.molecule = molecule
         self.backbone_size = backbone_size or 1000
         self.selection_strategy = selection_strategy or "median_length"
-        self.method = method or "magus"
+        # Default: PASTA-style two-pass consistency alignment. Measured on
+        # the shipped example backbone it dominates the single-pass merge
+        # (n=500: SP 0.760/0.761 in 1092 s vs 0.725/0.732 in 1693 s;
+        # n=150: 0.733/0.728 vs 0.694/0.698) — better and not slower at
+        # production scale, so scenario-A users get it by default.
+        self.method = method or "pasta"
         self.seed = seed
         self.log = log or (lambda *_: None)
 

@@ -90,9 +90,10 @@ def init_parser() -> ArgumentParser:
     bb.add_argument("--backbone-method", type=str, default=None,
                     choices=["magus", "pasta", "mafft"],
                     help="Backbone alignment method; all choices map to "
-                         "the built-in MAGUS-lite divide-and-conquer "
-                         "aligner (magus) or its single-profile "
-                         "iterative fallback (pasta/mafft). Default: magus")
+                         "the built-in probabilistic-consistency aligner: "
+                         "pasta = two-pass PASTA-style iteration (default; "
+                         "best measured quality), magus/mafft = single "
+                         "pass (faster on small backbones)")
 
     witch = parser.add_argument_group("WITCH OPTIONS")
     witch.add_argument("-m", "--mode", type=str, default="witch-ng",
