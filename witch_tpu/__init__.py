@@ -6,7 +6,9 @@ JAX/XLA array programs instead of the reference's subprocess farm."""
 __version__ = "0.1.0"
 
 
-def witch_runner(argv=None):
+def configure_jax():
+    """Platform probe + compilation-cache setup shared by the CLI
+    entry (witch_runner) and the resident server (server.serve)."""
     import os
     import sys
     import time
@@ -56,8 +58,17 @@ def witch_runner(argv=None):
             os.environ.get("WITCH_TPU_JAX_CACHE",
                            os.path.join(os.path.dirname(__file__), "..",
                                         ".jax_cache")))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.1)
     except Exception:
         pass
+
+
+def witch_runner(argv=None):
+    import sys
+    import time
+
+    configure_jax()
 
     from .cli import init_parser
     from .config import Configs, build_configs

@@ -41,6 +41,8 @@ def _run_job(argv):
 
 def serve(jobs_dir: str, poll_s: float = 0.5,
           max_idle_s: float = 0.0) -> None:
+    from . import configure_jax
+    configure_jax()
     os.makedirs(jobs_dir, exist_ok=True)
     print("witch-tpu server: watching %s" % jobs_dir, flush=True)
     last_work = time.time()

@@ -350,7 +350,7 @@ def nni_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 30,
 
 
 def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 16,
-              tune: bool = True, log=None) -> str:
+              tune: bool = True, model: str = "hky", log=None) -> str:
     """Maximum-likelihood NNI refinement under HKY+Gamma(4).
 
     Approximates what the reference gets from FastTree2's ML stage
@@ -397,9 +397,16 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 16,
     # model state (rebuilt by set_model)
     mdl = {}
 
-    def set_model(kappa, alpha):
+    # exchangeability pair order for full GTR (canonical "ACGT"):
+    # AC, AG, AT, CG, CT, GT — GT is the reference rate (fixed 1.0)
+    GTR_PAIRS = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+    def set_model(kappa, alpha, ex=None):
         S = np.ones((K, K))
-        if K == 4 and kappa is not None:
+        if K == 4 and ex is not None:
+            for r, (a, b) in zip(ex, GTR_PAIRS):
+                S[a, b] = S[b, a] = r
+        elif K == 4 and kappa is not None:
             S[0, 2] = S[2, 0] = kappa      # A<->G (canonical "ACGT")
             S[1, 3] = S[3, 1] = kappa      # C<->T
         Q = S * pi[None, :]
@@ -728,7 +735,7 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 16,
             if best is None or ll > best[0]:
                 best = (ll, ka, al)
         ll_b, ka, al = best
-        if not tune:
+        if not tune and model != "gtr":
             state["kappa"], state["alpha"] = ka, al
             set_model(ka, al)
             if log:
@@ -770,6 +777,32 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 16,
             ka = float(np.exp(ka))
         state["kappa"], state["alpha"] = ka, al
         set_model(ka, al)
+        if model == "gtr" and K == 4:
+            # full 6-parameter GTR: start from the fitted HKY (AG=CT=
+            # kappa) and coordinate-descent the 5 free exchangeabilities
+            # (GT fixed at 1) by golden section in log space — the same
+            # continuous fit FastTree's -gtr performs
+            # (witch_msa/gcmm/backbone.py:305).
+            ex = np.ones(6)
+            ex[1] = ex[4] = ka if ka is not None else 1.0
+            for _round in range(2):
+                for p in range(5):
+                    def setter(v, p=p):
+                        ex[p] = np.exp(v)
+                        set_model(None, al, ex=ex)
+                    x, ll_b = golden(setter, np.log(0.05), np.log(32.0),
+                                     np.log(ex[p]), ll_b)
+                    ex[p] = float(np.exp(x))
+                al, ll_b = golden(
+                    lambda a: set_model(None, np.exp(a), ex=ex),
+                    np.log(0.05), np.log(8.0), np.log(al), ll_b)
+                al = float(np.exp(al))
+            state["ex"], state["alpha"] = ex.copy(), al
+            set_model(None, al, ex=ex)
+            if log:
+                log("ml model: GTR ex=%s alpha=%.3f logL %.2f"
+                    % (np.round(ex, 3).tolist(), al, ll_b))
+            return ll_b
         if log:
             log("ml model: kappa=%s alpha=%s logL %.2f" % (ka, al, ll_b))
         return ll_b
@@ -824,7 +857,7 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 16,
                    "" if progressed or not swaps else " (reverted)"))
         if not progressed:
             break
-        if sweep == 3 and tune:
+        if sweep == 3 and (tune or model == "gtr"):
             ll_cur = max(ll_cur, tune_model())
     if log:
         log("ml refinement: final logL %.2f" % ll_cur)
@@ -832,7 +865,8 @@ def ml_refine(newick: str, aln: PackedAlignment, max_sweeps: int = 16,
 
 
 def estimate_tree(aln: PackedAlignment, out_path: Optional[str] = None,
-                  nni: bool = True, ml: bool = False, log=None) -> str:
+                  nni: bool = True, ml: bool = False, model: str = "hky",
+                  log=None) -> str:
     d = pairwise_distances(aln)
     nwk = neighbor_joining(d, aln.names)
     if nni:
@@ -846,8 +880,11 @@ def estimate_tree(aln: PackedAlignment, out_path: Optional[str] = None,
             # measured config (docs/CALIBRATION.md): grid-selected
             # model + 8 sweeps scores best on the e2e oracle-rows
             # proxy; continuous kappa/alpha tuning raises logL but
-            # walks away from FastTree-like optima (710 vs 671/1000)
-            nwk = ml_refine(nwk, aln, max_sweeps=8, tune=False, log=log)
+            # walks away from FastTree-like optima (710 vs 671/1000).
+            # model="gtr" adds the full 6-parameter exchangeability
+            # fit (truth-validated in scripts/eval_tree_truth.py).
+            nwk = ml_refine(nwk, aln, max_sweeps=8, tune=False,
+                            model=model, log=log)
         except Exception as e:
             if log:
                 log("ml refinement skipped (%s)" % e)
