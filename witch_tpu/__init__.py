@@ -26,6 +26,14 @@ def configure_jax():
         # never contaminates this process, and fall back to CPU.
         import subprocess
         ok = False
+        # Session establishment against the remote accelerator is wildly
+        # variable (measured this machine: 11.6 s to >350 s for the same
+        # trivial compute). The CLI keeps a modest budget and falls back
+        # to the AVX-512 CPU engine; long-lived processes (server.serve)
+        # pass a patient budget via WITCH_TPU_PROBE_TIMEOUT since they
+        # amortize it over many jobs.
+        probe_timeout = float(os.environ.get("WITCH_TPU_PROBE_TIMEOUT",
+                                             120))
         for attempt in range(3):
             try:
                 r = subprocess.run(
@@ -35,7 +43,7 @@ def configure_jax():
                      "x = jax.numpy.zeros(8) + 1\n"
                      "assert float(numpy.asarray(x).sum()) == 8.0\n"
                      "print(d[0].platform)"],
-                    capture_output=True, text=True, timeout=120)
+                    capture_output=True, text=True, timeout=probe_timeout)
                 ok = r.returncode == 0
             except Exception:
                 ok = False

@@ -293,8 +293,11 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         if not os.environ.get("WITCH_TPU_NO_SIMD"):
             _flank_fn = getattr(_domaindef, "flank_targets_simd", None)
 
+        _gate_profile = bool(os.environ.get("WITCH_TPU_GATE_PROFILE"))
+
         def eval_model(item):
             j, qlist = item
+            t_b = time.time() if _gate_profile else 0.0
             prof = _configure(ens.cores[int(indices[j])], multihit=True)
             args = [np.ascontiguousarray(prof.msc, np.float64)] + \
                 [np.ascontiguousarray(getattr(prof, a), np.float64)
@@ -324,6 +327,10 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                     _domaindef.evaluate_targets_rows(
                         *args, codes_list, 42, 200, 1, 0,
                         moccr, ppbr, pper, 1)
+                if _gate_profile:
+                    print("gate-batch j=%d M=%d n=%d %.3fs"
+                          % (j, prof.msc.shape[0], len(qlist),
+                             time.time() - t_b), flush=True)
                 return j, qlist, (nreg, nenv, sbias, fwd64, senv,
                                   sbsum, ldv)
             return j, qlist, _domaindef.evaluate_targets(

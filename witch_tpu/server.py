@@ -39,14 +39,33 @@ def _run_job(argv):
     return main_alignment_process()
 
 
+def _touch_device():
+    """Tiny device op so the accelerator-side session/program cache is
+    not evicted while the server idles (the remote host unloads idle
+    sessions; re-establishing one was measured at 12 s - 350+ s)."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        jnp.zeros(8).block_until_ready()
+    except Exception:
+        pass
+
+
 def serve(jobs_dir: str, poll_s: float = 0.5,
           max_idle_s: float = 0.0) -> None:
+    # A resident server amortizes device-session establishment over many
+    # jobs, so it probes with a patient budget (the CLI default is 120 s).
+    os.environ.setdefault("WITCH_TPU_PROBE_TIMEOUT", "600")
     from . import configure_jax
     configure_jax()
     os.makedirs(jobs_dir, exist_ok=True)
     print("witch-tpu server: watching %s" % jobs_dir, flush=True)
     last_work = time.time()
+    last_touch = time.time()
     while True:
+        if time.time() - last_touch > 45.0:
+            _touch_device()
+            last_touch = time.time()
         picked = None
         for fn in sorted(os.listdir(jobs_dir)):
             if not fn.endswith(".job"):
