@@ -14,7 +14,14 @@ def configure_jax():
     import time
 
     # The axon plugin overrides JAX_PLATFORMS; honor an explicit choice.
+    # An explicit JAX_PLATFORMS=cpu in the environment counts as one:
+    # the accelerator probe would otherwise contact the remote device
+    # (the plugin ignores the env var) with a multi-minute worst case —
+    # exactly what a CPU-pinned test/CI environment is trying to avoid.
     platform = os.environ.get("WITCH_TPU_PLATFORM")
+    if not platform and \
+            os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        platform = "cpu"
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
