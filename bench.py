@@ -30,36 +30,6 @@ def log(msg):
 T0 = time.time()
 
 
-def build_groups(codes, lens, QT, pad_code, max_shapes=2):
-    """Length-grouped query blocks: sort by length, pad each QT-group to
-    one of <= max_shapes quantized lengths (multiples of 64) so compile
-    shapes stay bounded while most single-Lmax padding waste disappears."""
-    Q = len(lens)
-    order = np.argsort(lens, kind="stable")
-    raw = []
-    for s in range(0, Q, QT):
-        idx = order[s:s + QT]
-        raw.append((idx, max(64, -(-int(lens[idx].max()) // 64) * 64)))
-    lpads = sorted({lp for _, lp in raw})
-    if len(lpads) > max_shapes:
-        # keep the global max; merge the rest upward into <= max_shapes bins
-        keep = {lpads[-1]}
-        step = len(lpads) / max_shapes
-        for k in range(1, max_shapes):
-            keep.add(lpads[min(len(lpads) - 1, int(k * step) - 1)])
-        keep = sorted(keep)
-        raw = [(idx, min(e for e in keep if e >= lp)) for idx, lp in raw]
-    groups = []
-    for idx, Lpad in raw:
-        cp = np.full((QT, Lpad), pad_code, np.int32)
-        for t, qi in enumerate(idx):
-            cp[t, :lens[qi]] = codes[qi, :lens[qi]]
-        lp = np.ones(QT, np.int32)
-        lp[:len(idx)] = lens[idx]
-        groups.append((cp, lp, Lpad))
-    return groups
-
-
 def main():
     sys.path.insert(0, HERE)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -120,32 +90,38 @@ def main():
     QT = 128
 
     def run_tpu_tier():
+        # the pipeline's exact single-program call (canonical_pad +
+        # unified bank): benching it here leaves the ONE production
+        # scoring program warm on the accelerator server for the
+        # pipeline/daemon, and vice versa
         from witch_tpu.ops.pallas_forward import (bank_to_pallas_arrays,
+                                                  canonical_pad,
                                                   effective_n_dbl,
                                                   pallas_forward_nats)
-        groups = build_groups(codes, lens, QT, pad_code=4, max_shapes=2)
+        Qpad, Lpad = canonical_pad(Q, int(lens.max()), QT)
+        cp = np.full((Qpad, Lpad), 4, np.int32)
+        for qi in range(Q):
+            cp[qi, :lens[qi]] = codes[qi, :lens[qi]]
+        lp = np.ones(Qpad, np.int32)
+        lp[:Q] = lens
         devbanks = []
         padded = 0
         for b in banks:
             emT, trans = bank_to_pallas_arrays(b)
             devbanks.append((jnp.asarray(emT), jnp.asarray(trans),
                              effective_n_dbl(trans)))
-            padded += sum(QT * g[2] for g in groups) \
-                * emT.shape[2] * b.H
-        gdev = [(jnp.asarray(cp), jnp.asarray(lp)) for cp, lp, _ in groups]
+            padded += Qpad * Lpad * emT.shape[2] * b.H
+        cpj, lpj = jnp.asarray(cp), jnp.asarray(lp)
 
         def run():
-            # separate dispatches per (bank, group): small, individually
-            # cacheable compiles instead of one monolithic program
             tot = jnp.zeros((), jnp.float32)
             for emTj, transj, ndbl in devbanks:
-                for cpj, lpj in gdev:
-                    tot = tot + pallas_forward_nats(
-                        emTj, transj, cpj, lpj, QT=QT, n_dbl=ndbl).sum()
+                tot = tot + pallas_forward_nats(
+                    emTj, transj, cpj, lpj, QT=QT, n_dbl=ndbl).sum()
             return tot
 
-        log("compiling/warming (%d banks x %d shapes)..."
-            % (len(devbanks), len({g[2] for g in groups})))
+        log("compiling/warming (%d program(s), Qpad=%d Lpad=%d)..."
+            % (len(devbanks), Qpad, Lpad))
         _ = float(np.asarray(run()))
         log("warm; timing")
         reps = 3

@@ -59,3 +59,27 @@ def test_grouped_by_length_matches_blocked(example_data):
     grouped = pallas_forward_bits(bank, cm, lens, QT=8, interpret=True,
                                   group_by_length=True)
     np.testing.assert_allclose(grouped, blocked, atol=2e-3)
+
+
+def test_single_shape_matches_blocked(example_data):
+    """canonical_pad single-program dispatch == blocked (the TPU
+    production path: one program shape, one remote program load)."""
+    bb = PackedAlignment.from_fasta(
+        str(example_data / "backbone.aln.fasta.gz"), molecule="dna")
+    sub = bb.sub_alignment(bb.names[0:10])
+    sub2, _ = sub.delete_all_gap_columns()
+    bank = build_banks([quantize_like_text(
+        build_hmm(sub2.codes, sub2.alphabet, "dna"))], uniform=True)[0]
+    queries = list(read_fasta(str(example_data / "unaligned_frag.fasta")))
+    codes_list = [DNA.encode(s.upper()) for _, s in queries[:20]]
+    Lmax = max(len(c) for c in codes_list)
+    cm = np.zeros((20, Lmax), np.int32)
+    lens = np.zeros(20, np.int32)
+    for i, c in enumerate(codes_list):
+        cm[i, :len(c)] = c
+        lens[i] = len(c)
+    blocked = pallas_forward_bits(bank, cm, lens, QT=8, interpret=True,
+                                  group_by_length=False)
+    single = pallas_forward_bits(bank, cm, lens, QT=8, interpret=True,
+                                 single_shape=True)
+    np.testing.assert_allclose(single, blocked, atol=2e-3)

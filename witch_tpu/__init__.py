@@ -25,6 +25,7 @@ def configure_jax():
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
+        os.environ["WITCH_TPU_PROBED_PLATFORM"] = platform
     else:
         # Device health probe: a remote-TPU tunnel can die mid-session
         # (observed: "remote_compile: Connection refused" after the
@@ -52,6 +53,12 @@ def configure_jax():
                      "print(d[0].platform)"],
                     capture_output=True, text=True, timeout=probe_timeout)
                 ok = r.returncode == 0
+                if ok:
+                    # remember what the probe saw (e.g. "TPU"/"axon" vs
+                    # "cpu") so callers can branch without re-probing or
+                    # initializing a backend in this process
+                    os.environ["WITCH_TPU_PROBED_PLATFORM"] = \
+                        (r.stdout.strip().splitlines() or ["unknown"])[-1]
             except Exception:
                 ok = False
             if ok:
@@ -63,6 +70,7 @@ def configure_jax():
         if not ok:
             import jax
             jax.config.update("jax_platforms", "cpu")
+            os.environ["WITCH_TPU_PROBED_PLATFORM"] = "cpu"
             sys.stderr.write(
                 "WARNING: accelerator probe failed; falling back to "
                 "CPU (set WITCH_TPU_PLATFORM to override)\n")
@@ -80,17 +88,45 @@ def configure_jax():
 
 
 def witch_runner(argv=None):
+    import os
     import sys
     import time
 
     configure_jax()
+
+    cmdline_args = sys.argv[1:] if argv is None else argv
+
+    # Resident-daemon product path (remote-accelerator hosts): a fresh
+    # process pays remote program compilation/load on every run
+    # (measured 12-600 s per program); a resident server pays it once
+    # and keeps the programs warm. When the accelerator probe succeeded,
+    # transparently submit this invocation to the daemon (starting one
+    # on first use) instead of running in-process. Opt out with
+    # WITCH_TPU_NO_DAEMON=1; CPU runs never use the daemon (nothing to
+    # keep warm).
+    probed = os.environ.get("WITCH_TPU_PROBED_PLATFORM", "cpu")
+    if probed.lower() not in ("", "cpu") \
+            and not os.environ.get("WITCH_TPU_NO_DAEMON") \
+            and not os.environ.get("WITCH_TPU_IN_SERVER"):
+        from . import server
+        s1 = time.time()
+        res = server.run_via_daemon(cmdline_args)
+        if res is not None:
+            dt = time.time() - s1
+            if res.get("ok"):
+                print("\nAll done! WITCH-TPU finished in %.1f seconds "
+                      "(resident daemon; job ran %.1fs)..."
+                      % (dt, res.get("seconds", 0.0)))
+                return res.get("output")
+            sys.stderr.write("ERROR (daemon job): %s\n"
+                             % res.get("error"))
+            raise SystemExit(1)
 
     from .cli import init_parser
     from .config import Configs, build_configs
     from .pipeline import main_alignment_process
 
     parser = init_parser()
-    cmdline_args = sys.argv[1:] if argv is None else argv
     build_configs(parser, cmdline_args)
     Configs.log("WITCH-TPU is running with: {}".format(
         " ".join(cmdline_args)))

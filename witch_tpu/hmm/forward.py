@@ -115,7 +115,7 @@ def seq_bits_with_bias_floor(pre_bits: jnp.ndarray) -> jnp.ndarray:
 
 def score_bank(bank: ProfileBank, codes: np.ndarray, qlens: np.ndarray,
                q_chunk: int = 128, backend: str = "auto",
-               mesh=None) -> np.ndarray:
+               mesh=None, single_shape: bool = False) -> np.ndarray:
     """Score [Q] queries against one bank; returns pre-score bits [Q, H].
 
     backend="auto" uses the hand-written Pallas kernel on TPU (fastest,
@@ -136,7 +136,8 @@ def score_bank(bank: ProfileBank, codes: np.ndarray, qlens: np.ndarray,
     if backend == "pallas":
         from ..ops.pallas_forward import pallas_forward_bits
         return pallas_forward_bits(bank, codes.astype(np.int32),
-                                   qlens.astype(np.int32))
+                                   qlens.astype(np.int32),
+                                   single_shape=single_shape)
     args = (bank.em_odds, bank.t_mm, bank.t_mi, bank.t_md, bank.t_im,
             bank.t_ii, bank.t_dm, bank.t_dd, bank.bm)
     dev_args = [jnp.asarray(a) for a in args]

@@ -1,0 +1,231 @@
+"""Device-batched reporting gate: null2/envelope rescoring on the TPU.
+
+Orchestrates the TPU half of the hmmsearch domain-definition stage
+(reference hot loop: witch_msa/gcmm/algorithm.py:524-537). The host
+engine's per-pair cost decomposes as (measured, example workload,
+4 AVX-512 cores):
+
+    flank rows (F+B specials)          1.3 s   stays host (AVX-512)
+    exact f64 Forward                  1.2 s   stays host (print-exact)
+    null2-by-expectation (envelopes)   6.5 s   -> THIS MODULE (device)
+    regions + trace ensembles          0.7 s   stays host
+
+Per model: classify regions from flank rows (native
+classify_targets_rows), batch every single-envelope region of every
+non-multidomain pair through ops/pallas_null2.py (one program), run the
+few multidomain pairs through the unchanged host engine, then assemble
+the per-pair gate tuple in evaluate_targets_rows' output format so the
+pipeline's consuming loop is agnostic to where null2 ran.
+
+Print-exactness guard: the device computes in f32 (error ~1e-4 bits vs
+the f64 host engine). Any pair whose reported score lands within
+GUARD_BITS of a 0.1-bit print-rounding boundary — or whose sum-score
+substitution / envelope-qualification comparisons are within the guard
+of flipping — is re-evaluated on the host engine, so printed scores and
+weights are bit-identical to the all-host path.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+GUARD_BITS = 5e-3          # distance to a 0.05 rounding boundary
+GUARD_NATS = 5e-3          # envelope-qualification / sum-score guard
+OMEGA_LOG = float(np.log(1.0 / 256.0))
+
+
+def _flogsum0(lw: float) -> float:
+    """FLogsum(0, lw) in f64 (the C++ engine's seqbias combiner)."""
+    if lw > 0.0:
+        return lw + np.log1p(np.exp(-lw))
+    return float(np.log1p(np.exp(lw)))
+
+
+def evaluate_gate_device(bank, bankrow_of_col, allargs, qcodes,
+                         by_j: Dict[int, List[int]],
+                         flank_rows, nsamples: int = 200, seed: int = 42,
+                         interpret: bool = False, nthreads: int = 4,
+                         log=None):
+    """Returns {j: (nreg, nenv, sbias, fwd_zeros, senv, sbsum, ld)} in
+    evaluate_targets_rows' tuple layout (fwd column zeroed — the caller
+    supplies exact f64 Forward separately), plus a stats dict.
+
+    bank: the unified ProfileBank (device tables).
+    bankrow_of_col: bank row per score-matrix column j.
+    allargs: per-column native model args (msc + 8 transition rows).
+    qcodes: per-query int32 code arrays.
+    by_j: {column j: [query indices]} candidate batches.
+    flank_rows: {j: (mocc, ppB, ppE) f32 [n_j, Lp1]} from the AVX flank
+    scan (or the device flank path) in evaluate_targets_rows' row
+    conventions.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..native import _domaindef
+    from ..ops.pallas_null2 import null2_envelopes_device
+
+    items = sorted(by_j.items())
+    t0 = time.time()
+
+    # ---- stage 1: regions + multidomain split per model (native) -----
+    cls = {}
+    entries = []                 # (bank_row, sub_codes, L_full)
+    entry_loc = []               # (j, local_pair_idx, ei, ej)
+    for j, qlist in items:
+        mocc, ppb, ppe = flank_rows[j]
+        lens = np.array([len(qcodes[q]) for q in qlist], np.int32)
+        nreg, hmulti, pidx, ei, ej = _domaindef.classify_targets_rows(
+            lens, mocc, ppb, ppe)
+        cls[j] = (np.asarray(nreg), np.asarray(hmulti))
+        row = bankrow_of_col[j]
+        for r in range(len(pidx)):
+            p = int(pidx[r])
+            q = qlist[p]
+            sub = np.ascontiguousarray(
+                qcodes[q][int(ei[r]) - 1:int(ej[r])], np.int32)
+            entries.append((row, sub, len(qcodes[q])))
+            entry_loc.append((j, p, int(ei[r]), int(ej[r])))
+    t1 = time.time()
+
+    # ---- stage 2: device null2 for single-envelope regions -----------
+    envsc, n2dot, useI, usetot = null2_envelopes_device(
+        bank, entries, interpret=interpret)
+    t2 = time.time()
+
+    # ---- stage 3: host engine for multidomain pairs ------------------
+    multi_out = {}
+
+    def eval_multi(args):
+        j, qlist = args
+        nreg, hmulti = cls[j]
+        sel = np.flatnonzero(hmulti)
+        if len(sel) == 0:
+            return j, None, sel
+        mocc, ppb, ppe = flank_rows[j]
+        codes_list = [np.ascontiguousarray(qcodes[qlist[p]], np.int32)
+                      for p in sel]
+        out = _domaindef.evaluate_targets_rows(
+            *allargs[j], codes_list, seed, nsamples, 1, 0,
+            np.ascontiguousarray(mocc[sel]),
+            np.ascontiguousarray(ppb[sel]),
+            np.ascontiguousarray(ppe[sel]), 1)
+        return j, out, sel
+
+    with ThreadPoolExecutor(max_workers=nthreads) as ex:
+        for j, out, sel in ex.map(eval_multi, items):
+            multi_out[j] = (out, sel)
+    t3 = time.time()
+
+    # ---- stage 4: assemble per-pair tuples ---------------------------
+    # per (j, p): seqbias, senv, sbsum, ld from device regions
+    per_pair: Dict[Tuple[int, int], List[int]] = {}
+    for r, (j, p, ei, ej) in enumerate(entry_loc):
+        per_pair.setdefault((j, p), []).append(r)
+
+    results = {}
+    guard: Dict[int, List[int]] = {}
+    n_guard = 0
+    for j, qlist in items:
+        n = len(qlist)
+        nreg, hmulti = cls[j]
+        nenv = np.where(hmulti == 0, nreg, 0).astype(np.int32)
+        sbias = np.zeros(n)
+        senv = np.zeros(n)
+        sbsum = np.zeros(n)
+        ld = np.zeros(n, np.int32)
+        for p in range(n):
+            if hmulti[p] or nreg[p] == 0:
+                # host engine: no regions -> early return, seqbias
+                # stays 0 (evaluate_target_rows)
+                continue
+            rows = per_pair.get((j, p), [])
+            s_total = 0.0
+            near = False
+            for r in rows:
+                _, sub, _ = entries[r]
+                Ldr = len(sub)
+                xocc = max(Ldr - usetot[r], 0.0)
+                n2x = (n2dot[r] + useI[r] + xocc) / Ldr
+                counts = np.bincount(sub, minlength=128)
+                obs = np.flatnonzero(counts)
+                n2sum = float(
+                    (counts[obs]
+                     * np.log(np.maximum(n2x[obs], 1e-30))).sum())
+                s_total += n2sum
+                margin = envsc[r] - n2sum
+                if abs(margin) < GUARD_NATS:
+                    near = True
+                if margin > 0.0:
+                    senv[p] += envsc[r]
+                    sbsum[p] += n2sum
+                    ld[p] += Ldr
+            sbias[p] = _flogsum0(OMEGA_LOG + s_total)
+            if near:
+                guard.setdefault(j, []).append(p)
+        out, sel = multi_out[j]
+        if out is not None:
+            mreg, menv, msbias, _mf, msenv, msbsum, mld = out
+            for t, p in enumerate(sel):
+                nreg[p] = mreg[t]
+                nenv[p] = menv[t]
+                sbias[p] = msbias[t]
+                senv[p] = msenv[t]
+                sbsum[p] = msbsum[t]
+                ld[p] = mld[t]
+        results[j] = [np.asarray(nreg), np.asarray(nenv), sbias,
+                      np.zeros(n), senv, sbsum, ld]
+
+    # ---- stage 5: print-boundary guard -------------------------------
+    # The caller computes reported bits as
+    #   seq = (fwd64 - null1 - sbias)/ln2, possibly replaced by the
+    #   sum-score; f32 error can flip the 0.1-bit print rounding only
+    #   within GUARD_BITS of a boundary. Those pairs (plus near-zero
+    #   envelope qualifications collected above) re-run on the host
+    #   engine. The fwd64 column is supplied by the caller, so here the
+    #   guard uses sbias/senv alone: boundary proximity is evaluated by
+    #   the caller via `needs_exact`.
+    stats = dict(entries=len(entries), multi=sum(
+        int(h.sum()) for _, h in cls.values()),
+        t_classify=t1 - t0, t_device=t2 - t1, t_multi=t3 - t2,
+        multi_flags={j: cls[j][1] for j, _ in items})
+
+    def reeval(j, plist):
+        """Host re-evaluation of selected pairs of model j (exact f64
+        null2); patches `results` in place."""
+        qlist = by_j[j]
+        mocc, ppb, ppe = flank_rows[j]
+        sel = np.asarray(sorted(set(plist)), np.int64)
+        codes_list = [np.ascontiguousarray(qcodes[qlist[p]], np.int32)
+                      for p in sel]
+        out = _domaindef.evaluate_targets_rows(
+            *allargs[j], codes_list, seed, nsamples, 1, 0,
+            np.ascontiguousarray(mocc[sel]),
+            np.ascontiguousarray(ppb[sel]),
+            np.ascontiguousarray(ppe[sel]), 1)
+        mreg, menv, msbias, _mf, msenv, msbsum, mld = out
+        res = results[j]
+        for t, p in enumerate(sel):
+            res[0][p] = mreg[t]
+            res[1][p] = menv[t]
+            res[2][p] = msbias[t]
+            res[4][p] = msenv[t]
+            res[5][p] = msbsum[t]
+            res[6][p] = mld[t]
+
+    # envelope-qualification guard fires immediately
+    for j, plist in guard.items():
+        n_guard += len(plist)
+        reeval(j, plist)
+    stats["guard_margin"] = n_guard
+    stats["reeval"] = reeval
+    return results, stats
+
+
+def near_print_boundary(bits: float, eps: float = GUARD_BITS) -> bool:
+    """True when `bits` is within eps of a 0.1-bit rounding boundary
+    (np.round-to-even on the first decimal)."""
+    d = bits * 10.0
+    return abs(d - np.floor(d) - 0.5) < eps * 10.0

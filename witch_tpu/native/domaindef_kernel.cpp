@@ -2709,7 +2709,137 @@ static PyObject *posterior_pair(PyObject *, PyObject *args) {
     return ret;
 }
 
+/* classify_targets_rows(lens i32[N], mocc2d f32[N,Lp1], ppB2d, ppE2d)
+ *
+ * Region classification WITHOUT null2/ensembles, for the device-null2
+ * gate path: finds each target's p7_domaindef regions from its flank
+ * posterior rows and applies the RT3 multidomain split test. Returns
+ *   (nreg i32[N], has_multi i8[N], pair_idx i32[R], ei i32[R],
+ *    ej i32[R])
+ * where (pair_idx, ei, ej) lists the SINGLE-envelope regions of
+ * targets with has_multi == 0 — exactly the envelopes whose
+ * null2-by-expectation (the gate stage's dominant host cost) can be
+ * batched on the accelerator (ops/pallas_null2.py). Targets with any
+ * multidomain region keep the full host path (trace ensembles).
+ * Row conventions match evaluate_targets_rows. */
+static PyObject *classify_targets_rows(PyObject *, PyObject *args) {
+    PyObject *olens, *omocc, *oppb, *oppe;
+    if (!PyArg_ParseTuple(args, "OOOO", &olens, &omocc, &oppb, &oppe))
+        return NULL;
+    PyArrayObject *alens = (PyArrayObject *)olens;
+    PyArrayObject *ar[3] = {(PyArrayObject *)omocc,
+                            (PyArrayObject *)oppb,
+                            (PyArrayObject *)oppe};
+    if (!PyArray_Check(olens) || PyArray_TYPE(alens) != NPY_INT32 ||
+        PyArray_NDIM(alens) != 1 || !PyArray_IS_C_CONTIGUOUS(alens)) {
+        PyErr_SetString(PyExc_TypeError, "lens must be i32 1D");
+        return NULL;
+    }
+    npy_intp N = PyArray_DIM(alens, 0), Lp1 = 0;
+    for (int r = 0; r < 3; r++) {
+        if (!PyArray_Check((PyObject *)ar[r]) ||
+            PyArray_TYPE(ar[r]) != NPY_FLOAT32 ||
+            PyArray_NDIM(ar[r]) != 2 ||
+            !PyArray_IS_C_CONTIGUOUS(ar[r]) ||
+            PyArray_DIM(ar[r], 0) != N) {
+            PyErr_SetString(PyExc_TypeError,
+                            "rows must be f32 2D [N, Lmax+1]");
+            return NULL;
+        }
+        if (r == 0) Lp1 = PyArray_DIM(ar[r], 1);
+        else if (PyArray_DIM(ar[r], 1) != Lp1) {
+            PyErr_SetString(PyExc_ValueError, "row widths differ");
+            return NULL;
+        }
+    }
+    const int32_t *lens = (const int32_t *)PyArray_DATA(alens);
+    const float *pm = (const float *)PyArray_DATA(ar[0]);
+    const float *pb = (const float *)PyArray_DATA(ar[1]);
+    const float *pe = (const float *)PyArray_DATA(ar[2]);
+    std::vector<int> nreg(N, 0);
+    std::vector<int8_t> hasmulti(N, 0);
+    std::vector<int32_t> out_pair, out_i, out_j;
+    {
+        Py_BEGIN_ALLOW_THREADS
+        for (npy_intp n = 0; n < N; n++) {
+            int L = lens[n];
+            if (L + 1 > Lp1) continue;     /* caller guarantees widths */
+            const float *rm = pm + (size_t)n * Lp1;
+            const float *rb = pb + (size_t)n * Lp1;
+            const float *re = pe + (size_t)n * Lp1;
+            std::vector<double> mocc(L + 1, 0.0), dB(L + 1, 0.0),
+                dE(L + 1, 0.0);
+            for (int i = 1; i <= L; i++) {
+                mocc[i] = (double)rm[i];
+                dB[i] = (double)rb[i - 1];
+                dE[i] = (double)re[i];
+            }
+            std::vector<Region> regions = find_regions_c(mocc, dB, dE, L);
+            nreg[n] = (int)regions.size();
+            if (regions.empty()) continue;
+            std::vector<double> btot(L + 1, 0.0), etot(L + 1, 0.0);
+            for (int i = 1; i <= L; i++) {
+                btot[i] = btot[i - 1] + dB[i];
+                etot[i] = etot[i - 1] + dE[i];
+            }
+            size_t mark = out_pair.size();
+            for (const Region &rg : regions) {
+                float best = 0.0f;
+                for (int z = rg.i; z <= rg.j; z++) {
+                    float epre = (float)(etot[z] - etot[rg.i - 1]);
+                    float bpost = (float)(btot[rg.j] - btot[z - 1]);
+                    float v = epre < bpost ? epre : bpost;
+                    if (v > best) best = v;
+                }
+                if (best < 0.20f) {
+                    out_pair.push_back((int32_t)n);
+                    out_i.push_back(rg.i);
+                    out_j.push_back(rg.j);
+                } else {
+                    hasmulti[n] = 1;
+                }
+            }
+            if (hasmulti[n]) {
+                /* whole target goes to the host engine */
+                out_pair.resize(mark);
+                out_i.resize(mark);
+                out_j.resize(mark);
+            }
+        }
+        Py_END_ALLOW_THREADS
+    }
+    npy_intp nd = N, rd = (npy_intp)out_pair.size();
+    PyArrayObject *anreg = (PyArrayObject *)PyArray_SimpleNew(
+        1, &nd, NPY_INT32);
+    PyArrayObject *amulti = (PyArrayObject *)PyArray_SimpleNew(
+        1, &nd, NPY_INT8);
+    PyArrayObject *apair = (PyArrayObject *)PyArray_SimpleNew(
+        1, &rd, NPY_INT32);
+    PyArrayObject *aei = (PyArrayObject *)PyArray_SimpleNew(
+        1, &rd, NPY_INT32);
+    PyArrayObject *aej = (PyArrayObject *)PyArray_SimpleNew(
+        1, &rd, NPY_INT32);
+    for (npy_intp n = 0; n < N; n++) {
+        ((int32_t *)PyArray_DATA(anreg))[n] = nreg[n];
+        ((int8_t *)PyArray_DATA(amulti))[n] = hasmulti[n];
+    }
+    for (npy_intp r = 0; r < rd; r++) {
+        ((int32_t *)PyArray_DATA(apair))[r] = out_pair[r];
+        ((int32_t *)PyArray_DATA(aei))[r] = out_i[r];
+        ((int32_t *)PyArray_DATA(aej))[r] = out_j[r];
+    }
+    PyObject *ret = PyTuple_Pack(5, (PyObject *)anreg, (PyObject *)amulti,
+                                 (PyObject *)apair, (PyObject *)aei,
+                                 (PyObject *)aej);
+    Py_DECREF(anreg); Py_DECREF(amulti); Py_DECREF(apair);
+    Py_DECREF(aei); Py_DECREF(aej);
+    return ret;
+}
+
 static PyMethodDef methods[] = {
+    {"classify_targets_rows", classify_targets_rows, METH_VARARGS,
+     "regions + multidomain split from flank rows -> "
+     "(nreg, has_multi, pair_idx, ei, ej)"},
     {"ensemble_region", ensemble_region, METH_VARARGS,
      "stochastic trace ensemble for one region -> (clusters, n2acc)"},
     {"evaluate_targets_rows", evaluate_targets_rows, METH_VARARGS,

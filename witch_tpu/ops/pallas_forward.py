@@ -251,11 +251,20 @@ def _bits_from_nats(nats, qlens, Lpad):
     return nats / np.log(2.0) - null1[:, None]
 
 
+def canonical_pad(Q: int, Lmax: int, QT: int = 128):
+    """The single-program padding rule shared by the pipeline and
+    bench.py: queries padded to a multiple of QT, residues to a
+    multiple of 64. One (Qpad, Lpad, Mp) triple = one compiled
+    program = one remote program load."""
+    return (-(-max(Q, QT) // QT) * QT, max(64, -(-Lmax // 64) * 64))
+
+
 def pallas_forward_bits(bank, codes: np.ndarray, qlens: np.ndarray,
                         QT: int = 128, interpret: bool = False,
                         pad_code: int = None,
                         q_block: int = 512,
-                        group_by_length: bool = True) -> np.ndarray:
+                        group_by_length: bool = True,
+                        single_shape: bool = False) -> np.ndarray:
     """Null1-corrected pre-score bits [Q, H] via the Pallas kernel.
 
     Padding residues use the gap code (zero emission odds in every model);
@@ -267,6 +276,13 @@ def pallas_forward_bits(bank, codes: np.ndarray, qlens: np.ndarray,
     padded-row waste of a single global Lmax pad. Scores are independent
     of the padding thanks to the gap-code + analytic-ploop scheme, so
     grouping is bit-compatible with the blocked path.
+
+    single_shape=True instead pads the whole batch to ONE
+    (canonical_pad) shape and dispatches it as ONE program call. On
+    remote-accelerator hosts a program *load* costs orders of magnitude
+    more than the padding FLOPs it avoids (measured here: 12-300 s per
+    program vs ~1 s for the whole example grid), so the production TPU
+    path wants exactly one program.
     """
     emT, trans = bank_to_pallas_arrays(bank)
     ndbl = effective_n_dbl(trans)
@@ -277,6 +293,18 @@ def pallas_forward_bits(bank, codes: np.ndarray, qlens: np.ndarray,
     Q, L = codes.shape
     emTj = jnp.asarray(emT)
     transj = jnp.asarray(trans)
+
+    if single_shape:
+        Qpad, Lpad = canonical_pad(Q, int(qlens.max(initial=1)), QT)
+        cp = np.full((Qpad, Lpad), pad_code, np.int32)
+        for qi in range(Q):
+            cp[qi, :qlens[qi]] = codes[qi, :qlens[qi]]
+        lp = np.ones(Qpad, np.int32)
+        lp[:Q] = qlens
+        nats = np.asarray(pallas_forward_nats(
+            emTj, transj, jnp.asarray(cp), jnp.asarray(lp),
+            QT=QT, interpret=interpret, n_dbl=ndbl))[:Q]
+        return _bits_from_nats(nats, qlens, Lpad)
 
     if group_by_length and Q > QT:
         order = np.argsort(qlens, kind="stable")

@@ -89,9 +89,36 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                 "raise WITCH_TPU_MAX_HMM_STATES or supply a less "
                 "insertion-heavy backbone alignment (-b)" % m_cap)
     cores = [ens.cores[i] for i in indices]
+
+    # Backend decision up front: it fixes the bank bucketing. Without a
+    # TPU the XLA-scan pre-scorer is the slowest stage (~700 s for the
+    # example grid vs ~150 s for the native engine's f64 Forward, which
+    # the gate stage needs anyway) — so on CPU the native engine
+    # evaluates the full grid and the device pre-score pass is skipped
+    # entirely.
+    try:
+        from .native import _domaindef  # noqa: F401
+        have_native = True
+    except ImportError:
+        have_native = False
+    native_prescore = False
+    on_tpu = False
+    if have_native and not os.environ.get("WITCH_TPU_DEVICE_PRESCORE"):
+        try:
+            import jax
+            on_tpu = jax.default_backend() == "tpu"
+            native_prescore = not on_tpu
+        except Exception:
+            native_prescore = True
+
     t0 = time.time()
+    # On TPU everything goes into ONE bank shape: a remote program load
+    # costs 12-300 s (measured), dwarfing the padding FLOPs a second
+    # bucket would save (~1 s). CPU/XLA paths keep the 2-bucket layout.
+    n_buckets = int(os.environ.get(
+        "WITCH_TPU_SCORE_BUCKETS", "1" if on_tpu else "2"))
     banks = build_banks(cores, indices=indices, uniform=True,
-                        n_buckets=2)
+                        n_buckets=n_buckets)
     Configs.runtime("  scoring: bank build/quantize (s): %f"
                     % (time.time() - t0))
     col_of = {idx: j for j, idx in enumerate(indices)}
@@ -110,11 +137,6 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
     # replaces it, so the pass is skipped entirely (it costs a device
     # sweep comparable to scoring 40% of the real queries, plus extra
     # kernel shapes).
-    try:
-        from .native import _domaindef  # noqa: F401
-        have_native = True
-    except ImportError:
-        have_native = False
     cal_codes = cal_lens = None
     if not have_native:
         # calibration seqs share the padding layout; drawn iid from the
@@ -139,24 +161,13 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
             Configs.log("Scoring on %d-device data mesh"
                         % int(mesh.shape["data"]))
 
-    # Without a TPU the XLA-scan pre-scorer is the slowest stage
-    # (~700 s for the example grid vs ~150 s for the native engine's
-    # f64 Forward, which the gate stage needs anyway) — so on CPU the
-    # native engine evaluates the full grid and the device pre-score
-    # pass is skipped entirely.
-    native_prescore = False
-    if have_native and not os.environ.get("WITCH_TPU_DEVICE_PRESCORE"):
-        try:
-            import jax
-            native_prescore = jax.default_backend() != "tpu"
-        except Exception:
-            native_prescore = True
     H = len(indices)
     owned = (np.arange(Q) if q_owned is None
              else np.asarray(q_owned, np.int64))
     pre = np.zeros((Q, H), np.float64)
     tau = np.zeros(H, np.float64)
-    if native_prescore:
+
+    def run_native_prescore():
         # Forward-only native pre-ranking of the full grid (exact f64
         # bits, ~2-4x cheaper per pair than full domain definition);
         # the expensive gate evaluation then runs only for each
@@ -192,10 +203,14 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                 pre[owned, j] = (fwd - null1b[owned]) / np.log(2.0)
         Configs.runtime("  scoring: native Forward pre-rank %d pairs "
                         "(s): %f" % (len(owned) * H, time.time() - t0))
-    else:
+
+    def run_device_prescore(out):
+        # `out` is bound at call time: a watchdog-abandoned thread keeps
+        # writing its own buffer, never the fallback's replacement
         for b in banks:
             t0 = time.time()
-            bits = score_bank(b, codes, lens, q_chunk=q_chunk, mesh=mesh)
+            bits = score_bank(b, codes, lens, q_chunk=q_chunk, mesh=mesh,
+                              single_shape=on_tpu)
             t1 = time.time()
             sim = None
             if cal_codes is not None:
@@ -204,7 +219,7 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
             t2 = time.time()
             for j, idx in enumerate(b.hmm_indices):
                 col = col_of[int(idx)]
-                pre[:, col] = bits[:, j]
+                out[:, col] = bits[:, j]
                 if sim is not None:
                     lam = forward_lambda(ens.cores[int(idx)])
                     tau[col] = tau_from_scores(sim[:, j], lam)
@@ -212,6 +227,44 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                 "  scoring: bank Mp=%d H=%d queries %.2fs cal %.2fs "
                 "tau-fit %.2fs" % (b.em_odds.shape[1], len(b.hmm_indices),
                                    t1 - t0, t2 - t1, time.time() - t2))
+
+    if not native_prescore:
+        # Watchdog: remote program load is wildly variable (12-600 s
+        # measured for the same program). When the native engine exists
+        # as a fallback, bound the device wait; the abandoned device
+        # thread finishes in the background and leaves the programs
+        # warm for the next job (resident-server flow).
+        budget = float(os.environ.get("WITCH_TPU_SCORE_BUDGET", "240"))
+        if not have_native or budget <= 0:
+            run_device_prescore(pre)
+        else:
+            import threading
+            done = {}
+
+            def _dev(out=pre):
+                try:
+                    run_device_prescore(out)
+                    done["ok"] = True
+                except Exception as e:   # noqa: BLE001
+                    done["err"] = e
+
+            th = threading.Thread(target=_dev, daemon=True)
+            th.start()
+            th.join(budget)
+            if "ok" not in done:
+                why = ("still loading/compiling after %.0fs" % budget
+                       if th.is_alive() else
+                       "failed (%s)" % done.get("err"))
+                Configs.warning(
+                    "device pre-score %s; falling back to the native "
+                    "CPU engine (device thread left warming in the "
+                    "background)" % why)
+                # fresh buffer: the abandoned device thread still holds
+                # a reference to the old `pre` and may write it later
+                pre = np.zeros((Q, H), np.float64)
+                native_prescore = True
+    if native_prescore:
+        run_native_prescore()
     # Exact null2 bias + reporting gate via the native domaindef engine.
     #
     # hmmsearch only prints a target when domain definition yields >= 1
@@ -336,38 +389,158 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
             return j, qlist, _domaindef.evaluate_targets(
                 *args, codes_list, 42, 200, 1, 1)
 
-        # parallelize across models (the engine releases the GIL); each
-        # model's batch runs single-threaded inside
-        with ThreadPoolExecutor(max_workers=nthreads) as ex:
-            for j, qlist, (nreg, nenv, sbias, fwdn, senv, sbsum, ld) \
-                    in ex.map(eval_model, sorted(by_j.items())):
-                n_pairs += len(qlist)
-                for t, q in enumerate(qlist):
-                    # f64-exact reported score: the Pallas pre is a
-                    # coarse ranker; near 0.05-bit print boundaries its
-                    # f32 error can flip the rounding
-                    Lq = len(qcodes[q])
-                    null1 = null1_score(Lq)
-                    if native_prescore:
-                        pre[q, j] = (fwdn[t] - null1) / np.log(2.0)
-                    seq = (fwdn[t] - null1 - sbias[t]) / np.log(2.0)
-                    if ld[t] > 0:
-                        # p7_pipeline.c "reconstruction score"
-                        # substitution: sum of qualifying envelope
-                        # scores with its own null2, replacing the
-                        # Forward score when larger
-                        sum_nats = senv[t] + (Lq - ld[t]) \
-                            * np.log(Lq / (Lq + 3.0))
-                        bias2 = np.logaddexp(
-                            0.0, np.log(1.0 / 256.0) + sbsum[t])
-                        sumsc = (sum_nats - null1 - bias2) / np.log(2.0)
-                        if sumsc > seq:
-                            seq = sumsc
-                    reported[q, j] = seq
-                    gate_ok[q, j] = bool(nreg[t] > 0 and nenv[t] > 0)
-                    evaluated[q, j] = True
-        Configs.runtime("  scoring: native domaindef %d pairs (s): %f"
-                        % (n_pairs, time.time() - t0))
+        def consume(j, qlist, out, t):
+            """Fold one evaluated pair into reported/gate_ok; returns
+            the reported bits (for the device path's print guard)."""
+            nreg, nenv, sbias, fwdn, senv, sbsum, ld = out
+            q = qlist[t]
+            # f64-exact reported score: the Pallas pre is a
+            # coarse ranker; near 0.05-bit print boundaries its
+            # f32 error can flip the rounding
+            Lq = len(qcodes[q])
+            null1 = null1_score(Lq)
+            if native_prescore:
+                pre[q, j] = (fwdn[t] - null1) / np.log(2.0)
+            seq = (fwdn[t] - null1 - sbias[t]) / np.log(2.0)
+            if ld[t] > 0:
+                # p7_pipeline.c "reconstruction score" substitution:
+                # sum of qualifying envelope scores with its own
+                # null2, replacing the Forward score when larger
+                sum_nats = senv[t] + (Lq - ld[t]) \
+                    * np.log(Lq / (Lq + 3.0))
+                bias2 = np.logaddexp(
+                    0.0, np.log(1.0 / 256.0) + sbsum[t])
+                sumsc = (sum_nats - null1 - bias2) / np.log(2.0)
+                if sumsc > seq:
+                    seq = sumsc
+            reported[q, j] = seq
+            gate_ok[q, j] = bool(nreg[t] > 0 and nenv[t] > 0)
+            evaluated[q, j] = True
+            return seq
+
+        # Device gate: the per-envelope null2 expectations (the stage's
+        # dominant host cost) batch through ONE pallas program; regions,
+        # trace ensembles and the exact f64 Forward stay host. Print
+        # exactness is preserved by re-evaluating boundary-adjacent
+        # pairs on the host engine (hmm/gate_device.py).
+        _dn2 = os.environ.get("WITCH_TPU_DEVICE_NULL2", "")
+        use_dev_gate = (
+            rows_dev is None and _flank_fn is not None
+            and not getattr(Configs, "full_search_results", False)
+            and _dn2 != "0"
+            and ((on_tpu and not native_prescore)
+                 or _dn2 in ("1", "interpret")))
+        if use_dev_gate:
+            from .hmm.gate_device import (evaluate_gate_device,
+                                          near_print_boundary)
+            items = sorted(by_j.items())
+
+            def run_dev_gate():
+                """Everything up to (but not including) mutation of the
+                shared score arrays — safe to abandon on a watchdog
+                timeout (remote program load can hang for minutes)."""
+                allargs = {}
+                flank_rows = {}
+                fwd64_by = {}
+
+                def prep_model(item):
+                    j, qlist = item
+                    prof = _configure(ens.cores[int(indices[j])],
+                                      multihit=True)
+                    args = [np.ascontiguousarray(prof.msc, np.float64)] \
+                        + [np.ascontiguousarray(
+                            getattr(prof, a), np.float64)
+                           for a in ("t_mm", "t_mi", "t_md", "t_im",
+                                     "t_ii", "t_dm", "t_dd", "bm")]
+                    codes_list = [
+                        np.ascontiguousarray(qcodes[q], np.int32)
+                        for q in qlist]
+                    _, mo, pb, pe = _flank_fn(*args, codes_list, 1)
+                    f64 = np.asarray(_domaindef.forward_targets_exact(
+                        *args, codes_list, 1))
+                    return j, args, (mo, pb, pe), f64
+
+                with ThreadPoolExecutor(max_workers=nthreads) as ex:
+                    for j, args, rows3, f64 in ex.map(prep_model, items):
+                        allargs[j] = args
+                        flank_rows[j] = rows3
+                        fwd64_by[j] = f64
+                t_prep = time.time()
+                gate_bank = (banks[0] if len(banks) == 1 else
+                             build_banks(cores, indices=indices,
+                                         uniform=True, n_buckets=1)[0])
+                bankrow_of_col = {
+                    col_of[int(idx)]: r
+                    for r, idx in enumerate(gate_bank.hmm_indices)}
+                results, stats = evaluate_gate_device(
+                    gate_bank, bankrow_of_col, allargs, qcodes, by_j,
+                    flank_rows, interpret=(_dn2 == "interpret"),
+                    nthreads=nthreads)
+                return results, stats, fwd64_by, t_prep
+
+            budget = float(os.environ.get("WITCH_TPU_SCORE_BUDGET",
+                                          "240"))
+            dev_done = {}
+            if _dn2 in ("1", "interpret") or budget <= 0:
+                dev_done["v"] = run_dev_gate()
+            else:
+                import threading as _threading
+
+                def _dg():
+                    try:
+                        dev_done["v"] = run_dev_gate()
+                    except Exception as e:   # noqa: BLE001
+                        dev_done["err"] = e
+
+                th = _threading.Thread(target=_dg, daemon=True)
+                th.start()
+                th.join(budget)
+            if "v" not in dev_done:
+                Configs.warning(
+                    "device gate %s; falling back to the host engine"
+                    % ("still loading/compiling after %.0fs" % budget
+                       if "err" not in dev_done
+                       else "failed (%s)" % dev_done["err"]))
+                use_dev_gate = False
+            else:
+                results, stats, fwd64_by, t_prep = dev_done["v"]
+                pending: Dict[int, List[int]] = {}
+                for j, qlist in items:
+                    n_pairs += len(qlist)
+                    out = list(results[j])
+                    out[3] = fwd64_by[j]
+                    hmulti = stats["multi_flags"][j]
+                    for t in range(len(qlist)):
+                        seq = consume(j, qlist, out, t)
+                        if not hmulti[t] and near_print_boundary(seq):
+                            pending.setdefault(j, []).append(t)
+                n_pend = sum(len(v) for v in pending.values())
+                for j, plist in pending.items():
+                    stats["reeval"](j, plist)
+                    out = list(results[j])
+                    out[3] = fwd64_by[j]
+                    for t in plist:
+                        consume(j, by_j[j], out, t)
+                Configs.runtime(
+                    "  scoring: device gate %d pairs (%d env on device, "
+                    "%d multidomain host, %d margin + %d boundary "
+                    "re-evals) prep %.2fs device %.2fs multi %.2fs "
+                    "total (s): %f"
+                    % (n_pairs, stats["entries"], stats["multi"],
+                       stats["guard_margin"], n_pend, t_prep - t0,
+                       stats["t_device"], stats["t_multi"],
+                       time.time() - t0))
+        if not use_dev_gate:
+            # parallelize across models (the engine releases the GIL);
+            # each model's batch runs single-threaded inside
+            with ThreadPoolExecutor(max_workers=nthreads) as ex:
+                for j, qlist, out in ex.map(eval_model,
+                                            sorted(by_j.items())):
+                    n_pairs += len(qlist)
+                    for t in range(len(qlist)):
+                        consume(j, qlist, out, t)
+            Configs.runtime("  scoring: native domaindef %d pairs (s): %f"
+                            % (n_pairs, time.time() - t0))
         # walk each query's candidates in weight-rank order; drop gated
         # pairs until num_hmms survivors are found. With
         # --full-search-results every pair was evaluated, so valid IS

@@ -31,12 +31,50 @@ import time
 import traceback
 
 
-def _run_job(argv):
+def _run_job(argv, cwd=None):
+    if cwd:
+        os.chdir(cwd)
     from .cli import init_parser
     from .config import build_configs
     from .pipeline import main_alignment_process
     build_configs(init_parser(), argv)
     return main_alignment_process()
+
+
+def _prewarm():
+    """Compile+load the canonical scoring program at server start so
+    the FIRST submitted job already finds it resident (remote program
+    load was measured at 12-600 s; this moves that wait to server
+    startup, concurrent with nothing). Uses the committed bench assets
+    (the example workload's exact bank), whose shapes match the
+    pipeline's canonical_pad single-program rule."""
+    import numpy as np
+    assets = os.environ.get("WITCH_TPU_PREWARM")
+    if assets == "0":
+        return
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not assets:
+        assets = os.path.join(here, "bench_assets.npz")
+    if not os.path.exists(assets):
+        return
+    try:
+        import sys as _sys
+        t0 = time.time()
+        scripts = os.path.join(here, "scripts")
+        if scripts not in _sys.path:
+            _sys.path.insert(0, scripts)
+        from make_bench_assets import load_banks
+
+        from .hmm.forward import score_bank
+        banks, z = load_banks(assets)
+        codes, lens = z["codes"], z["lens"]
+        for b in banks:
+            score_bank(b, codes.astype(np.int32), lens.astype(np.int32),
+                       backend="pallas", single_shape=True)
+        print("witch-tpu server: prewarmed %d scoring program(s) in "
+              "%.1fs" % (len(banks), time.time() - t0), flush=True)
+    except Exception as e:   # noqa: BLE001
+        print("witch-tpu server: prewarm skipped (%s)" % e, flush=True)
 
 
 def _touch_device():
@@ -52,14 +90,38 @@ def _touch_device():
 
 
 def serve(jobs_dir: str, poll_s: float = 0.5,
-          max_idle_s: float = 0.0) -> None:
+          max_idle_s: float = 0.0, prewarm: bool = False) -> None:
     # A resident server amortizes device-session establishment over many
     # jobs, so it probes with a patient budget (the CLI default is 120 s).
     os.environ.setdefault("WITCH_TPU_PROBE_TIMEOUT", "600")
+    os.environ["WITCH_TPU_IN_SERVER"] = "1"
     from . import configure_jax
     configure_jax()
     os.makedirs(jobs_dir, exist_ok=True)
+    alive = os.path.join(jobs_dir, "server.alive")
+    with open(alive, "w") as f:
+        f.write(str(os.getpid()))
     print("witch-tpu server: watching %s" % jobs_dir, flush=True)
+
+    # heartbeat from a side thread so it keeps beating DURING long jobs
+    # (submitters treat a stale mtime as "server dead")
+    import threading
+
+    def _beat():
+        while True:
+            try:
+                os.utime(alive)
+            except OSError:
+                try:
+                    with open(alive, "w") as f:
+                        f.write(str(os.getpid()))
+                except OSError:
+                    pass
+            time.sleep(5.0)
+
+    threading.Thread(target=_beat, daemon=True).start()
+    if prewarm:
+        _prewarm()
     last_work = time.time()
     last_touch = time.time()
     while True:
@@ -100,7 +162,7 @@ def serve(jobs_dir: str, poll_s: float = 0.5,
                 spec = json.load(f)
             print("witch-tpu server: job %s %s" % (picked, spec["argv"]),
                   flush=True)
-            result["output"] = _run_job(spec["argv"])
+            result["output"] = _run_job(spec["argv"], spec.get("cwd"))
             result["ok"] = True
         except SystemExit as e:
             result["error"] = "exit: %s" % e
@@ -117,24 +179,104 @@ def serve(jobs_dir: str, poll_s: float = 0.5,
 
 
 def submit(jobs_dir: str, argv, timeout_s: float = 0.0,
-           poll_s: float = 0.5):
+           poll_s: float = 0.5, cwd: str = None,
+           dead_server_s: float = 0.0):
     """Enqueue a job and wait for its .done marker; returns the result
-    dict (raises TimeoutError after timeout_s if set)."""
+    dict (raises TimeoutError after timeout_s, or RuntimeError if the
+    server heartbeat goes stale for dead_server_s while waiting)."""
     os.makedirs(jobs_dir, exist_ok=True)
     name = "job-%d-%d" % (os.getpid(), int(time.time() * 1000))
     tmp = os.path.join(jobs_dir, name + ".job.tmp")
     with open(tmp, "w") as f:
-        json.dump({"argv": list(argv)}, f)
-    os.replace(tmp, os.path.join(jobs_dir, name + ".job"))
+        json.dump({"argv": list(argv), "cwd": cwd}, f)
+    job = os.path.join(jobs_dir, name + ".job")
+    os.replace(tmp, job)
     done = os.path.join(jobs_dir, name + ".done")
+    alive = os.path.join(jobs_dir, "server.alive")
     t0 = time.time()
     while not os.path.exists(done):
         if timeout_s and time.time() - t0 > timeout_s:
             raise TimeoutError("job %s not finished in %.0fs"
                                % (name, timeout_s))
+        if dead_server_s:
+            try:
+                stale = time.time() - os.path.getmtime(alive)
+            except OSError:
+                stale = time.time() - t0
+            if stale > dead_server_s:
+                # reclaim the job so a resurrected server won't rerun it
+                for suffix in (".job", ".running"):
+                    try:
+                        os.unlink(os.path.join(jobs_dir, name + suffix))
+                    except OSError:
+                        pass
+                raise RuntimeError(
+                    "server heartbeat stale for %.0fs; job %s reclaimed"
+                    % (stale, name))
         time.sleep(poll_s)
     with open(done) as f:
         return json.load(f)
+
+
+def server_alive(jobs_dir: str, fresh_s: float = 30.0) -> bool:
+    try:
+        return (time.time()
+                - os.path.getmtime(os.path.join(jobs_dir, "server.alive"))
+                < fresh_s)
+    except OSError:
+        return False
+
+
+def default_jobs_dir() -> str:
+    return os.environ.get(
+        "WITCH_TPU_DAEMON_DIR",
+        os.path.join(os.path.expanduser("~"), ".witch_tpu", "daemon"))
+
+
+def ensure_daemon(jobs_dir: str = None, max_idle_s: float = 7200.0) -> str:
+    """Start the resident server as a detached background process if no
+    live one is watching jobs_dir. Returns the jobs_dir."""
+    import subprocess
+    jobs_dir = jobs_dir or default_jobs_dir()
+    os.makedirs(jobs_dir, exist_ok=True)
+    if server_alive(jobs_dir):
+        return jobs_dir
+    log_path = os.path.join(jobs_dir, "server.log")
+    env = dict(os.environ, WITCH_TPU_IN_SERVER="1")
+    env.setdefault("WITCH_TPU_PROBE_TIMEOUT", "600")
+    with open(log_path, "ab") as log:
+        subprocess.Popen(
+            [sys.executable, "-c",
+             "from witch_tpu import server; "
+             "server.serve(%r, max_idle_s=%r, prewarm=True)"
+             % (jobs_dir, float(max_idle_s))],
+            stdout=log, stderr=log, stdin=subprocess.DEVNULL,
+            start_new_session=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    # wait for the heartbeat (server import + probe can take a while;
+    # prewarm happens after the heartbeat starts, so this returns fast)
+    t0 = time.time()
+    while time.time() - t0 < 120.0:
+        if server_alive(jobs_dir, fresh_s=15.0):
+            return jobs_dir
+        time.sleep(0.5)
+    return jobs_dir
+
+
+def run_via_daemon(argv, cwd=None):
+    """Submit this CLI invocation to the resident daemon (starting one
+    if needed) and wait. Returns the result dict, or None if the daemon
+    could not be used (caller should run locally)."""
+    try:
+        jobs_dir = ensure_daemon()
+        if not server_alive(jobs_dir, fresh_s=60.0):
+            return None
+        return submit(jobs_dir, argv, cwd=cwd or os.getcwd(),
+                      dead_server_s=180.0)
+    except (RuntimeError, OSError) as e:
+        sys.stderr.write("WARNING: resident daemon unavailable (%s); "
+                         "running in-process\n" % e)
+        return None
 
 
 def main(argv=None):
