@@ -154,3 +154,19 @@ def test_pipeline_identical_outputs_with_mesh(tmp_path, monkeypatch):
                      open(outdir / "weights.txt").read())
     assert outs["mesh"][0] == outs["single"][0]
     assert outs["mesh"][1] == outs["single"][1]
+
+
+def test_real_jax_distributed_two_processes():
+    """The ACTUAL multi-process DCN all-gather branch of
+    parallel/dist.py:gather_rows: 2 jax.distributed CPU processes,
+    merged output byte-identical to a single-process run
+    (scripts/run_distributed.py)."""
+    import pathlib
+    import subprocess
+    import sys
+    script = pathlib.Path(__file__).resolve().parents[1] / "scripts" / \
+        "run_distributed.py"
+    r = subprocess.run([sys.executable, str(script), "2"],
+                       capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "byte-identical" in r.stdout, r.stdout

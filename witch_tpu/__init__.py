@@ -22,6 +22,18 @@ def configure_jax():
     if not platform and \
             os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         platform = "cpu"
+    if not platform and not os.environ.get("WITCH_TPU_NO_DAEMON") \
+            and not os.environ.get("WITCH_TPU_IN_SERVER"):
+        # A live resident daemon means the accelerator side is already
+        # established there — this process only submits a job, so the
+        # (minutes-slow on a sick tunnel) device probe is pure waste.
+        try:
+            from . import server
+            if server.server_alive(server.default_jobs_dir()):
+                os.environ["WITCH_TPU_PROBED_PLATFORM"] = "daemon"
+                return
+        except Exception:
+            pass
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)

@@ -225,6 +225,34 @@ def pallas_forward_nats(emT, trans, codes, qlens, QT=128, interpret=False,
     return out.reshape(H, Q).T
 
 
+_DEVICE_BANK_CACHE = {}
+
+
+def device_bank_arrays(bank):
+    """Device-resident (emT, trans, n_dbl) for a bank, cached by content
+    hash. In the resident-daemon flow consecutive jobs rebuild the same
+    ensemble from the same backbone; without this cache every job
+    re-converts (~0.5 s host) and re-uploads (~6 s measured over the
+    remote tunnel: the example bank's emission table is 200+ MB) the
+    identical arrays."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.ascontiguousarray(bank.em_odds).tobytes())
+    for a in (bank.t_mm, bank.t_mi, bank.t_md, bank.t_im, bank.t_ii,
+              bank.t_dm, bank.t_dd, bank.bm, bank.M):
+        h.update(np.ascontiguousarray(a).tobytes())
+    key = h.hexdigest()
+    hit = _DEVICE_BANK_CACHE.get(key)
+    if hit is None:
+        emT, trans = bank_to_pallas_arrays(bank)
+        hit = (jnp.asarray(emT), jnp.asarray(trans),
+               effective_n_dbl(trans))
+        while len(_DEVICE_BANK_CACHE) >= 2:        # bound device HBM
+            _DEVICE_BANK_CACHE.pop(next(iter(_DEVICE_BANK_CACHE)))
+        _DEVICE_BANK_CACHE[key] = hit
+    return hit
+
+
 def bank_to_pallas_arrays(bank):
     """Convert a ProfileBank to the kernel's (emT, trans) layout."""
     H = bank.H
@@ -284,15 +312,12 @@ def pallas_forward_bits(bank, codes: np.ndarray, qlens: np.ndarray,
     program vs ~1 s for the whole example grid), so the production TPU
     path wants exactly one program.
     """
-    emT, trans = bank_to_pallas_arrays(bank)
-    ndbl = effective_n_dbl(trans)
+    emTj, transj, ndbl = device_bank_arrays(bank)
     if pad_code is None:
         # gap column: all-zero emission odds in every model
-        gaps = np.where((np.abs(emT).sum(axis=(0, 2)) == 0))[0]
+        gaps = np.where(np.abs(bank.em_odds).sum(axis=(0, 1)) == 0)[0]
         pad_code = int(gaps[0]) if len(gaps) else 4
     Q, L = codes.shape
-    emTj = jnp.asarray(emT)
-    transj = jnp.asarray(trans)
 
     if single_shape:
         Qpad, Lpad = canonical_pad(Q, int(qlens.max(initial=1)), QT)

@@ -334,16 +334,18 @@ def _null2_kernel(model_of, codes_ref, pmove_ref, lds_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("QT", "B", "interpret", "n_dbl"))
-def pallas_null2(model_of, emT_hi, emT_lo, trans, codesT, pmove, lds,
+def pallas_null2(model_of, emT, trans, codesT, pmove, lds,
                  QT=16, B=32, interpret=False, n_dbl=None):
     """Batched envelope null2 expectations.
 
     model_of [T] i32 (scalar-prefetch: bank row per tile);
-    emT_hi/lo [H, 128, Mp] bf16; trans [H, 8, Mp] f32;
+    emT [H, 128, Mp] f32 (split bf16 hi+lo in-graph); trans [H, 8, Mp];
     codesT [Ldmax, T*QT] i32; pmove [T*QT, 1] f32; lds [T*QT, 1] i32.
     Returns (scal [T, QT, 8], n2dot [T, QT, 128]).
     """
-    H, _, Mp = emT_hi.shape
+    emT_hi = emT.astype(jnp.bfloat16)
+    emT_lo = (emT - emT_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    H, _, Mp = emT.shape
     Ld, N = codesT.shape
     T = N // QT
     if n_dbl is None:
@@ -395,15 +397,17 @@ def null2_envelopes_device(bank, entries: Sequence[Tuple[int, np.ndarray,
     Groups entries by bank row (one model per tile), pads each group to
     a QT multiple, and dispatches ONE pallas program.
     """
-    from .pallas_forward import bank_to_pallas_arrays, effective_n_dbl
-    emT, trans = bank_to_pallas_arrays(bank)
-    ndbl = effective_n_dbl(trans)
+    from .pallas_forward import device_bank_arrays
+    emTj, transj, ndbl = device_bank_arrays(bank)
     n = len(entries)
     if n == 0:
         return np.zeros((0,)), np.zeros((0, 128)), np.zeros(0), np.zeros(0)
     if Ldmax is None:
         Ldmax = max(len(sub) for _, sub, _ in entries)
-    Ldmax = max(B, -(-Ldmax // B) * B)
+    # quantize to 64-multiples (and the checkpoint block) so the row
+    # count — part of the compiled program shape — is stable across runs
+    Ldmax = max(B, 64, -(-Ldmax // 64) * 64)
+    assert Ldmax % B == 0
     # order: group by model
     order = sorted(range(n), key=lambda r: entries[r][0])
     tiles = []          # (model_row, [entry indices...])
@@ -413,40 +417,46 @@ def null2_envelopes_device(bank, entries: Sequence[Tuple[int, np.ndarray,
             tiles[-1][1].append(r)
         else:
             tiles.append((j, [r]))
+    # bucket the tile count so the program SHAPE is stable across runs
+    # (every distinct T would otherwise be a fresh compile + remote
+    # program load); dummy tiles run model 0 with Ld=0 (frozen rows)
+    # Fixed tile-batch: ceil(T / TB) dispatches of ONE program shape
+    # (TB tiles each, short batches padded with frozen dummy tiles), so
+    # the compiled program — and its one-time remote load — is shared
+    # across runs regardless of the candidate distribution.
     T = len(tiles)
-    codesT = np.zeros((Ldmax, T * QT), np.int32)
-    pmove = np.full((T * QT, 1), 0.5, np.float32)
-    lds = np.zeros((T * QT, 1), np.int32)
-    model_of = np.zeros(T, np.int32)
-    # pad with a zero-odds code: column of emT that is all zero
-    gaps = np.where(np.abs(emT).sum(axis=(0, 2)) == 0)[0]
+    TB = T if interpret else 256
+    # pad with a zero-odds code: the gap column of the bank
+    gaps = np.where(np.abs(bank.em_odds).sum(axis=(0, 1)) == 0)[0]
     pad_code = int(gaps[0]) if len(gaps) else 4
-    codesT[:] = pad_code
-    for t, (j, rows) in enumerate(tiles):
-        model_of[t] = j
-        for s, r in enumerate(rows):
-            _, sub, lfull = entries[r]
-            codesT[:len(sub), t * QT + s] = sub
-            lds[t * QT + s, 0] = len(sub)
-            pmove[t * QT + s, 0] = 2.0 / (float(lfull) + 2.0)
-    emT_hi = emT.astype(np.float32).astype(jnp.bfloat16)
-    emT_lo = (emT - np.asarray(emT_hi, np.float32)).astype(jnp.bfloat16)
-    scal, n2dot = pallas_null2(
-        jnp.asarray(model_of), jnp.asarray(emT_hi), jnp.asarray(emT_lo),
-        jnp.asarray(trans.astype(np.float32)), jnp.asarray(codesT),
-        jnp.asarray(pmove), jnp.asarray(lds), QT=QT, B=B,
-        interpret=interpret, n_dbl=ndbl)
-    scal = np.asarray(scal).reshape(T * QT, 8)
-    n2dot = np.asarray(n2dot).reshape(T * QT, 128)
     envsc = np.zeros(n)
     n2d = np.zeros((n, 128))
     useI = np.zeros(n)
     usetot = np.zeros(n)
-    for t, (j, rows) in enumerate(tiles):
-        for s, r in enumerate(rows):
-            p = t * QT + s
-            envsc[r] = scal[p, 0]
-            useI[r] = scal[p, 1]
-            usetot[r] = scal[p, 2]
-            n2d[r] = n2dot[p]
+    for c0 in range(0, T, TB):
+        chunk = tiles[c0:c0 + TB]
+        codesT = np.full((Ldmax, TB * QT), pad_code, np.int32)
+        pmove = np.full((TB * QT, 1), 0.5, np.float32)
+        lds = np.zeros((TB * QT, 1), np.int32)
+        model_of = np.zeros(TB, np.int32)
+        for t, (j, rows) in enumerate(chunk):
+            model_of[t] = j
+            for s, r in enumerate(rows):
+                _, sub, lfull = entries[r]
+                codesT[:len(sub), t * QT + s] = sub
+                lds[t * QT + s, 0] = len(sub)
+                pmove[t * QT + s, 0] = 2.0 / (float(lfull) + 2.0)
+        scal, n2dot = pallas_null2(
+            jnp.asarray(model_of), emTj, transj, jnp.asarray(codesT),
+            jnp.asarray(pmove), jnp.asarray(lds), QT=QT, B=B,
+            interpret=interpret, n_dbl=ndbl)
+        scal = np.asarray(scal).reshape(TB * QT, 8)
+        n2dot = np.asarray(n2dot).reshape(TB * QT, 128)
+        for t, (j, rows) in enumerate(chunk):
+            for s, r in enumerate(rows):
+                p = t * QT + s
+                envsc[r] = scal[p, 0]
+                useI[r] = scal[p, 1]
+                usetot[r] = scal[p, 2]
+                n2d[r] = n2dot[p]
     return envsc, n2d, useI, usetot
