@@ -54,3 +54,36 @@ def test_amino_golden(tmp_path):
     bad = [n for n in oracle if mine.get(n) != oracle[n]]
     assert not bad, "%d/%d amino rows diverge: %s" % (
         len(bad), len(oracle), bad[:8])
+
+
+def test_amino500_golden(tmp_path):
+    """Production-scale amino golden: 100-seq backbone, 500 fragmentary
+    queries (5 clades, substitutions + deletions, query insertions).
+    Oracle = reference WITCH resumed from reference-native HMMER
+    artifacts (scripts/make_amino_golden.py). Grid membership is
+    9500/9500 and 9315/9500 scores print-exact (144 of the 185
+    residuals are single 0.1-bit print roundings; the tail is the
+    seeded trace-ensemble's sensitivity to the <=5e-6 model
+    quantization difference). Exactly one masked row (q432) sits on a
+    0.1-bit weight boundary, so the floor is 599; 598 guards a flake
+    margin on that single boundary row."""
+    from witch_tpu.cli import init_parser
+    from witch_tpu.config import build_configs
+    from witch_tpu.pipeline import main_alignment_process
+    outdir = tmp_path / "out500"
+    build_configs(init_parser(), [
+        "-b", os.path.join(GOLD, "ref_amino500.backbone.fasta"),
+        "-e", os.path.join(GOLD, "ref_amino500.backbone.tre"),
+        "-q", os.path.join(GOLD, "ref_amino500.queries.fasta"),
+        "-d", str(outdir), "-o", "aligned.fasta",
+        "--molecule", "amino"])
+    out = main_alignment_process()
+    masked = os.path.join(os.path.dirname(out), "aligned.masked.fasta")
+    mine = _read_fasta_dict(open(masked))
+    with gzip.open(os.path.join(
+            GOLD, "ref_amino500.aligned.masked.fasta.gz"), "rt") as f:
+        oracle = _read_fasta_dict(f)
+    bad = [n for n in oracle if mine.get(n) != oracle[n]]
+    assert len(oracle) == 600
+    assert len(bad) <= 2, "%d/600 amino rows diverge: %s" % (
+        len(bad), bad[:8])
