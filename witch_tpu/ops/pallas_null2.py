@@ -56,7 +56,9 @@ def _null2_kernel(model_of, codes_ref, pmove_ref, lds_ref,
                   scal_ref, n2dot_ref, *, Ld, Mp, QT, B, n_dbl):
     """One grid step = QT pairs of one model.
 
-    codes_ref  [Ld, QT] i32   envelope subsequences (pad rows frozen)
+    codes_ref  [1, Ld, QT] i32  envelope subsequences (pad rows frozen;
+               tile-major so the lane dim equals the block dim — Mosaic
+               requires block lane dims divisible by 128 or full)
     pmove_ref  [QT, 1]  f32   unihit length-model move prob 2/(Lfull+2)
     lds_ref    [QT, 1]  i32   envelope lengths
     emT_*_ref  [1, 128, Mp]   emission odds, bf16 hi+lo split
@@ -185,7 +187,7 @@ def _null2_kernel(model_of, codes_ref, pmove_ref, lds_ref,
 
             def substep(r, _):
                 i_row = b * B + r + 1
-                x_row = codes_ref[pl.ds(b * B + r, 1), :]    # [1, QT]
+                x_row = codes_ref[0, pl.ds(b * B + r, 1), :]  # [1, QT]
                 fstep(i_row, emis(x_row))
                 return ()
             jax.lax.fori_loop(0, B, substep, (), unroll=False)
@@ -223,7 +225,7 @@ def _null2_kernel(model_of, codes_ref, pmove_ref, lds_ref,
 
             def resub(r, _):
                 i_row = b * B + r + 1
-                x_row = codes_ref[pl.ds(b * B + r, 1), :]
+                x_row = codes_ref[0, pl.ds(b * B + r, 1), :]
                 fstep(i_row, emis(x_row))
                 blM[r] = scM[...]
                 blI[r] = scI[...]
@@ -247,7 +249,7 @@ def _null2_kernel(model_of, codes_ref, pmove_ref, lds_ref,
                 # stepping consumes sub[i] with i = i_row (0-based),
                 # i.e. codes_ref row i_row (guard: at Ld=Ldmax the
                 # terminal mask makes the value irrelevant)
-                x_row = codes_ref[pl.ds(
+                x_row = codes_ref[0, pl.ds(
                     jnp.minimum(i_row, Ld - 1), 1), :]
                 ex = emis(x_row)
                 mne = Mn * ex
@@ -340,21 +342,20 @@ def pallas_null2(model_of, emT, trans, codesT, pmove, lds,
 
     model_of [T] i32 (scalar-prefetch: bank row per tile);
     emT [H, 128, Mp] f32 (split bf16 hi+lo in-graph); trans [H, 8, Mp];
-    codesT [Ldmax, T*QT] i32; pmove [T*QT, 1] f32; lds [T*QT, 1] i32.
+    codesT [T, Ldmax, QT] i32; pmove [T*QT, 1] f32; lds [T*QT, 1] i32.
     Returns (scal [T, QT, 8], n2dot [T, QT, 128]).
     """
     emT_hi = emT.astype(jnp.bfloat16)
     emT_lo = (emT - emT_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     H, _, Mp = emT.shape
-    Ld, N = codesT.shape
-    T = N // QT
+    T, Ld, _ = codesT.shape
     if n_dbl is None:
         n_dbl = max(1, int(np.ceil(np.log2(max(2, Mp)))))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((Ld, QT), lambda t, m: (0, t),
+            pl.BlockSpec((1, Ld, QT), lambda t, m: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((QT, 1), lambda t, m: (t, 0),
                          memory_space=pltpu.VMEM),
@@ -435,7 +436,7 @@ def null2_envelopes_device(bank, entries: Sequence[Tuple[int, np.ndarray,
     usetot = np.zeros(n)
     for c0 in range(0, T, TB):
         chunk = tiles[c0:c0 + TB]
-        codesT = np.full((Ldmax, TB * QT), pad_code, np.int32)
+        codesT = np.full((TB, Ldmax, QT), pad_code, np.int32)
         pmove = np.full((TB * QT, 1), 0.5, np.float32)
         lds = np.zeros((TB * QT, 1), np.int32)
         model_of = np.zeros(TB, np.int32)
@@ -443,7 +444,7 @@ def null2_envelopes_device(bank, entries: Sequence[Tuple[int, np.ndarray,
             model_of[t] = j
             for s, r in enumerate(rows):
                 _, sub, lfull = entries[r]
-                codesT[:len(sub), t * QT + s] = sub
+                codesT[t, :len(sub), s] = sub
                 lds[t * QT + s, 0] = len(sub)
                 pmove[t * QT + s, 0] = 2.0 / (float(lfull) + 2.0)
         scal, n2dot = pallas_null2(
