@@ -64,11 +64,11 @@ def main():
             bb.codes[rows][:, ret], bb.alphabet, "dna", name="A_0_%d" % i))
         cores.append(core)
         true_states += core.M
-    # ONE bank: the TPU production path runs a single program shape
-    # (pipeline.compute_scores n_buckets=1 + canonical_pad), and the
-    # bench must exercise/warm that exact program
+    # TWO banks x one canonical query pad: the TPU production shapes
+    # (pipeline.compute_scores n_buckets=2 + canonical_pad), which the
+    # bench must exercise/warm exactly
     banks = build_banks(cores, indices=list(range(len(cores))),
-                        uniform=True, n_buckets=1)
+                        uniform=True, n_buckets=2)
 
     qcodes = [DNA.encode(s.upper())
               for _, s in read_fasta(data + "/unaligned_frag.fasta")]

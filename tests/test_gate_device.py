@@ -58,7 +58,7 @@ def run_case(cores, queries):
             *allargs[j], clist, 42, 200, 1, 0, mo, pb, pe, 1)
     from witch_tpu.hmm.gate_device import evaluate_gate_device
     results, stats = evaluate_gate_device(
-        bank, {j: j for j in by_j}, allargs, queries, by_j,
+        [bank], {j: (0, j) for j in by_j}, allargs, queries, by_j,
         flank_rows, interpret=True, nthreads=2)
     for j in by_j:
         onreg, onenv, osb, _, osenv, osbs, old = oracle[j]

@@ -44,7 +44,7 @@ def _flogsum0(lw: float) -> float:
     return float(np.log1p(np.exp(lw)))
 
 
-def evaluate_gate_device(bank, bankrow_of_col, allargs, qcodes,
+def evaluate_gate_device(banks, bankloc_of_col, allargs, qcodes,
                          by_j: Dict[int, List[int]],
                          flank_rows, nsamples: int = 200, seed: int = 42,
                          interpret: bool = False, nthreads: int = 4,
@@ -53,8 +53,9 @@ def evaluate_gate_device(bank, bankrow_of_col, allargs, qcodes,
     evaluate_targets_rows' tuple layout (fwd column zeroed — the caller
     supplies exact f64 Forward separately), plus a stats dict.
 
-    bank: the unified ProfileBank (device tables).
-    bankrow_of_col: bank row per score-matrix column j.
+    banks: the scoring ProfileBanks (device tables, content-cached on
+    device — the gate reuses them rather than uploading a unified copy).
+    bankloc_of_col: (bank_index, bank_row) per score-matrix column j.
     allargs: per-column native model args (msc + 8 transition rows).
     qcodes: per-query int32 code arrays.
     by_j: {column j: [query indices]} candidate batches.
@@ -67,12 +68,15 @@ def evaluate_gate_device(bank, bankrow_of_col, allargs, qcodes,
     from ..native import _domaindef
     from ..ops.pallas_null2 import null2_envelopes_device
 
+    if not isinstance(banks, (list, tuple)):
+        banks = [banks]
     items = sorted(by_j.items())
     t0 = time.time()
 
     # ---- stage 1: regions + multidomain split per model (native) -----
     cls = {}
     entries = []                 # (bank_row, sub_codes, L_full)
+    entry_bank = []              # bank index per entry
     entry_loc = []               # (j, local_pair_idx, ei, ej)
     for j, qlist in items:
         mocc, ppb, ppe = flank_rows[j]
@@ -80,19 +84,44 @@ def evaluate_gate_device(bank, bankrow_of_col, allargs, qcodes,
         nreg, hmulti, pidx, ei, ej = _domaindef.classify_targets_rows(
             lens, mocc, ppb, ppe)
         cls[j] = (np.asarray(nreg), np.asarray(hmulti))
-        row = bankrow_of_col[j]
+        bi, row = bankloc_of_col[j]
         for r in range(len(pidx)):
             p = int(pidx[r])
             q = qlist[p]
             sub = np.ascontiguousarray(
                 qcodes[q][int(ei[r]) - 1:int(ej[r])], np.int32)
             entries.append((row, sub, len(qcodes[q])))
+            entry_bank.append(bi)
             entry_loc.append((j, p, int(ei[r]), int(ej[r])))
     t1 = time.time()
 
     # ---- stage 2: device null2 for single-envelope regions -----------
-    envsc, n2dot, useI, usetot = null2_envelopes_device(
-        bank, entries, interpret=interpret)
+    # one dispatch set per scoring bank (each bank is one program shape
+    # and is already device-resident from the scoring pass)
+    n_e = len(entries)
+    envsc = np.zeros(n_e)
+    n2dot = np.zeros((n_e, 128))
+    useI = np.zeros(n_e)
+    usetot = np.zeros(n_e)
+    entry_bank = np.asarray(entry_bank, np.int64) if n_e else \
+        np.zeros(0, np.int64)
+    # canonical row count shared by every bank (program-shape
+    # stability: envelopes are bounded by query length, so the padded
+    # Ldmax must not depend on which candidates a given run draws)
+    Lq_max = max((len(qcodes[q]) for _, ql in items for q in ql),
+                 default=64)
+    Ld_canon = max(64, -(-Lq_max // 64) * 64)
+    for bi, bank in enumerate(banks):
+        sel = np.flatnonzero(entry_bank == bi)
+        if len(sel) == 0:
+            continue
+        es, nd, ui, ut = null2_envelopes_device(
+            bank, [entries[r] for r in sel], interpret=interpret,
+            Ldmax=Ld_canon)
+        envsc[sel] = es
+        n2dot[sel] = nd
+        useI[sel] = ui
+        usetot[sel] = ut
     t2 = time.time()
 
     # ---- stage 3: host engine for multidomain pairs ------------------

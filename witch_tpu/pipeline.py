@@ -112,11 +112,13 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
             native_prescore = True
 
     t0 = time.time()
-    # On TPU everything goes into ONE bank shape: a remote program load
-    # costs 12-300 s (measured), dwarfing the padding FLOPs a second
-    # bucket would save (~1 s). CPU/XLA paths keep the 2-bucket layout.
-    n_buckets = int(os.environ.get(
-        "WITCH_TPU_SCORE_BUCKETS", "1" if on_tpu else "2"))
+    # TPU: 2 state-count buckets x 1 canonical query pad = exactly TWO
+    # compiled programs. One unified bank would be a single program but
+    # ~2x the padded FLOPs every run (the 15 backbone-scale models force
+    # Mp to 2816 for all 141); per-group length padding would save
+    # ~40% more FLOPs but at 3x the program count, and a remote program
+    # load costs 12-600 s (measured) vs ~1 s for the whole grid.
+    n_buckets = int(os.environ.get("WITCH_TPU_SCORE_BUCKETS", "2"))
     banks = build_banks(cores, indices=indices, uniform=True,
                         n_buckets=n_buckets)
     Configs.runtime("  scoring: bank build/quantize (s): %f"
@@ -466,14 +468,12 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                         flank_rows[j] = rows3
                         fwd64_by[j] = f64
                 t_prep = time.time()
-                gate_bank = (banks[0] if len(banks) == 1 else
-                             build_banks(cores, indices=indices,
-                                         uniform=True, n_buckets=1)[0])
-                bankrow_of_col = {
-                    col_of[int(idx)]: r
-                    for r, idx in enumerate(gate_bank.hmm_indices)}
+                bankloc_of_col = {}
+                for bi, b in enumerate(banks):
+                    for r, idx in enumerate(b.hmm_indices):
+                        bankloc_of_col[col_of[int(idx)]] = (bi, r)
                 results, stats = evaluate_gate_device(
-                    gate_bank, bankrow_of_col, allargs, qcodes, by_j,
+                    banks, bankloc_of_col, allargs, qcodes, by_j,
                     flank_rows, interpret=(_dn2 == "interpret"),
                     nthreads=nthreads)
                 return results, stats, fwd64_by, t_prep

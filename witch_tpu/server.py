@@ -73,18 +73,19 @@ def _prewarm():
                        backend="pallas", single_shape=True)
         print("witch-tpu server: prewarmed %d scoring program(s) in "
               "%.1fs" % (len(banks), time.time() - t0), flush=True)
-        # the device-gate null2 program at the pipeline's canonical
-        # shape (Tpad buckets of 256 tiles, Ldmax from the example
-        # query lengths) so the first job's gate stage is warm too
+        # the device-gate null2 programs at the pipeline's canonical
+        # shapes (one per scoring bank: 256-tile batches, Ldmax from
+        # the example query lengths) so the first job's gate is warm
         t1 = time.time()
         from .ops.pallas_null2 import null2_envelopes_device
         Ldmax = max(64, -(-int(lens.max()) // 64) * 64)
         entries = [(0, codes[i % len(lens)][:lens[i % len(lens)]]
                     .astype(np.int32), int(lens[i % len(lens)]))
                    for i in range(8)]
-        null2_envelopes_device(banks[0], entries, Ldmax=Ldmax)
-        print("witch-tpu server: prewarmed null2 program in %.1fs"
-              % (time.time() - t1), flush=True)
+        for b in banks:
+            null2_envelopes_device(b, entries, Ldmax=Ldmax)
+        print("witch-tpu server: prewarmed %d null2 program(s) in %.1fs"
+              % (len(banks), time.time() - t1), flush=True)
     except Exception as e:   # noqa: BLE001
         print("witch-tpu server: prewarm skipped (%s)" % e, flush=True)
 
