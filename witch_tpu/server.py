@@ -301,6 +301,7 @@ def main(argv=None):
     rest = argv[1:]
     jobs_dir = None
     max_idle = 0.0
+    prewarm = False
     i = 0
     while i < len(rest):
         if rest[i] in ("-d", "--jobs-dir"):
@@ -309,6 +310,9 @@ def main(argv=None):
         elif rest[i] == "--max-idle":
             max_idle = float(rest[i + 1])
             i += 2
+        elif rest[i] == "--prewarm":
+            prewarm = True
+            i += 1
         elif rest[i] == "--":
             i += 1
             break
@@ -318,7 +322,7 @@ def main(argv=None):
         print("need -d JOBS_DIR")
         return 2
     if mode == "serve":
-        serve(jobs_dir, max_idle_s=max_idle)
+        serve(jobs_dir, max_idle_s=max_idle, prewarm=prewarm)
         return 0
     result = submit(jobs_dir, rest[i:])
     print(json.dumps(result))
