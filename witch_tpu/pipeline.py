@@ -393,7 +393,12 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
 
         def consume(j, qlist, out, t):
             """Fold one evaluated pair into reported/gate_ok; returns
-            the reported bits (for the device path's print guard)."""
+            (reported bits, guard_eps) — guard_eps is the print-guard
+            band for the device path: wide (3e-3 bits) when the
+            sum-score substitution was decisive or within noise of
+            being so (its sbsum accumulation carries the largest f32
+            error), narrow (3e-4) for the plain seqbias path whose f32
+            error is ~1e-4 bits."""
             nreg, nenv, sbias, fwdn, senv, sbsum, ld = out
             q = qlist[t]
             # f64-exact reported score: the Pallas pre is a
@@ -404,6 +409,7 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
             if native_prescore:
                 pre[q, j] = (fwdn[t] - null1) / np.log(2.0)
             seq = (fwdn[t] - null1 - sbias[t]) / np.log(2.0)
+            eps = 3e-4
             if ld[t] > 0:
                 # p7_pipeline.c "reconstruction score" substitution:
                 # sum of qualifying envelope scores with its own
@@ -413,12 +419,15 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                 bias2 = np.logaddexp(
                     0.0, np.log(1.0 / 256.0) + sbsum[t])
                 sumsc = (sum_nats - null1 - bias2) / np.log(2.0)
+                if abs(sumsc - seq) < 3e-3:
+                    eps = float("inf")     # decision itself in noise
                 if sumsc > seq:
                     seq = sumsc
+                    eps = 3e-3
             reported[q, j] = seq
             gate_ok[q, j] = bool(nreg[t] > 0 and nenv[t] > 0)
             evaluated[q, j] = True
-            return seq
+            return seq, eps
 
         # Device gate: the per-envelope null2 expectations (the stage's
         # dominant host cost) batch through ONE pallas program; regions,
@@ -511,8 +520,10 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                     out[3] = fwd64_by[j]
                     hmulti = stats["multi_flags"][j]
                     for t in range(len(qlist)):
-                        seq = consume(j, qlist, out, t)
-                        if not hmulti[t] and near_print_boundary(seq):
+                        seq, eps = consume(j, qlist, out, t)
+                        if not hmulti[t] and (
+                                eps == float("inf")
+                                or near_print_boundary(seq, eps)):
                             pending.setdefault(j, []).append(t)
                 n_pend = sum(len(v) for v in pending.values())
                 for j, plist in pending.items():
