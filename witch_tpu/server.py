@@ -41,6 +41,15 @@ def _run_job(argv, cwd=None):
     return main_alignment_process()
 
 
+def _run_bench_job(spec):
+    """`{"kind": "bench"}` job: time the full scoring grid in-process.
+    A resident daemon owns the accelerator session; timing here avoids a
+    second process fighting it for the (serialized) remote session."""
+    from .benchlib import tpu_tier
+    return tpu_tier(spec["assets"], reps=int(spec.get("reps", 3)),
+                    QT=int(spec.get("QT", 128)))
+
+
 def _prewarm():
     """Compile+load the canonical scoring program at server start so
     the FIRST submitted job already finds it resident (remote program
@@ -173,9 +182,13 @@ def serve(jobs_dir: str, poll_s: float = 0.5,
         try:
             with open(job_path) as f:
                 spec = json.load(f)
-            print("witch-tpu server: job %s %s" % (picked, spec["argv"]),
-                  flush=True)
-            result["output"] = _run_job(spec["argv"], spec.get("cwd"))
+            if spec.get("kind") == "bench":
+                print("witch-tpu server: bench job %s" % picked, flush=True)
+                result["output"] = _run_bench_job(spec)
+            else:
+                print("witch-tpu server: job %s %s"
+                      % (picked, spec["argv"]), flush=True)
+                result["output"] = _run_job(spec["argv"], spec.get("cwd"))
             result["ok"] = True
         except SystemExit as e:
             result["error"] = "exit: %s" % e
@@ -193,15 +206,20 @@ def serve(jobs_dir: str, poll_s: float = 0.5,
 
 def submit(jobs_dir: str, argv, timeout_s: float = 0.0,
            poll_s: float = 0.5, cwd: str = None,
-           dead_server_s: float = 0.0):
+           dead_server_s: float = 0.0, extra: dict = None):
     """Enqueue a job and wait for its .done marker; returns the result
     dict (raises TimeoutError after timeout_s, or RuntimeError if the
-    server heartbeat goes stale for dead_server_s while waiting)."""
+    server heartbeat goes stale for dead_server_s while waiting).
+    `extra` merges additional fields into the job spec (e.g.
+    {"kind": "bench", "assets": ...})."""
     os.makedirs(jobs_dir, exist_ok=True)
     name = "job-%d-%d" % (os.getpid(), int(time.time() * 1000))
     tmp = os.path.join(jobs_dir, name + ".job.tmp")
+    spec = {"argv": list(argv), "cwd": cwd}
+    if extra:
+        spec.update(extra)
     with open(tmp, "w") as f:
-        json.dump({"argv": list(argv), "cwd": cwd}, f)
+        json.dump(spec, f)
     job = os.path.join(jobs_dir, name + ".job")
     os.replace(tmp, job)
     done = os.path.join(jobs_dir, name + ".done")
