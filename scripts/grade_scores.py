@@ -83,8 +83,9 @@ def run_ours(core, qcodes):
     native engine (mirrors pipeline.compute_scores eval_model +
     score assembly, witch_tpu/pipeline.py)."""
     from witch_tpu.hmm.profile import configure, null1_score
-    from witch_tpu.native import _domaindef
+    from witch_tpu.native import _domaindef, set_trace_alphabet
 
+    set_trace_alphabet(core.molecule)
     prof = configure(core, multihit=True)
     args = [np.ascontiguousarray(prof.msc, np.float64)] + [
         np.ascontiguousarray(getattr(prof, a), np.float64)

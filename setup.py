@@ -32,8 +32,11 @@ setup(
             "witch_tpu.native._domaindef",
             sources=["witch_tpu/native/domaindef_kernel.cpp"],
             include_dirs=[numpy.get_include()],
+            # fp-contract=off: the exact-f32 trace engine (stoch_f32.h)
+            # reproduces the reference binary's separate mulps/addps
+            # rounding; FMA contraction would change the value stream.
             extra_compile_args=["-O3", "-std=c++17", "-march=native",
-                                "-funroll-loops"],
+                                "-funroll-loops", "-ffp-contract=off"],
         ),
     ],
     python_requires=">=3.10",

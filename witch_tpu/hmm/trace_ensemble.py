@@ -235,11 +235,18 @@ def cluster_ensemble(segs: List[Tuple[int, int, int, int, int]],
             if ra == rb:
                 continue
             tb, ib, jb, kb, mb = arr[b]
+            # link_spsamples semantics (verified against the binary's
+            # own predicate): seq overlap INCLUSIVE (+1), hmm overlap
+            # EXCLUSIVE (min_m - max_k, no +1 — an upstream quirk),
+            # both as f32 divisions nov/n < 0.8f over inclusive min len
             ov = min(ja, jb) - max(ia, ib) + 1
-            if ov < MIN_OVERLAP * min(ja - ia + 1, jb - ib + 1):
+            if (np.float32(ov) / np.float32(min(ja - ia + 1, jb - ib + 1))
+                    < np.float32(MIN_OVERLAP)):
                 continue
-            ovk = min(ma, mb) - max(ka, kb) + 1
-            if ovk < MIN_OVERLAP * min(ma - ka + 1, mb - kb + 1):
+            ovk = min(ma, mb) - max(ka, kb)
+            if (np.float32(ovk) / np.float32(min(ma - ka + 1,
+                                                 mb - kb + 1))
+                    < np.float32(MIN_OVERLAP)):
                 continue
             if (abs((ia - ka) - (ib - kb)) > MAX_DIAGDIFF and
                     abs((ja - ma) - (jb - mb)) > MAX_DIAGDIFF):
@@ -324,10 +331,11 @@ def resolve_region(prof, codes: np.ndarray, i: int, j: int, Lseq: int,
     the numpy path below is the readable reference implementation."""
     sub = np.ascontiguousarray(codes[i - 1:j], dtype=np.int32)
     try:
-        from ..native import _domaindef
+        from ..native import _domaindef, set_trace_alphabet
     except ImportError:
         _domaindef = None
     if _domaindef is not None:
+        set_trace_alphabet(prof.molecule)
         cl, n2acc = _domaindef.ensemble_region(
             np.ascontiguousarray(prof.msc, np.float64),
             *[np.ascontiguousarray(getattr(prof, a), np.float64)

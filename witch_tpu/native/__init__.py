@@ -65,3 +65,39 @@ def _build_locked():
 if not _have_all() and not os.environ.get("WITCH_TPU_NO_AUTOBUILD"):
     _build_locked()
     importlib.invalidate_caches()
+
+
+_trace_alphabet = None
+
+
+def set_trace_alphabet(molecule: str) -> bool:
+    """Enable _domaindef's exact-f32 stochastic-trace path by handing it
+    this molecule's degeneracy/background tables (idempotent; returns
+    False when the extension predates the feature or when disabled via
+    WITCH_TPU_F32TRACE=0)."""
+    global _trace_alphabet
+    if _trace_alphabet == molecule:
+        return True
+    try:
+        import numpy as np
+
+        from ..core.alphabet import ALPHABETS
+        from ..hmm.priors import get_background
+        from . import _domaindef
+        if not hasattr(_domaindef, "set_alphabet"):
+            return False
+        alpha = ALPHABETS[molecule]
+        expand = np.ascontiguousarray(alpha._expand, np.float64)
+        bg = np.ascontiguousarray(get_background(molecule), np.float64)
+        ok = bool(_domaindef.set_alphabet(expand, bg))
+        if ok:
+            _trace_alphabet = molecule
+            # best-effort exact-libm upgrade (oracle binary present)
+            try:
+                from . import icc_libm
+                icc_libm.install(_domaindef)
+            except Exception:
+                pass
+        return ok
+    except Exception:
+        return False

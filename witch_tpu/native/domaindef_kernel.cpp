@@ -35,9 +35,20 @@
 #include <atomic>
 #include <memory>
 
+#include "stoch_f32.h"
+
 namespace {
 
 constexpr double kRescaleHi = 1e250;
+
+/* Alphabet tables for the exact-f32 trace path (set_alphabet glue):
+ * degeneracy expansion [num_codes][Kc] and the f64 background the f64
+ * log-odds were built with.  Empty until set_alphabet is called; the
+ * f64 sampling path is used in that case. */
+std::vector<double> g_alpha_expand;
+std::vector<double> g_alpha_bg;
+int g_alpha_ncodes = 0;
+int g_alpha_kc = 0;
 
 /* ---------------- esl randomness (fast LCG) ------------------------- */
 
@@ -74,6 +85,10 @@ struct EselRng {
         float p[8];
         if (fs != 0.0f && n <= 8) {
             for (int i = 0; i < n; i++) p[i] = p_in[i] / fs;
+        } else if (fs == 0.0f && n <= 8) {
+            /* esl_vec_FNorm's zero-sum branch sets the uniform
+             * distribution (FSet 1/n) before FChoose */
+            for (int i = 0; i < n; i++) p[i] = 1.0f / (float)n;
         } else {
             for (int i = 0; i < n && i < 8; i++) p[i] = p_in[i];
         }
@@ -102,6 +117,16 @@ struct Model {
                                                   rows for the DP loops */
     std::vector<double> mm, mi, md, im, ii, dm, dd, bmo;
     double loop, move;                         /* length model (odds) */
+    /* exact-f32 striped profile for the trace ensembles (shared across
+     * the per-target Model copies; built once pre-threading) */
+    std::shared_ptr<const stoch32::OProfile> oprof;
+
+    void build_oprof() {
+        if (oprof || g_alpha_kc == 0 || K != g_alpha_ncodes) return;
+        oprof = stoch32::build_oprofile(
+            M, K, msc, t_mm, t_mi, t_md, t_im, t_ii, t_dm, t_dd,
+            g_alpha_expand.data(), g_alpha_bg.data(), g_alpha_kc);
+    }
 
     void set_length(int Lseq, bool multihit) {
         double pmove = (multihit ? 3.0 : 2.0)
@@ -445,7 +470,9 @@ static void sample_trace(EselRng &rng, const Model &mo, const Fwd &f,
             }
             if (sel_k < 0) { sel_k = M; sel_st = 'M'; }
             st = sel_st; k = sel_k;
-            cur_end = i; cur_kend = k;
+            /* domain hmm-end = k of the LAST M state (p7_trace_Index
+             * ignores a trailing D run off an E-exit D cell) */
+            cur_end = i; cur_kend = (sel_st == 'M') ? k : -1;
             break;
         }
         case 'M': {
@@ -461,6 +488,7 @@ static void sample_trace(EselRng &rng, const Model &mo, const Fwd &f,
                               : 0.0f;
             cand[3] = (k > 1) ? (float)(pd[k - 1] * mo.dm[k - 1] * sr)
                               : 0.0f;
+            if (cur_kend < 0) cur_kend = k;
             if (steps) steps->push_back({'M', k, i});
             int j = rng.fchoose(cand, 4);
             if (j == 0) {
@@ -544,12 +572,18 @@ static std::vector<Cluster> cluster_segments(const std::vector<Seg> &segs,
         for (int b = a + 1; b < n; b++) {
             if (dsu.find(a) == dsu.find(b)) continue;
             const Seg &sb = segs[b];
+            /* link_spsamples semantics (verified by calling the bundled
+             * binary's own predicate on crafted pairs): seq overlap is
+             * INCLUSIVE (+1) but the hmm-coordinate overlap is
+             * EXCLUSIVE (min_m - max_k, no +1) — an upstream quirk —
+             * both tested as f32 divisions nov/n < 0.8f over the
+             * inclusive min length */
             int ov = std::min(sa.j, sb.j) - std::max(sa.i, sb.i) + 1;
             int la = sa.j - sa.i + 1, lb = sb.j - sb.i + 1;
-            if ((float)ov < 0.8f * (float)std::min(la, lb)) continue;
-            int ovk = std::min(sa.m, sb.m) - std::max(sa.k, sb.k) + 1;
+            if ((float)ov / (float)std::min(la, lb) < 0.8f) continue;
+            int ovk = std::min(sa.m, sb.m) - std::max(sa.k, sb.k);
             int ka = sa.m - sa.k + 1, kb = sb.m - sb.k + 1;
-            if ((float)ovk < 0.8f * (float)std::min(ka, kb)) continue;
+            if ((float)ovk / (float)std::min(ka, kb) < 0.8f) continue;
             if (std::abs((sa.i - sa.k) - (sb.i - sb.k)) > 4 &&
                 std::abs((sa.j - sa.m) - (sb.j - sb.m)) > 4) continue;
             dsu.unite(a, b);
@@ -1012,10 +1046,22 @@ static void evaluate_target_rows(const Model &mo_in, const Model &mo,
             }
             continue;
         }
-        /* multidomain: re-seeded trace ensemble on the region */
+        /* multidomain: re-seeded trace ensemble on the region.  When
+         * the alphabet tables are set, sample from the exact-f32
+         * striped Forward (the binary's own value stream); the f64
+         * engine remains as fallback. */
         int Ld = rg.j - rg.i + 1;
+        bool use32 = (bool)mo.oprof;
         Fwd rf;
-        forward_region(mo, codes + (rg.i - 1), Ld, &rf);
+        stoch32::Fwd32 rf32;
+        stoch32::XF xf32;
+        if (use32) {
+            stoch32::xf_set(&xf32, L, mo.oprof->nj);
+            stoch32::forward_f32(*mo.oprof, xf32, codes + (rg.i - 1),
+                                 Ld, &rf32);
+        } else {
+            forward_region(mo, codes + (rg.i - 1), Ld, &rf);
+        }
         EselRng rng(seed);
         std::vector<Seg> segs;
         std::vector<double> n2acc;
@@ -1024,8 +1070,13 @@ static void evaluate_target_rows(const Model &mo_in, const Model &mo,
         std::vector<Seg> tsegs;
         for (int t = 0; t < nsamples; t++) {
             tsegs.clear(); steps.clear();
-            sample_trace(rng, mo, rf, t, &tsegs,
-                         want_null2 ? &steps : nullptr);
+            if (use32)
+                stoch32::sample_trace_f32(rng, *mo.oprof, xf32, rf32, t,
+                                          &tsegs,
+                                          want_null2 ? &steps : nullptr);
+            else
+                sample_trace(rng, mo, rf, t, &tsegs,
+                             want_null2 ? &steps : nullptr);
             for (auto &sgm : tsegs) segs.push_back(sgm);
             if (want_null2) {
                 std::vector<char> cov(Ld + 1, 0);
@@ -1194,8 +1245,17 @@ static PyObject *ensemble_region(PyObject *, PyObject *args) {
     {
         Py_BEGIN_ALLOW_THREADS
         mo.prepare(Lseq);
+        mo.build_oprof();
+        bool use32 = (bool)mo.oprof;
         Fwd f;
-        forward_region(mo, codes, L, &f);
+        stoch32::Fwd32 f32;
+        stoch32::XF xf32;
+        if (use32) {
+            stoch32::xf_set(&xf32, Lseq, mo.oprof->nj);
+            stoch32::forward_f32(*mo.oprof, xf32, codes, L, &f32);
+        } else {
+            forward_region(mo, codes, L, &f);
+        }
         EselRng rng((uint32_t)seed);
         if (want_null2) n2acc.assign(L + 1, 0.0);
         std::vector<TraceStep> steps;
@@ -1203,8 +1263,13 @@ static PyObject *ensemble_region(PyObject *, PyObject *args) {
         for (int t = 0; t < nsamples; t++) {
             tsegs.clear();
             steps.clear();
-            sample_trace(rng, mo, f, t,
-                         &tsegs, want_null2 ? &steps : nullptr);
+            if (use32)
+                stoch32::sample_trace_f32(rng, *mo.oprof, xf32, f32, t,
+                                          &tsegs,
+                                          want_null2 ? &steps : nullptr);
+            else
+                sample_trace(rng, mo, f, t,
+                             &tsegs, want_null2 ? &steps : nullptr);
             /* domains were collected in reverse (trace walks backwards);
                order within the sample does not matter for clustering */
             for (auto &s : tsegs) segs.push_back(s);
@@ -2311,6 +2376,7 @@ static PyObject *evaluate_targets(PyObject *, PyObject *args) {
     {
         Py_BEGIN_ALLOW_THREADS
         mo.prepare(100);   /* length set per target inside evaluate */
+        mo.build_oprof();  /* shared read-only by the worker threads */
         int nt = nthreads < 1 ? 1 : nthreads;
         if (nt > 16) nt = 16;
         std::vector<std::thread> threads;
@@ -2441,6 +2507,7 @@ static PyObject *evaluate_targets_rows(PyObject *, PyObject *args) {
     {
         Py_BEGIN_ALLOW_THREADS
         mo.prepare(100);
+        mo.build_oprof();  /* shared read-only by the worker threads */
         int nt = nthreads < 1 ? 1 : nthreads;
         if (nt > 16) nt = 16;
         std::vector<std::thread> threads;
@@ -2836,7 +2903,277 @@ static PyObject *classify_targets_rows(PyObject *, PyObject *args) {
     return ret;
 }
 
+/* dbg_f32_score(msc, t.., bm, codes i32, Lseq): full-sequence Forward
+ * score (nats) from the exact-f32 striped engine — diagnostic for
+ * comparing the f32 value stream against the validated f64 engine. */
+static PyObject *dbg_f32_score(PyObject *, PyObject *args) {
+    PyObject *omsc, *ot[8], *ocodes;
+    int Lseq;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOOi", &omsc,
+                          &ot[0], &ot[1], &ot[2], &ot[3], &ot[4], &ot[5],
+                          &ot[6], &ot[7], &ocodes, &Lseq))
+        return NULL;
+    PyArrayObject *amsc = (PyArrayObject *)omsc;
+    Model mo;
+    mo.M = (int)PyArray_DIM(amsc, 0) - 1;
+    mo.K = (int)PyArray_DIM(amsc, 1);
+    mo.msc = (const double *)PyArray_DATA(amsc);
+    const double *tp[8];
+    npy_intp tn;
+    for (int i = 0; i < 8; i++) {
+        if (!get1d_f64(ot[i], &tp[i], &tn)) return NULL;
+    }
+    mo.t_mm = tp[0]; mo.t_mi = tp[1]; mo.t_md = tp[2]; mo.t_im = tp[3];
+    mo.t_ii = tp[4]; mo.t_dm = tp[5]; mo.t_dd = tp[6]; mo.bm = tp[7];
+    PyArrayObject *ac = (PyArrayObject *)ocodes;
+    const int32_t *codes = (const int32_t *)PyArray_DATA(ac);
+    int L = (int)PyArray_DIM(ac, 0);
+    mo.build_oprof();
+    if (!mo.oprof) {
+        PyErr_SetString(PyExc_RuntimeError, "alphabet not set");
+        return NULL;
+    }
+    stoch32::XF xf;
+    stoch32::xf_set(&xf, Lseq, mo.oprof->nj);
+    stoch32::Fwd32 f;
+    stoch32::forward_f32(*mo.oprof, xf, codes, L, &f);
+    double totscale = 0.0;
+    for (int i = 1; i <= L; i++)
+        totscale += std::log((double)f.xmx[(size_t)i * 6 + 5]);
+    double xC = (double)f.xmx[(size_t)L * 6 + 4];
+    double sc = std::log(xC * (double)xf.move[stoch32::XF_C]) + totscale;
+    return PyFloat_FromDouble(sc);
+}
+
+/* dbg_f32_forward(msc, t.., bm, codes i32, Lseq): run the exact-f32
+ * striped Forward and dump (dp [L+1, Q*12], xmx [L+1, 6]). */
+static PyObject *dbg_f32_forward(PyObject *, PyObject *args) {
+    PyObject *omsc, *ot[8], *ocodes;
+    int Lseq;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOOi", &omsc,
+                          &ot[0], &ot[1], &ot[2], &ot[3], &ot[4], &ot[5],
+                          &ot[6], &ot[7], &ocodes, &Lseq))
+        return NULL;
+    PyArrayObject *amsc = (PyArrayObject *)omsc;
+    Model mo;
+    mo.M = (int)PyArray_DIM(amsc, 0) - 1;
+    mo.K = (int)PyArray_DIM(amsc, 1);
+    mo.msc = (const double *)PyArray_DATA(amsc);
+    const double *tp[8];
+    npy_intp tn;
+    for (int i = 0; i < 8; i++) {
+        if (!get1d_f64(ot[i], &tp[i], &tn)) return NULL;
+    }
+    mo.t_mm = tp[0]; mo.t_mi = tp[1]; mo.t_md = tp[2]; mo.t_im = tp[3];
+    mo.t_ii = tp[4]; mo.t_dm = tp[5]; mo.t_dd = tp[6]; mo.bm = tp[7];
+    PyArrayObject *ac = (PyArrayObject *)ocodes;
+    const int32_t *codes = (const int32_t *)PyArray_DATA(ac);
+    int L = (int)PyArray_DIM(ac, 0);
+    mo.build_oprof();
+    if (!mo.oprof) {
+        PyErr_SetString(PyExc_RuntimeError, "alphabet not set");
+        return NULL;
+    }
+    stoch32::XF xf;
+    stoch32::xf_set(&xf, Lseq, mo.oprof->nj);
+    stoch32::Fwd32 f;
+    stoch32::forward_f32(*mo.oprof, xf, codes, L, &f);
+    int Q = f.Q;
+    npy_intp ddp[2] = {L + 1, (npy_intp)Q * 12};
+    npy_intp dxm[2] = {L + 1, 6};
+    PyArrayObject *adp = (PyArrayObject *)PyArray_SimpleNew(2, ddp,
+                                                            NPY_FLOAT32);
+    PyArrayObject *axm = (PyArrayObject *)PyArray_SimpleNew(2, dxm,
+                                                            NPY_FLOAT32);
+    if (!adp || !axm) { Py_XDECREF(adp); Py_XDECREF(axm); return NULL; }
+    std::memcpy(PyArray_DATA(adp), f.dp.data(),
+                f.dp.size() * sizeof(float));
+    std::memcpy(PyArray_DATA(axm), f.xmx.data(),
+                f.xmx.size() * sizeof(float));
+    return Py_BuildValue("NN", adp, axm);
+}
+
+/* dbg_f32_ensemble(msc, t.., bm, codes i32, Lseq, seed, nsamples):
+ * run the exact-f32 region ensemble and dump every sampled segment as
+ * (sample, i, j, k, m) i32 rows. */
+static PyObject *dbg_f32_ensemble(PyObject *, PyObject *args) {
+    PyObject *omsc, *ot[8], *ocodes;
+    int Lseq, seed, nsamples;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOOiii", &omsc,
+                          &ot[0], &ot[1], &ot[2], &ot[3], &ot[4], &ot[5],
+                          &ot[6], &ot[7], &ocodes, &Lseq, &seed,
+                          &nsamples))
+        return NULL;
+    PyArrayObject *amsc = (PyArrayObject *)omsc;
+    Model mo;
+    mo.M = (int)PyArray_DIM(amsc, 0) - 1;
+    mo.K = (int)PyArray_DIM(amsc, 1);
+    mo.msc = (const double *)PyArray_DATA(amsc);
+    const double *tp[8];
+    npy_intp tn;
+    for (int i = 0; i < 8; i++) {
+        if (!get1d_f64(ot[i], &tp[i], &tn)) return NULL;
+    }
+    mo.t_mm = tp[0]; mo.t_mi = tp[1]; mo.t_md = tp[2]; mo.t_im = tp[3];
+    mo.t_ii = tp[4]; mo.t_dm = tp[5]; mo.t_dd = tp[6]; mo.bm = tp[7];
+    PyArrayObject *ac = (PyArrayObject *)ocodes;
+    const int32_t *codes = (const int32_t *)PyArray_DATA(ac);
+    int L = (int)PyArray_DIM(ac, 0);
+    mo.build_oprof();
+    if (!mo.oprof) {
+        PyErr_SetString(PyExc_RuntimeError, "alphabet not set");
+        return NULL;
+    }
+    stoch32::XF xf;
+    stoch32::xf_set(&xf, Lseq, mo.oprof->nj);
+    stoch32::Fwd32 f;
+    stoch32::forward_f32(*mo.oprof, xf, codes, L, &f);
+    EselRng rng((uint32_t)seed);
+    std::vector<Seg> all;
+    std::vector<Seg> tsegs;
+    for (int t = 0; t < nsamples; t++) {
+        tsegs.clear();
+        stoch32::sample_trace_f32(rng, *mo.oprof, xf, f, t, &tsegs,
+                                  (std::vector<TraceStep> *)nullptr);
+        for (auto &s : tsegs) all.push_back(s);
+    }
+    npy_intp dims[2] = {(npy_intp)all.size(), 5};
+    PyArrayObject *arr = (PyArrayObject *)PyArray_SimpleNew(2, dims,
+                                                            NPY_INT32);
+    if (!arr) return NULL;
+    int32_t *p = (int32_t *)PyArray_DATA(arr);
+    for (size_t n = 0; n < all.size(); n++) {
+        p[n * 5 + 0] = all[n].t;
+        p[n * 5 + 1] = all[n].i;
+        p[n * 5 + 2] = all[n].j;
+        p[n * 5 + 3] = all[n].k;
+        p[n * 5 + 4] = all[n].m;
+    }
+    return (PyObject *)arr;
+}
+
+/* dbg_oprofile(msc, t.., bm, Lseq): dump the f32 striped profile this
+ * engine builds -> (Q, rfv [ncodes, Q*4], tfv [8Q, 4], xf [4, 2]).
+ * Diagnostic for lane-level comparison against the oracle binary's own
+ * p7_oprofile_Convert output. */
+static PyObject *dbg_oprofile(PyObject *, PyObject *args) {
+    PyObject *omsc, *ot[8];
+    int Lseq;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOi", &omsc,
+                          &ot[0], &ot[1], &ot[2], &ot[3], &ot[4], &ot[5],
+                          &ot[6], &ot[7], &Lseq))
+        return NULL;
+    PyArrayObject *amsc = (PyArrayObject *)omsc;
+    Model mo;
+    mo.M = (int)PyArray_DIM(amsc, 0) - 1;
+    mo.K = (int)PyArray_DIM(amsc, 1);
+    mo.msc = (const double *)PyArray_DATA(amsc);
+    const double *tp[8];
+    npy_intp tn;
+    for (int i = 0; i < 8; i++) {
+        if (!get1d_f64(ot[i], &tp[i], &tn)) return NULL;
+    }
+    mo.t_mm = tp[0]; mo.t_mi = tp[1]; mo.t_md = tp[2]; mo.t_im = tp[3];
+    mo.t_ii = tp[4]; mo.t_dm = tp[5]; mo.t_dd = tp[6]; mo.bm = tp[7];
+    mo.build_oprof();
+    if (!mo.oprof) {
+        PyErr_SetString(PyExc_RuntimeError, "alphabet not set");
+        return NULL;
+    }
+    const stoch32::OProfile &op = *mo.oprof;
+    stoch32::XF xf;
+    stoch32::xf_set(&xf, Lseq, op.nj);
+    npy_intp drf[2] = {op.ncodes, (npy_intp)op.Q * 4};
+    npy_intp dtf[2] = {(npy_intp)(8 * op.Q), 4};
+    npy_intp dxf[2] = {4, 2};
+    PyArrayObject *arf = (PyArrayObject *)PyArray_SimpleNew(2, drf,
+                                                            NPY_FLOAT32);
+    PyArrayObject *atf = (PyArrayObject *)PyArray_SimpleNew(2, dtf,
+                                                            NPY_FLOAT32);
+    PyArrayObject *axf = (PyArrayObject *)PyArray_SimpleNew(2, dxf,
+                                                            NPY_FLOAT32);
+    if (!arf || !atf || !axf) {
+        Py_XDECREF(arf); Py_XDECREF(atf); Py_XDECREF(axf);
+        return NULL;
+    }
+    std::memcpy(PyArray_DATA(arf), op.rfv.data(),
+                op.rfv.size() * sizeof(float));
+    std::memcpy(PyArray_DATA(atf), op.tfv.data(),
+                op.tfv.size() * sizeof(float));
+    float *px = (float *)PyArray_DATA(axf);
+    for (int s = 0; s < 4; s++) {
+        px[s * 2 + 0] = xf.move[s];
+        px[s * 2 + 1] = xf.loop[s];
+    }
+    PyObject *ret = Py_BuildValue("iNNN", op.Q, arf, atf, axf);
+    return ret;
+}
+
+/* set_icc_libm(expf_addr, logf_addr, log_addr, svml_logf4_addr): install
+ * the oracle binary's own libm entry points (mmapped in-process by
+ * witch_tpu/native/icc_libm.py) for the f32 profile-build chain.  Pass
+ * zeros to reset to glibc. */
+static PyObject *set_icc_libm(PyObject *, PyObject *args) {
+    unsigned long long a_expf, a_logf, a_log, a_svml;
+    if (!PyArg_ParseTuple(args, "KKKK", &a_expf, &a_logf, &a_log,
+                          &a_svml))
+        return NULL;
+    stoch32::g_icc.expf_ = (float (*)(float))a_expf;
+    stoch32::g_icc.logf_ = (float (*)(float))a_logf;
+    stoch32::g_icc.log_ = (double (*)(double))a_log;
+    stoch32::g_icc.svml_logf4_ = (void *)a_svml;
+    Py_RETURN_TRUE;
+}
+
+/* set_alphabet(expand f64 [num_codes, Kc], bg f64 [Kc]): store the
+ * degeneracy/background tables that enable the exact-f32 trace path.
+ * Call once (per alphabet) before the evaluate_* entry points; honored
+ * unless WITCH_TPU_F32TRACE=0. */
+static PyObject *set_alphabet(PyObject *, PyObject *args) {
+    PyObject *oexp, *obg;
+    if (!PyArg_ParseTuple(args, "OO", &oexp, &obg)) return NULL;
+    const char *off = getenv("WITCH_TPU_F32TRACE");
+    if (off && off[0] == '0') Py_RETURN_FALSE;
+    PyArrayObject *ae = (PyArrayObject *)oexp;
+    PyArrayObject *ab = (PyArrayObject *)obg;
+    if (!PyArray_Check(oexp) || PyArray_TYPE(ae) != NPY_FLOAT64 ||
+        PyArray_NDIM(ae) != 2 || !PyArray_IS_C_CONTIGUOUS(ae) ||
+        !PyArray_Check(obg) || PyArray_TYPE(ab) != NPY_FLOAT64 ||
+        PyArray_NDIM(ab) != 1 || !PyArray_IS_C_CONTIGUOUS(ab)) {
+        PyErr_SetString(PyExc_TypeError,
+                        "expand must be f64 2D, bg f64 1D");
+        return NULL;
+    }
+    int nc = (int)PyArray_DIM(ae, 0);
+    int kc = (int)PyArray_DIM(ae, 1);
+    if ((int)PyArray_DIM(ab, 0) != kc) {
+        PyErr_SetString(PyExc_ValueError, "bg length != expand cols");
+        return NULL;
+    }
+    const double *pe = (const double *)PyArray_DATA(ae);
+    const double *pb = (const double *)PyArray_DATA(ab);
+    g_alpha_expand.assign(pe, pe + (size_t)nc * kc);
+    g_alpha_bg.assign(pb, pb + kc);
+    g_alpha_ncodes = nc;
+    g_alpha_kc = kc;
+    Py_RETURN_TRUE;
+}
+
 static PyMethodDef methods[] = {
+    {"dbg_f32_score", dbg_f32_score, METH_VARARGS,
+     "diagnostic: exact-f32 striped Forward score (nats)"},
+    {"dbg_f32_ensemble", dbg_f32_ensemble, METH_VARARGS,
+     "diagnostic: exact-f32 region ensemble segment dump"},
+    {"dbg_f32_forward", dbg_f32_forward, METH_VARARGS,
+     "diagnostic: exact-f32 striped Forward matrix dump"},
+    {"dbg_oprofile", dbg_oprofile, METH_VARARGS,
+     "diagnostic: dump the exact-f32 striped profile arrays"},
+    {"set_icc_libm", set_icc_libm, METH_VARARGS,
+     "install oracle-binary libm entry points (addresses) for the "
+     "exact-f32 profile chain"},
+    {"set_alphabet", set_alphabet, METH_VARARGS,
+     "enable the exact-f32 trace path: (expand [num_codes,Kc] f64, "
+     "bg [Kc] f64) -> bool"},
     {"classify_targets_rows", classify_targets_rows, METH_VARARGS,
      "regions + multidomain split from flank rows -> "
      "(nreg, has_multi, pair_idx, ei, ej)"},

@@ -68,6 +68,10 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
     sharding already gives each host only its local shard's work.
     """
     indices = ens.indices
+    # exact-f32 stochastic-trace path in the native gate (alphabet
+    # tables are process-global; covers every _domaindef use below)
+    from .native import set_trace_alphabet
+    set_trace_alphabet(ens.molecule)
     # Guard against pathologically wide models (an insertion-heavy
     # de-novo backbone can push subset HMMs to 10^5 match states, which
     # would blow compile time + memory). Oversized models are excluded
