@@ -57,9 +57,15 @@ class PackedAlignment:
         return cls.from_records(read_fasta(path), alphabet, molecule)
 
     def to_records(self) -> Iterable[Tuple[str, str]]:
-        table = np.array(self.alphabet.code_letters(), dtype="U1")
+        # vectorized decode: code -> ascii byte lookup, one bytes->str
+        # per row (the per-character join cost ~0.8 s for the example
+        # ensemble's 141 subset FASTA artifacts)
+        table = np.frombuffer(
+            "".join(self.alphabet.code_letters()).encode("latin-1"),
+            dtype=np.uint8)
+        rows = table[self.codes]
         for i, name in enumerate(self.names):
-            yield name, "".join(table[self.codes[i]])
+            yield name, rows[i].tobytes().decode("latin-1")
 
     def write(self, dest, zipout: bool = False):
         write_fasta(self.to_records(), dest, zipout=zipout)

@@ -95,9 +95,9 @@ def evaluate_gate_device(banks, bankloc_of_col, allargs, qcodes,
             entry_loc.append((j, p, int(ei[r]), int(ej[r])))
     t1 = time.time()
 
-    # ---- stage 2: device null2 for single-envelope regions -----------
-    # one dispatch set per scoring bank (each bank is one program shape
-    # and is already device-resident from the scoring pass)
+    # ---- stages 2+3 run CONCURRENTLY: the device null2 dispatch
+    # (remote accelerator, host mostly idle waiting) overlaps the host
+    # multidomain trace ensembles (native threads, GIL released) ------
     n_e = len(entries)
     envsc = np.zeros(n_e)
     n2dot = np.zeros((n_e, 128))
@@ -111,20 +111,20 @@ def evaluate_gate_device(banks, bankloc_of_col, allargs, qcodes,
     Lq_max = max((len(qcodes[q]) for _, ql in items for q in ql),
                  default=64)
     Ld_canon = max(64, -(-Lq_max // 64) * 64)
-    for bi, bank in enumerate(banks):
-        sel = np.flatnonzero(entry_bank == bi)
-        if len(sel) == 0:
-            continue
-        es, nd, ui, ut = null2_envelopes_device(
-            bank, [entries[r] for r in sel], interpret=interpret,
-            Ldmax=Ld_canon)
-        envsc[sel] = es
-        n2dot[sel] = nd
-        useI[sel] = ui
-        usetot[sel] = ut
-    t2 = time.time()
 
-    # ---- stage 3: host engine for multidomain pairs ------------------
+    def run_device_null2():
+        for bi, bank in enumerate(banks):
+            sel = np.flatnonzero(entry_bank == bi)
+            if len(sel) == 0:
+                continue
+            es, nd, ui, ut = null2_envelopes_device(
+                bank, [entries[r] for r in sel], interpret=interpret,
+                Ldmax=Ld_canon)
+            envsc[sel] = es
+            n2dot[sel] = nd
+            useI[sel] = ui
+            usetot[sel] = ut
+
     multi_out = {}
 
     def eval_multi(args):
@@ -143,9 +143,24 @@ def evaluate_gate_device(banks, bankloc_of_col, allargs, qcodes,
             np.ascontiguousarray(ppe[sel]), 1)
         return j, out, sel
 
+    import threading
+    dev_exc = []
+
+    def dev_wrap():
+        try:
+            run_device_null2()
+        except BaseException as e:   # noqa: BLE001
+            dev_exc.append(e)
+
+    dev_thread = threading.Thread(target=dev_wrap, daemon=True)
+    dev_thread.start()
     with ThreadPoolExecutor(max_workers=nthreads) as ex:
         for j, out, sel in ex.map(eval_multi, items):
             multi_out[j] = (out, sel)
+    t2 = time.time()
+    dev_thread.join()
+    if dev_exc:
+        raise dev_exc[0]
     t3 = time.time()
 
     # ---- stage 4: assemble per-pair tuples ---------------------------
@@ -216,6 +231,8 @@ def evaluate_gate_device(banks, bankloc_of_col, allargs, qcodes,
     #   engine. The fwd64 column is supplied by the caller, so here the
     #   guard uses sbias/senv alone: boundary proximity is evaluated by
     #   the caller via `needs_exact`.
+    # t_device = overlapped device+multi window, t_multi = extra time
+    # the device dispatch ran past the host ensembles
     stats = dict(entries=len(entries), multi=sum(
         int(h.sum()) for _, h in cls.values()),
         t_classify=t1 - t0, t_device=t2 - t1, t_multi=t3 - t2,

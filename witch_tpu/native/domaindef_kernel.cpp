@@ -3109,6 +3109,52 @@ static PyObject *dbg_oprofile(PyObject *, PyObject *args) {
     return ret;
 }
 
+/* format_nats_rows(probs f64 2D, sep str): HMMER text formatting of a
+ * probability block — each row becomes "  "-joined "%.5f" of -log(p)
+ * ("*" for p == 0).  Native because the .hmm writer's per-element
+ * Python formatting dominated artifact-writing time (~3.6 s for the
+ * example ensemble). */
+static PyObject *format_nats_rows(PyObject *, PyObject *args) {
+    PyObject *oarr;
+    const char *sep;
+    if (!PyArg_ParseTuple(args, "Os", &oarr, &sep))
+        return NULL;
+    PyArrayObject *a = (PyArrayObject *)oarr;
+    if (!PyArray_Check(oarr) || PyArray_TYPE(a) != NPY_FLOAT64 ||
+        PyArray_NDIM(a) != 2 || !PyArray_IS_C_CONTIGUOUS(a)) {
+        PyErr_SetString(PyExc_TypeError, "probs must be f64 2D C-contig");
+        return NULL;
+    }
+    npy_intp N = PyArray_DIM(a, 0), K = PyArray_DIM(a, 1);
+    const double *p = (const double *)PyArray_DATA(a);
+    size_t seplen = strlen(sep);
+    PyObject *out = PyList_New(N);
+    if (!out) return NULL;
+    std::vector<char> buf;
+    buf.reserve((size_t)K * 12 + 16);
+    char num[32];
+    for (npy_intp i = 0; i < N; i++) {
+        buf.clear();
+        for (npy_intp k = 0; k < K; k++) {
+            if (k) buf.insert(buf.end(), sep, sep + seplen);
+            double v = p[i * K + k];
+            if (v == 0.0) {
+                buf.push_back('*');
+            } else {
+                double nats = -std::log(v);
+                if (nats == 0.0) nats = 0.0;   /* -0.0 -> 0.0 */
+                int n = snprintf(num, sizeof num, "%.5f", nats);
+                buf.insert(buf.end(), num, num + n);
+            }
+        }
+        PyObject *s = PyUnicode_FromStringAndSize(buf.data(),
+                                                  (Py_ssize_t)buf.size());
+        if (!s) { Py_DECREF(out); return NULL; }
+        PyList_SET_ITEM(out, i, s);
+    }
+    return out;
+}
+
 /* set_icc_libm(expf_addr, logf_addr, log_addr, svml_logf4_addr): install
  * the oracle binary's own libm entry points (mmapped in-process by
  * witch_tpu/native/icc_libm.py) for the f32 profile-build chain.  Pass
@@ -3168,6 +3214,8 @@ static PyMethodDef methods[] = {
      "diagnostic: exact-f32 striped Forward matrix dump"},
     {"dbg_oprofile", dbg_oprofile, METH_VARARGS,
      "diagnostic: dump the exact-f32 striped profile arrays"},
+    {"format_nats_rows", format_nats_rows, METH_VARARGS,
+     "HMMER text formatting of a probability block -> list of str"},
     {"set_icc_libm", set_icc_libm, METH_VARARGS,
      "install oracle-binary libm entry points (addresses) for the "
      "exact-f32 profile chain"},
