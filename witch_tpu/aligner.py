@@ -125,9 +125,24 @@ class DeviceAligner:
         Configs.runtime("  align: unihit profile build (s): %f"
                         % (_time.time() - t0))
 
+        from .hmm.align_ref import _deltas_u8
+        fused = getattr(_domaindef, "posterior_oa_pair", None)
+        deltas_of: Dict[int, list] = {}
+
+        def model_deltas(idx: int):
+            if idx not in deltas_of:
+                deltas_of[idx] = [np.ascontiguousarray(x)
+                                  for x in _deltas_u8(self.profile(idx))]
+            return deltas_of[idx]
+
         def one(pair):
             idx, codes = pair
             c = np.ascontiguousarray(codes, np.int32)
+            if fused is not None:
+                # fused posterior+OA: identical values, no numpy
+                # round-trip of the [L,M] planes (memory-bound stage)
+                return fused(*model_args(idx), c, len(c), 0,
+                             *model_deltas(idx))[:len(c)]
             ppM, ppI, ppN, ppJ, ppC = _domaindef.posterior_pair(
                 *model_args(idx), c, len(c), 0)
             return oa_columns_from_pp(

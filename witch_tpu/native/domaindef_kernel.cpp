@@ -2776,6 +2776,343 @@ static PyObject *posterior_pair(PyObject *, PyObject *args) {
     return ret;
 }
 
+/* ---- fused posterior + optimal-accuracy alignment ------------------- */
+
+/* OA fill + traceback on dense pp planes (bit-identical port of
+ * native/oa_kernel.cpp's oa_align, operating on raw pointers so the
+ * fused path below can feed it scratch buffers without the numpy
+ * round-trip).  Returns 0 on success, -1 on non-termination. */
+static int oa_core(const double *ppM, const double *ppI,
+                   const double *ppN, const double *ppJ,
+                   const double *ppC, int L, int M,
+                   const unsigned char *dmm, const unsigned char *dmi,
+                   const unsigned char *dmd, const unsigned char *dim,
+                   const unsigned char *dii, const unsigned char *ddm,
+                   const unsigned char *ddd, const unsigned char *dbm,
+                   int multihit, int64_t *cols) {
+    static const double NEG = -std::numeric_limits<double>::infinity();
+    const double DELTA_OFF = 1.1754943508222875e-38;   /* FLT_MIN */
+    const size_t rowsz = (size_t)(M + 1);
+    for (int i = 0; i < L; i++) cols[i] = -1;
+    std::vector<double> mrow0(rowsz, NEG), mrow1(rowsz, NEG),
+        irow0(rowsz, NEG), irow1(rowsz, NEG),
+        drow0(rowsz, NEG), drow1(rowsz, NEG);
+    std::vector<unsigned char> ptr((size_t)(L + 1) * rowsz, 0);
+    std::vector<double> N(L + 1, 0.0), B(L + 1, 0.0), E(L + 1, NEG),
+        J(L + 1, NEG), C(L + 1, NEG);
+    std::vector<npy_intp> ek(L + 1, 1);
+    std::vector<unsigned char> ed(L + 1, 0);
+    auto DEL = [&](unsigned char f) { return f ? 1.0 : DELTA_OFF; };
+
+    for (int i = 1; i <= L; i++) {
+        const double *pMr = (i & 1) ? mrow0.data() : mrow1.data();
+        const double *pIr = (i & 1) ? irow0.data() : irow1.data();
+        const double *pDr = (i & 1) ? drow0.data() : drow1.data();
+        double *cM = (i & 1) ? mrow1.data() : mrow0.data();
+        double *cI = (i & 1) ? irow1.data() : irow0.data();
+        double *cD = (i & 1) ? drow1.data() : drow0.data();
+        unsigned char *pt = &ptr[(size_t)i * rowsz];
+        cM[0] = NEG; cI[0] = NEG; cD[0] = NEG;
+        cD[1] = NEG;
+        double emax = NEG;
+        const double Bprev = B[i - 1];
+        double dacc = NEG;
+        const double *ppMi = ppM + (size_t)i * rowsz;
+        const double *ppIi = ppI + (size_t)i * rowsz;
+        for (int k = 1; k <= M; k++) {
+            const double pm = ppMi[k];
+            const double c0 = DEL(dmm[k - 1]) * pMr[k - 1];
+            const double c1 = DEL(dim[k - 1]) * pIr[k - 1];
+            const double c2 = DEL(ddm[k - 1]) * pDr[k - 1];
+            const double c3 = DEL(dbm[k]) * Bprev;
+            double best = c0;
+            unsigned char which = 0;
+            if (c1 > best) { best = c1; which = 1; }
+            if (c2 > best) { best = c2; which = 2; }
+            if (c3 > best) { best = c3; which = 3; }
+            const double mval = pm + best;
+            cM[k] = mval;
+            unsigned char pb = which;
+            if (k < M) {
+                const double a = DEL(dmi[k]) * pMr[k];
+                const double b = DEL(dii[k]) * pIr[k];
+                if (!(a >= b)) pb |= 4;
+                cI[k] = ppIi[k] + (a >= b ? a : b);
+            } else {
+                cI[k] = NEG;
+            }
+            if (k >= 2) {
+                const double md = DEL(dmd[k - 1]) * cM[k - 1];
+                const double dc = DEL(ddd[k - 1]) * cD[k - 1];
+                if (!(md >= dc)) pb |= 8;
+                if (md > dacc) dacc = md;
+                cD[k] = dacc;
+                if (dacc > emax) emax = dacc;
+            }
+            if (mval > emax) emax = mval;
+            pt[k] = pb;
+        }
+        {
+            double best = NEG;
+            npy_intp kmax = 1;
+            unsigned char dmx = 0;
+            for (int kk = 1; kk <= M; kk++) {
+                if (cM[kk] > best) { best = cM[kk]; kmax = kk; dmx = 0; }
+                if (cD[kk] > best) { best = cD[kk]; kmax = kk; dmx = 1; }
+            }
+            ek[i] = kmax;
+            ed[i] = dmx;
+        }
+        E[i] = emax;
+        const double jloop = (J[i - 1] == NEG) ? NEG : J[i - 1] + ppJ[i];
+        J[i] = multihit ? (jloop > emax ? jloop : emax) : jloop;
+        const double cloop = (std::isfinite(C[i - 1]))
+                                 ? C[i - 1] + ppC[i] : NEG;
+        C[i] = cloop > emax ? cloop : emax;
+        N[i] = N[i - 1] + ppN[i];
+        if (multihit && J[i] > N[i]) B[i] = J[i];
+        else B[i] = N[i];
+    }
+
+    int i = L, k = 0;
+    enum { S_C, S_J, S_E, S_M, S_I, S_D, S_B, S_N } st = S_C;
+    long max_steps = 4 * (long)(L + M) + 16;
+    long steps = 0;
+    while (!(st == S_N && i == 0)) {
+        if (++steps > max_steps || i < 0) return -1;
+        switch (st) {
+        case S_C: {
+            const double loop = (i > 0 && std::isfinite(C[i - 1]))
+                                    ? C[i - 1] + ppC[i] : NEG;
+            if (loop >= E[i]) i -= 1;
+            else st = S_E;
+            break;
+        }
+        case S_J: {
+            const double loop = (i > 0 && std::isfinite(J[i - 1]))
+                                    ? J[i - 1] + ppJ[i] : NEG;
+            if (loop >= E[i]) i -= 1;
+            else st = S_E;
+            break;
+        }
+        case S_E:
+            k = (int)ek[i];
+            st = ed[i] ? S_D : S_M;
+            break;
+        case S_M: {
+            if (i >= 1 && i <= L) cols[i - 1] = k - 1;
+            switch (ptr[(size_t)i * rowsz + k] & 3) {
+            case 0: st = S_M; k -= 1; break;
+            case 1: st = S_I; k -= 1; break;
+            case 2: st = S_D; k -= 1; break;
+            case 3: st = S_B; break;
+            }
+            i -= 1;
+            break;
+        }
+        case S_I:
+            st = (ptr[(size_t)i * rowsz + k] & 4) ? S_I : S_M;
+            i -= 1;
+            break;
+        case S_D:
+            st = S_D;
+            if (!(ptr[(size_t)i * rowsz + k] & 8)) st = S_M;
+            k -= 1;
+            break;
+        case S_B:
+            st = (multihit && J[i] > N[i]) ? S_J : S_N;
+            break;
+        case S_N:
+            i -= 1;
+            break;
+        }
+    }
+    return 0;
+}
+
+/* posterior_oa_pair(msc, t.., bm, codes, Lmodel, multihit,
+ *                   dmm..dbm u8[M+1] x8) -> aligned columns i64[L]
+ *
+ * Fused unihit posterior decode + OA fill/trace for one pair: the
+ * exact computation of posterior_pair followed by oa_align's DP, but
+ * through reusable malloc'd scratch instead of five numpy arrays —
+ * the split path moved ~100 MB per pair through zeroed/copied numpy
+ * buffers, which made the per-query alignment stage memory-bound.
+ * Outputs are bit-identical to the split path by construction. */
+static PyObject *posterior_oa_pair(PyObject *, PyObject *args) {
+    PyObject *omsc, *ot[8], *ocodes, *od[8];
+    int Lmodel, multihit;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOOiiOOOOOOOO", &omsc,
+                          &ot[0], &ot[1], &ot[2], &ot[3], &ot[4], &ot[5],
+                          &ot[6], &ot[7], &ocodes, &Lmodel, &multihit,
+                          &od[0], &od[1], &od[2], &od[3], &od[4], &od[5],
+                          &od[6], &od[7]))
+        return NULL;
+    PyArrayObject *amsc = (PyArrayObject *)omsc;
+    if (!PyArray_Check(omsc) || PyArray_TYPE(amsc) != NPY_FLOAT64 ||
+        PyArray_NDIM(amsc) != 2 || !PyArray_IS_C_CONTIGUOUS(amsc)) {
+        PyErr_SetString(PyExc_TypeError, "msc must be f64 2D");
+        return NULL;
+    }
+    if (multihit) {
+        PyErr_SetString(PyExc_ValueError,
+                        "fused path is unihit-only (the aligner's mode)");
+        return NULL;
+    }
+    Model mo;
+    mo.M = (int)PyArray_DIM(amsc, 0) - 1;
+    mo.K = (int)PyArray_DIM(amsc, 1);
+    mo.msc = (const double *)PyArray_DATA(amsc);
+    const double *tp[8];
+    npy_intp tn;
+    for (int i = 0; i < 8; i++) {
+        if (!get1d_f64(ot[i], &tp[i], &tn)) return NULL;
+        if (tn != mo.M + 1) {
+            PyErr_SetString(PyExc_ValueError, "transition length != M+1");
+            return NULL;
+        }
+    }
+    mo.t_mm = tp[0]; mo.t_mi = tp[1]; mo.t_md = tp[2]; mo.t_im = tp[3];
+    mo.t_ii = tp[4]; mo.t_dm = tp[5]; mo.t_dd = tp[6]; mo.bm = tp[7];
+    const unsigned char *du[8];
+    for (int i = 0; i < 8; i++) {
+        PyArrayObject *a = (PyArrayObject *)od[i];
+        if (!PyArray_Check(od[i]) || PyArray_TYPE(a) != NPY_UINT8 ||
+            PyArray_NDIM(a) != 1 || !PyArray_IS_C_CONTIGUOUS(a) ||
+            PyArray_DIM(a, 0) != mo.M + 1) {
+            PyErr_SetString(PyExc_TypeError,
+                            "delta flags must be u8[M+1]");
+            return NULL;
+        }
+        du[i] = (const unsigned char *)PyArray_DATA(a);
+    }
+    PyArrayObject *ac = (PyArrayObject *)ocodes;
+    if (!PyArray_Check(ocodes) || PyArray_TYPE(ac) != NPY_INT32 ||
+        PyArray_NDIM(ac) != 1 || !PyArray_IS_C_CONTIGUOUS(ac)) {
+        PyErr_SetString(PyExc_TypeError, "codes must be i32 1D");
+        return NULL;
+    }
+    const int32_t *codes = (const int32_t *)PyArray_DATA(ac);
+    int L = (int)PyArray_DIM(ac, 0);
+    for (int i = 0; i < L; i++)
+        if (codes[i] < 0 || codes[i] >= mo.K) {
+            PyErr_SetString(PyExc_ValueError, "code out of range");
+            return NULL;
+        }
+    int M = mo.M;
+    npy_intp d1 = L;
+    PyArrayObject *out = (PyArrayObject *)PyArray_SimpleNew(1, &d1,
+                                                            NPY_INT64);
+    if (!out) return NULL;
+    int64_t *cols = (int64_t *)PyArray_DATA(out);
+    int rc = 0;
+    {
+        Py_BEGIN_ALLOW_THREADS
+        mo.prepare(Lmodel);
+        mo.set_length(Lmodel, false);
+        size_t rowsz = (size_t)(M + 1);
+        /* thread-local no-init scratch, reused across pairs: fresh
+         * 16 MB allocations per call churn mmap'd pages (kernel
+         * zeroing + soft faults); write_row fills k=1..M of rows
+         * 1..L and oa_core reads exactly those cells */
+        static thread_local Darr pMv, pIv;
+        static thread_local Fwd f;
+        pMv.alloc((size_t)(L + 1) * rowsz);
+        pIv.alloc((size_t)(L + 1) * rowsz);
+        std::vector<double> pNv(L + 1, 0.0), pJv(L + 1, 0.0),
+            pCv(L + 1, 0.0);
+        double *pM = pMv.data();
+        double *pI = pIv.data();
+        /* ---- the exact posterior_pair unihit computation ---- */
+        double tot = unihit_forward(mo, codes, L, &f);
+        std::vector<double> bm0(M+1,0.0), bm1(M+1,0.0),
+            bi0(M+1,0.0), bi1(M+1,0.0), Dk(M+1,0.0);
+        std::vector<double> bNv(L+1,0.0), bCv(L+1,0.0), slv(L+1,0.0);
+        double bN = 0.0, bC = mo.move, bE = bC, sl = 0.0;
+        bNv[L] = bN; bCv[L] = bC; slv[L] = sl;
+        auto write_row = [&](int i, const double *bm_,
+                             const double *bi_, double sl_i) {
+            double sc = std::exp(f.scale_log[i] + sl_i - tot);
+            const double *fm = f.rowM(i);
+            const double *fi = f.rowI(i);
+            double *oM = &pM[(size_t)i*(M+1)];
+            double *oI = &pI[(size_t)i*(M+1)];
+            int k = 1;
+#ifdef WT_ROWS_AVX512
+            __m512d vsc = _mm512_set1_pd(sc);
+            for (; k + 7 <= M; k += 8) {
+                _mm512_storeu_pd(oM + k, _mm512_mul_pd(_mm512_mul_pd(
+                    _mm512_loadu_pd(fm + k),
+                    _mm512_loadu_pd(bm_ + k)), vsc));
+                _mm512_storeu_pd(oI + k, _mm512_mul_pd(_mm512_mul_pd(
+                    _mm512_loadu_pd(fi + k),
+                    _mm512_loadu_pd(bi_ + k)), vsc));
+            }
+#endif
+            for (; k <= M; k++) {
+                oM[k] = fm[k]*bm_[k]*sc;
+                oI[k] = fi[k]*bi_[k]*sc;
+            }
+        };
+        {
+            Dk[M] = bE;
+            for (int k = M - 1; k >= 1; k--)
+                Dk[k] = Dk[k + 1] * mo.dd[k] + bE;
+            double *bm_ = bm1.data();
+            bm_[0] = 0.0;
+            for (int k = 1; k <= M; k++)
+                bm_[k] = bE + (k < M ? Dk[k + 1] * mo.md[k] : 0.0);
+            if (L >= 1) write_row(L, bm_, bi1.data(), sl);
+        }
+        for (int i = L - 1; i >= 0; i--) {
+            const double *Mn = ((L - i) & 1) ? bm1.data() : bm0.data();
+            const double *In = ((L - i) & 1) ? bi1.data() : bi0.data();
+            double *bm_ = ((L - i) & 1) ? bm0.data() : bm1.data();
+            double *bi_ = ((L - i) & 1) ? bi0.data() : bi1.data();
+            int x = codes[i];
+            const double *ex = &mo.emX[(size_t)x * (M + 1)];
+            double Bv = row_dot3(mo.bmo.data(), ex, Mn, M);
+            bN = bN * mo.loop + Bv * mo.move;
+            bC = bC * mo.loop;
+            bE = bC;
+            row_bck_dchain(Mn, ex, mo.dm.data(), mo.dd.data(), bE,
+                           Dk.data(), M);
+            double mx = row_bck_mi(Mn, In, ex, mo.mm.data(),
+                                   mo.mi.data(), mo.md.data(),
+                                   mo.im.data(), mo.ii.data(),
+                                   Dk.data(), bE, bm_, bi_, M);
+            if (mx > 0.0 && (mx > 1e3 || mx < 1e-3)) {
+                double inv = 1.0 / mx;
+                row_scale(bm_, inv, M);
+                row_scale(bi_, inv, M);
+                bN *= inv; bC *= inv; bE *= inv;
+                row_scale(Dk.data(), inv, M);
+                sl += std::log(mx);
+            }
+            bNv[i] = bN; bCv[i] = bC; slv[i] = sl;
+            if (i >= 1) write_row(i, bm_, bi_, sl);
+        }
+        for (int i = 1; i <= L; i++) {
+            double sc1 = std::exp(f.scale_log[i-1] + slv[i] - tot);
+            pNv[i] = f.N[i-1]*mo.loop*bNv[i]*sc1;
+            pCv[i] = f.C[i-1]*mo.loop*bCv[i]*sc1;
+            pJv[i] = 0.0;
+        }
+        /* ---- OA fill + trace on the scratch planes ---- */
+        rc = oa_core(pM, pI, pNv.data(), pJv.data(), pCv.data(), L, M,
+                     du[0], du[1], du[2], du[3], du[4], du[5], du[6],
+                     du[7], 0, cols);
+        Py_END_ALLOW_THREADS
+    }
+    if (rc != 0) {
+        Py_DECREF(out);
+        PyErr_SetString(PyExc_RuntimeError,
+                        "OA traceback did not terminate");
+        return NULL;
+    }
+    return (PyObject *)out;
+}
+
 /* classify_targets_rows(lens i32[N], mocc2d f32[N,Lp1], ppB2d, ppE2d)
  *
  * Region classification WITHOUT null2/ensembles, for the device-null2
@@ -3240,6 +3577,8 @@ static PyMethodDef methods[] = {
      "AVX-512 lane-parallel gate flank rows -> (fwd, mocc, ppB, ppE)"},
     {"forward_targets_exact", forward_targets_exact, METH_VARARGS,
      "lane-parallel EXACT f64 Forward (8 lanes) -> fwd nats f64[N]"},
+    {"posterior_oa_pair", posterior_oa_pair, METH_VARARGS,
+     "fused unihit posterior + OA fill/trace -> aligned columns i64[L]"},
     {"posterior_pair", posterior_pair, METH_VARARGS,
      "dense f64 posterior decode of one pair -> (ppM, ppI, ppN, ppJ, ppC)"},
     {NULL, NULL, 0, NULL}};
