@@ -27,8 +27,9 @@ from jax.experimental.pallas import tpu as pltpu
 SCALE_FLOOR = 1e-30
 
 
-def _forward_kernel(codes_ref, qlens_ref, emT_hi_ref, emT_lo_ref,
-                    trans_ref, out_ref, *, L, Mp, QT, NQT, n_dbl):
+def _forward_kernel(codes_ref, qlens_ref, nblk_ref, emT_hi_ref,
+                    emT_lo_ref, trans_ref, out_ref, *, L, Mp, QT, NQT,
+                    n_dbl):
     t_mm = trans_ref[0, 0:1, :]
     t_mi = trans_ref[0, 1:2, :]
     t_md = trans_ref[0, 2:3, :]
@@ -131,7 +132,11 @@ def _forward_kernel(codes_ref, qlens_ref, emT_hi_ref, emT_lo_ref,
                     step_one(rows[j:j + 1, :])
                 return ()
 
-            jax.lax.fori_loop(0, L // 8, step_block, (), unroll=False)
+            # dynamic residue bound: with length-sorted queries each
+            # tile runs only to its own longest query (the wrapper
+            # compensates the skipped padded steps' C-loop factors)
+            nblk = nblk_ref[qt, 0]
+            jax.lax.fori_loop(0, nblk, step_block, (), unroll=False)
             S = scS[...]
             res = jnp.log(S[:, 3:4] * pmove) + S[:, 4:5]   # [QT, 1]
             out_ref[0, pl.ds(qt, 1), :] = res.reshape(1, QT)
@@ -185,13 +190,8 @@ def effective_n_dbl(trans: np.ndarray) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("QT", "interpret", "n_dbl"))
-def pallas_forward_nats(emT, trans, codes, qlens, QT=128, interpret=False,
-                        n_dbl=None):
-    """Forward scores (nats): emT [H,128,Mp] float32, trans [H,8,Mp],
-    codes [Q, L] int32 (Q multiple of QT), qlens [Q]. Returns [Q, H].
-    n_dbl (static) truncates the delete-chain scan; compute it with
-    effective_n_dbl(trans) on the host copy — None uses the full
-    log2(Mp) passes."""
+def _pallas_forward_nats_jit(emT, trans, codes, qlens, nblk, QT=128,
+                             interpret=False, n_dbl=None):
     H, _, Mp = emT.shape
     emT_hi = emT.astype(jnp.bfloat16)
     emT_lo = (emT - emT_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -208,6 +208,8 @@ def pallas_forward_nats(emT, trans, codes, qlens, QT=128, interpret=False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, 1), lambda h: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((NQT, 1), lambda h: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128, Mp), lambda h: (h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128, Mp), lambda h: (h, 0, 0),
@@ -221,8 +223,58 @@ def pallas_forward_nats(emT, trans, codes, qlens, QT=128, interpret=False,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(codes.T, qlens[:, None], emT_hi, emT_lo, trans)
+    )(codes.T, qlens[:, None], nblk[:, None], emT_hi, emT_lo, trans)
     return out.reshape(H, Q).T
+
+
+def pallas_forward_nats_raw(emT, trans, codes, qlens, QT=128,
+                            interpret=False, n_dbl=None):
+    """Traceable variant (usable under jit/shard_map): no host-side
+    length sorting; every tile runs the full residue loop."""
+    Q, L = codes.shape
+    NQT = Q // QT
+    nblk = jnp.full((NQT,), max(1, L // 8), jnp.int32)
+    return _pallas_forward_nats_jit(emT, trans, codes, qlens, nblk,
+                                    QT=QT, interpret=interpret,
+                                    n_dbl=n_dbl)
+
+
+def pallas_forward_nats(emT, trans, codes, qlens, QT=128, interpret=False,
+                        n_dbl=None):
+    """Forward scores (nats): emT [H,128,Mp] float32, trans [H,8,Mp],
+    codes [Q, L] int32 (Q multiple of QT), qlens [Q]. Returns [Q, H]
+    (device array).  n_dbl (static) truncates the delete-chain scan;
+    compute it with effective_n_dbl(trans) on the host copy — None
+    uses the full log2(Mp) passes.
+
+    Queries are length-sorted on the host so each QT tile's residue
+    loop runs only to its own longest query (the padded-step C-loop
+    factors the kernel no longer accumulates are added back
+    analytically, the same approximation _bits_from_nats removes).
+    Program shapes are unchanged — the dynamic bound is runtime data,
+    not a compile shape."""
+    Q, L = codes.shape
+    NQT = Q // QT
+    ql = np.asarray(qlens)
+    order = np.argsort(ql, kind="stable")
+    cs = np.ascontiguousarray(np.asarray(codes)[order])
+    ls = np.ascontiguousarray(ql[order])
+    nblk = np.zeros(NQT, np.int32)
+    for t in range(NQT):
+        mx = int(ls[t * QT:(t + 1) * QT].max(initial=1))
+        nblk[t] = max(1, -(-mx // 8))
+    out = np.asarray(_pallas_forward_nats_jit(
+        emT, trans, jnp.asarray(cs), jnp.asarray(ls),
+        jnp.asarray(nblk), QT=QT, interpret=interpret, n_dbl=n_dbl))
+    # add back the skipped padded steps' ploop factors so callers'
+    # Lpad-based correction (_bits_from_nats) stays valid unchanged
+    steps = np.repeat(nblk * 8, QT)[:Q].astype(np.float64)
+    lf = ls[:Q].astype(np.float64)
+    ploop = 1.0 - 3.0 / (lf + 3.0)
+    out = out + ((L - steps) * np.log(ploop))[:, None]
+    inv = np.empty_like(order)
+    inv[order] = np.arange(Q)
+    return out[inv]
 
 
 _DEVICE_BANK_CACHE = {}

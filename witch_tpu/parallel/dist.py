@@ -87,10 +87,10 @@ def _sharded_xla_step(mesh):
 
 @functools.cache
 def _sharded_pallas_step(mesh, QT, n_dbl=None):
-    from ..ops.pallas_forward import pallas_forward_nats
+    from ..ops.pallas_forward import pallas_forward_nats_raw
     in_specs = (P(), P(), P("data", None), P("data"))
     return jax.jit(jax.shard_map(
-        lambda emT, trans, c, l: pallas_forward_nats(
+        lambda emT, trans, c, l: pallas_forward_nats_raw(
             emT, trans, c, l, QT=QT, n_dbl=n_dbl),
         mesh=mesh, in_specs=in_specs, out_specs=P("data", None),
         check_vma=False))
