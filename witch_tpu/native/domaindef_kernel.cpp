@@ -3389,6 +3389,55 @@ static PyObject *dbg_f32_ensemble(PyObject *, PyObject *args) {
     return (PyObject *)arr;
 }
 
+/* dbg_f32_backward(msc, t.., bm, codes i32, Lseq): run the exact-f32
+ * striped Forward+Backward and dump the BACKWARD (dp, xmx). */
+static PyObject *dbg_f32_backward(PyObject *, PyObject *args) {
+    PyObject *omsc, *ot[8], *ocodes;
+    int Lseq;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOOi", &omsc,
+                          &ot[0], &ot[1], &ot[2], &ot[3], &ot[4], &ot[5],
+                          &ot[6], &ot[7], &ocodes, &Lseq))
+        return NULL;
+    PyArrayObject *amsc = (PyArrayObject *)omsc;
+    Model mo;
+    mo.M = (int)PyArray_DIM(amsc, 0) - 1;
+    mo.K = (int)PyArray_DIM(amsc, 1);
+    mo.msc = (const double *)PyArray_DATA(amsc);
+    const double *tp[8];
+    npy_intp tn;
+    for (int i = 0; i < 8; i++) {
+        if (!get1d_f64(ot[i], &tp[i], &tn)) return NULL;
+    }
+    mo.t_mm = tp[0]; mo.t_mi = tp[1]; mo.t_md = tp[2]; mo.t_im = tp[3];
+    mo.t_ii = tp[4]; mo.t_dm = tp[5]; mo.t_dd = tp[6]; mo.bm = tp[7];
+    PyArrayObject *ac = (PyArrayObject *)ocodes;
+    const int32_t *codes = (const int32_t *)PyArray_DATA(ac);
+    int L = (int)PyArray_DIM(ac, 0);
+    mo.build_oprof();
+    if (!mo.oprof) {
+        PyErr_SetString(PyExc_RuntimeError, "alphabet not set");
+        return NULL;
+    }
+    stoch32::XF xf;
+    stoch32::xf_set(&xf, Lseq, mo.oprof->nj);
+    stoch32::Fwd32 f, b;
+    stoch32::forward_f32(*mo.oprof, xf, codes, L, &f);
+    stoch32::backward_f32(*mo.oprof, xf, codes, L, f, &b);
+    int Q = b.Q;
+    npy_intp ddp[2] = {L + 1, (npy_intp)Q * 12};
+    npy_intp dxm[2] = {L + 1, 6};
+    PyArrayObject *adp = (PyArrayObject *)PyArray_SimpleNew(2, ddp,
+                                                            NPY_FLOAT32);
+    PyArrayObject *axm = (PyArrayObject *)PyArray_SimpleNew(2, dxm,
+                                                            NPY_FLOAT32);
+    if (!adp || !axm) { Py_XDECREF(adp); Py_XDECREF(axm); return NULL; }
+    std::memcpy(PyArray_DATA(adp), b.dp.data(),
+                b.dp.size() * sizeof(float));
+    std::memcpy(PyArray_DATA(axm), b.xmx.data(),
+                b.xmx.size() * sizeof(float));
+    return Py_BuildValue("NN", adp, axm);
+}
+
 /* dbg_oprofile(msc, t.., bm, Lseq): dump the f32 striped profile this
  * engine builds -> (Q, rfv [ncodes, Q*4], tfv [8Q, 4], xf [4, 2]).
  * Diagnostic for lane-level comparison against the oracle binary's own
@@ -3547,6 +3596,8 @@ static PyMethodDef methods[] = {
      "diagnostic: exact-f32 striped Forward score (nats)"},
     {"dbg_f32_ensemble", dbg_f32_ensemble, METH_VARARGS,
      "diagnostic: exact-f32 region ensemble segment dump"},
+    {"dbg_f32_backward", dbg_f32_backward, METH_VARARGS,
+     "diagnostic: exact-f32 striped Backward matrix dump"},
     {"dbg_f32_forward", dbg_f32_forward, METH_VARARGS,
      "diagnostic: exact-f32 striped Forward matrix dump"},
     {"dbg_oprofile", dbg_oprofile, METH_VARARGS,

@@ -547,6 +547,264 @@ inline void forward_f32(const OProfile &om, const XF &xf,
     }
 }
 
+/* ---------------- striped f32 Backward ------------------------------- */
+
+/* p7_Backward (impl_sse backward_engine, full matrix), exact f32
+ * stream as compiled (icc): specials accumulated in double and rounded
+ * once per value; rows share the forward's per-row scales unless xB
+ * exceeds 1e16 (then own scales, threshold 1e4); row L's divisions and
+ * all rescale divisions are double-divides rounded once to f32.
+ * Layout identical to Fwd32 ([M,D,I] per stripe + xmx rows). */
+inline void backward_f32(const OProfile &om, const XF &xf,
+                         const int32_t *codes, int L,
+                         const Fwd32 &fwd, Fwd32 *b) {
+    int Q = om.Q;
+    b->L = L; b->Q = Q;
+    b->dp.assign((size_t)(L + 1) * Q * 12, 0.0f);
+    b->xmx.assign((size_t)(L + 1) * 6, 0.0f);
+
+    double Nloop = (double)xf.loop[XF_N], Nmove = (double)xf.move[XF_N];
+    double Jloop = (double)xf.loop[XF_J], Jmove = (double)xf.move[XF_J];
+    double Cloop = (double)xf.loop[XF_C];
+    double Eloop = (double)xf.loop[XF_E], Emove = (double)xf.move[XF_E];
+
+    auto lshiftz = [](const float *src, float *dst) {
+        dst[0] = src[1]; dst[1] = src[2]; dst[2] = src[3]; dst[3] = 0.0f;
+    };
+
+    /* ---- row L ---- */
+    float xC = xf.move[XF_C];
+    float xE = (float)((double)xC * Emove);
+    float xJ = 0.0f, xN = 0.0f, xB = 0.0f;
+    bool own_scales = false;
+    double totscale = 0.0;
+    {
+        float *row = &b->dp[(size_t)L * Q * 12];
+        for (int q = 0; q < Q; q++) {
+            for (int z = 0; z < 4; z++) {
+                row[q * 12 + z] = xE;          /* M */
+                row[q * 12 + 4 + z] = xE;      /* D */
+                row[q * 12 + 8 + z] = 0.0f;    /* I */
+            }
+        }
+        /* backward DD propagation along row L: pass 1 carries the
+         * SERIALIZED updated D (full M->D + D->D extension); passes
+         * 2-4 carry the pure DD product chain, each seeded with the
+         * leftshift of the previous pass's final carry */
+        float dcv[4];
+        lshiftz(row + (Q - 1) * 12 + 4, dcv);
+        for (int q = Q - 1; q >= 0; q--) {
+            const float *tDD = om.tdd(q);
+            float *D = row + q * 12 + 4;
+            float prod[4];
+            for (int z = 0; z < 4; z++) {
+                prod[z] = dcv[z] * tDD[z];
+                D[z] = D[z] + prod[z];
+            }
+            if (q > 0) std::memcpy(dcv, D, 16);
+            else std::memcpy(dcv, prod, 16);
+        }
+        for (int j = 1; j < 4; j++) {
+            float t[4];
+            lshiftz(dcv, t);
+            std::memcpy(dcv, t, 16);
+            for (int q = Q - 1; q >= 0; q--) {
+                const float *tDD = om.tdd(q);
+                float *D = row + q * 12 + 4;
+                for (int z = 0; z < 4; z++) {
+                    dcv[z] = dcv[z] * tDD[z];
+                    D[z] = D[z] + dcv[z];
+                }
+            }
+        }
+        /* bM(k) += bD(k+1)*t_md(k): stripe q pairs with stripe q+1
+         * unshifted, wrapping to leftshift(stripe 0) at q = Q-1 */
+        for (int q = Q - 1; q >= 0; q--) {
+            const float *tMD = om.tf(q, TFV_MD);
+            float *M = row + q * 12;
+            float dsh[4];
+            if (q == Q - 1) lshiftz(row + 0 * 12 + 4, dsh);
+            else std::memcpy(dsh, row + (q + 1) * 12 + 4, 16);
+            for (int z = 0; z < 4; z++)
+                M[z] = M[z] + dsh[z] * tMD[z];
+        }
+        float scaleL = fwd.xmx[(size_t)L * 6 + XMX_SCALE];
+        if ((double)scaleL > 1.0) {
+            double s = (double)scaleL;
+            float inv = (float)(1.0 / s);
+            xE = (float)((double)xE / s);
+            xC = (float)((double)xC / s);
+            /* xJ/xB/xN are zero */
+            float *r = row;
+            for (int q = 0; q < Q; q++)
+                for (int z = 0; z < 12; z++)
+                    r[q * 12 + z] = r[q * 12 + z] * inv;
+            totscale += (double)logf(scaleL);
+        }
+        float *xr = &b->xmx[(size_t)L * 6];
+        xr[XMX_E] = xE; xr[XMX_N] = xN; xr[XMX_J] = xJ;
+        xr[XMX_B] = xB; xr[XMX_C] = xC;
+        xr[XMX_SCALE] = scaleL;
+    }
+
+    /* ---- rows L-1 .. 1 ---- */
+    for (int i = L - 1; i >= 1; i--) {
+        const float *dpp = &b->dp[(size_t)(i + 1) * Q * 12];
+        float *dpc = &b->dp[(size_t)i * Q * 12];
+        int x = codes[i];              /* dsq[i+1], 0-based codes[i] */
+        const float *rp = om.rf(x);
+
+        float mpv[4], tmmv[4], timv[4], tdmv[4];
+        {
+            float t[4];
+            for (int z = 0; z < 4; z++)
+                t[z] = dpp[0 * 12 + z] * rp[0 * 4 + z];
+            lshiftz(t, mpv);
+        }
+        lshiftz(om.tf(0, TFV_MM), tmmv);
+        lshiftz(om.tf(0, TFV_IM), timv);
+        lshiftz(om.tf(0, TFV_DM), tdmv);
+        float xBv[4] = {0.f, 0.f, 0.f, 0.f};
+        for (int q = Q - 1; q >= 0; q--) {
+            const float *ip = dpp + q * 12 + 8;
+            const float *tII = om.tf(q, TFV_II);
+            const float *tMI = om.tf(q, TFV_MI);
+            float bI[4], bD[4], bM[4];
+            for (int z = 0; z < 4; z++) {
+                bI[z] = ip[z] * tII[z] + mpv[z] * timv[z];
+                bD[z] = mpv[z] * tdmv[z];
+                bM[z] = mpv[z] * tmmv[z] + ip[z] * tMI[z];
+            }
+            std::memcpy(dpc + q * 12 + 8, bI, 16);
+            std::memcpy(dpc + q * 12 + 4, bD, 16);
+            std::memcpy(dpc + q * 12, bM, 16);
+            float Me[4];
+            const float *Mn = dpp + q * 12;
+            for (int z = 0; z < 4; z++)
+                Me[z] = Mn[z] * rp[q * 4 + z];
+            const float *tBM = om.tf(q, TFV_BM);
+            for (int z = 0; z < 4; z++)
+                xBv[z] = xBv[z] + Me[z] * tBM[z];
+            std::memcpy(mpv, Me, 16);
+            std::memcpy(tmmv, om.tf(q, TFV_MM), 16);
+            std::memcpy(timv, om.tf(q, TFV_IM), 16);
+            std::memcpy(tdmv, om.tf(q, TFV_DM), 16);
+        }
+        float b0 = xBv[0] + xBv[1];
+        float b2 = xBv[2] + xBv[3];
+        xB = b0 + b2;
+
+        float nJ = (float)((double)xJ * Jloop + (double)xB * Jmove);
+        float nC = (float)((double)xC * Cloop);
+        float nN = (float)((double)xN * Nloop + (double)xB * Nmove);
+        float nE = (float)((double)nJ * Eloop + (double)nC * Emove);
+
+        /* D chain seeded with leftshift(D(0)+E); pass 1 carries the
+         * serialized updated D and adds E into D and M; passes 2-4
+         * carry the DD product chain seeded from the previous pass's
+         * final carry */
+        float dcv[4];
+        {
+            float t[4];
+            for (int z = 0; z < 4; z++)
+                t[z] = dpc[0 * 12 + 4 + z] + nE;
+            lshiftz(t, dcv);
+        }
+        for (int q = Q - 1; q >= 0; q--) {
+            const float *tDD = om.tdd(q);
+            float *D = dpc + q * 12 + 4;
+            float *M = dpc + q * 12;
+            float prod[4], nv[4];
+            for (int z = 0; z < 4; z++) {
+                prod[z] = dcv[z] * tDD[z];
+                nv[z] = (nE + prod[z]) + D[z];
+            }
+            for (int z = 0; z < 4; z++) M[z] = M[z] + nE;
+            std::memcpy(D, nv, 16);
+            if (q > 0) std::memcpy(dcv, nv, 16);
+            else std::memcpy(dcv, prod, 16);
+        }
+        for (int j = 1; j < 4; j++) {
+            float t[4];
+            lshiftz(dcv, t);
+            std::memcpy(dcv, t, 16);
+            for (int q = Q - 1; q >= 0; q--) {
+                const float *tDD = om.tdd(q);
+                float *D = dpc + q * 12 + 4;
+                for (int z = 0; z < 4; z++) {
+                    dcv[z] = dcv[z] * tDD[z];
+                    D[z] = D[z] + dcv[z];
+                }
+            }
+        }
+        {
+            float dsh[4];
+            for (int q = Q - 1; q >= 0; q--) {
+                const float *tMD = om.tf(q, TFV_MD);
+                float *M = dpc + q * 12;
+                if (q == Q - 1) lshiftz(dpc + 0 * 12 + 4, dsh);
+                else std::memcpy(dsh, dpc + (q + 1) * 12 + 4, 16);
+                for (int z = 0; z < 4; z++)
+                    M[z] = M[z] + dsh[z] * tMD[z];
+            }
+        }
+
+        if ((double)xB > 1e16) own_scales = true;
+        float scale_i;
+        if (own_scales) {
+            scale_i = ((double)xB > 1e4) ? xB : 1.0f;
+        } else {
+            scale_i = fwd.xmx[(size_t)i * 6 + XMX_SCALE];
+        }
+        if ((double)scale_i > 1.0) {
+            double s = (double)scale_i;
+            float inv = (float)(1.0 / s);
+            nJ = (float)((double)nJ / s);
+            nC = (float)((double)nC / s);
+            nN = (float)((double)nN / s);
+            nE = (float)((double)nE / s);
+            xB = (float)((double)xB / s);
+            for (int q = 0; q < Q; q++)
+                for (int z = 0; z < 12; z++)
+                    dpc[q * 12 + z] = dpc[q * 12 + z] * inv;
+            totscale += std::log(s);
+        }
+        float *xr = &b->xmx[(size_t)i * 6];
+        xr[XMX_E] = nE; xr[XMX_N] = nN; xr[XMX_J] = nJ;
+        xr[XMX_B] = xB; xr[XMX_C] = nC;
+        xr[XMX_SCALE] = scale_i;
+        xJ = nJ; xC = nC; xN = nN;
+    }
+
+    /* ---- row 0 (specials only) ---- */
+    {
+        const float *dpp = &b->dp[(size_t)1 * Q * 12];
+        int x = codes[0];
+        const float *rp = om.rf(x);
+        float xBv[4] = {0.f, 0.f, 0.f, 0.f};
+        /* row 0 accumulates ASCENDING q (the row loop's B went
+         * descending) — order matters for the f32 sum */
+        for (int q = 0; q < Q; q++) {
+            const float *Mn = dpp + q * 12;
+            const float *tBM = om.tf(q, TFV_BM);
+            for (int z = 0; z < 4; z++)
+                xBv[z] = xBv[z] + Mn[z] * rp[q * 4 + z] * tBM[z];
+        }
+        float b0 = xBv[0] + xBv[1];
+        float b2 = xBv[2] + xBv[3];
+        xB = b0 + b2;
+        float nN = (float)((double)xN * Nloop + (double)xB * Nmove);
+        float *xr = &b->xmx[0];
+        xr[XMX_E] = 0.0f; xr[XMX_N] = nN; xr[XMX_J] = 0.0f;
+        xr[XMX_B] = xB; xr[XMX_C] = 0.0f;
+        xr[XMX_SCALE] = 1.0f;
+        b->xmx[0 + XMX_N] = nN;
+    }
+    /* totscale retained for callers via fwd-style recompute; the
+     * backward score itself is log(xN(0)) + totscale (not stored) */
+    (void)totscale;
+}
+
 /* ---------------- stochastic traceback (impl_sse/stotrace.c) --------- */
 
 /* One sampled trace.  Rng must provide random() -> double in [0,1) and
