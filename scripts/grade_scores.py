@@ -117,6 +117,15 @@ def run_ours(core, qcodes):
                 seq = sumsc
         out.append((bool(nreg[t] > 0 and nenv[t] > 0),
                     float(seq), float(sbias[t] / ln2)))
+    # exact-f32 reported-score chain (single-envelope pairs): the
+    # binary's printed score and bias (= pre - score) bit-exactly
+    exact32 = getattr(_domaindef, "exact_scores32", None)
+    if exact32 is not None:
+        okx, seqx, prex = exact32(*args, codes_list, 4)
+        for t in range(len(out)):
+            if okx[t]:
+                out[t] = (out[t][0], float(seqx[t]),
+                          float(prex[t] - seqx[t]))
     return out
 
 

@@ -751,6 +751,35 @@ static std::vector<Region> find_regions_c(const std::vector<double> &mocc,
     return out;
 }
 
+/* Bit-exact region scan on the binary's own f32 mocc/btot/etot rows.
+ * The binary's low-mass test (hmmsearch 0x449299-0x4492b2) is
+ * (mocc[i] - btot[i]) + btot[i-1] < rt2 — differences of the
+ * CUMULATIVE f32 btot/etot rows in that exact operation order, not
+ * the fresh per-position B/E posterior.  Accumulated rounding in the
+ * running sums shifts knife-edge region boundaries by one vs the
+ * fresh-posterior variant (find_regions_c). */
+static std::vector<Region> find_regions_f32(const float *mocc,
+                                            const float *btot,
+                                            const float *etot, int L) {
+    std::vector<Region> out;
+    int i2 = -1;
+    bool trig = false;
+    for (int i = 1; i <= L; i++) {
+        float mo = mocc[i];
+        if (!trig) {
+            if ((mo - btot[i]) + btot[i - 1] < 0.10f) i2 = i;
+            else if (i2 == -1) i2 = i;
+            if (mo >= 0.25f) trig = true;
+        } else if ((mo - etot[i]) + etot[i - 1] < 0.10f) {
+            out.push_back({i2 < 1 ? 1 : i2, i});
+            i2 = -1;
+            trig = false;
+        }
+    }
+    if (trig) out.push_back({i2 < 1 ? 1 : i2, L});
+    return out;
+}
+
 /* Per-target full evaluation. Returns gate info and optional null2.
  * n2sc (log odds per position, 0 outside envelopes) has length L+1. */
 struct TargetResult {
@@ -1142,6 +1171,279 @@ static void evaluate_target_rows(const Model &mo_in, const Model &mo,
             ? lw + std::log1p(std::exp(-lw))
             : std::log1p(std::exp(lw));
     }
+}
+
+/* ---- exact-f32 reported-score chain (p7_pipeline.c semantics) ------- */
+
+/* esl_vec_FSum over n floats, 16-aligned base: two 4-lane f32
+ * accumulators interleaved by 8, reduce (a0+a2)+(a1+a3), scalar tail
+ * (exact emulation of the compiled vectorized sum). */
+static float fsum_f32(const float *p, int n) {
+    if (n < 8) {
+        float s = 0.0f;
+        for (int i = 0; i < n; i++) s += p[i];
+        return s;
+    }
+    int nb = n & ~7;
+    float a0[4] = {0.f, 0.f, 0.f, 0.f}, a1[4] = {0.f, 0.f, 0.f, 0.f};
+    for (int i = 0; i < nb; i += 8) {
+        for (int z = 0; z < 4; z++) a0[z] += p[i + z];
+        for (int z = 0; z < 4; z++) a1[z] += p[i + 4 + z];
+    }
+    for (int z = 0; z < 4; z++) a0[z] += a1[z];
+    float t0 = a0[0] + a0[2];
+    float t1 = a0[1] + a0[3];
+    float s = t0 + t1;
+    for (int i = nb; i < n; i++) s += p[i];
+    return s;
+}
+
+/* p7_Null2_ByTrace, exact f32: M and I emissions of the domain's trace
+ * positions lump into one striped count plane (the binary's own
+ * behavior), normalized by 1/(float)Ld; null2[x] = striped dot with
+ * rfv + xfactor; degeneracies via FAvgScVec. */
+static void null2_by_trace_f32(const stoch32::OProfile &om,
+                               const std::vector<TraceStep> &steps,
+                               int si, int sj, float *null2) {
+    int Q = om.Q;
+    std::vector<float> counts((size_t)Q * 4, 0.0f);
+    float Ld = 0.0f;
+    int ld_i = 0;
+    for (const TraceStep &st : steps) {
+        if (st.i < si || st.i > sj) continue;
+        if (st.k > 0) {
+            int q = (st.k - 1) % Q, r = (st.k - 1) / Q;
+            counts[(size_t)q * 4 + r] += 1.0f;
+            ld_i++;
+        }
+    }
+    Ld = (float)ld_i;
+    float inv = 1.0f / Ld;
+    for (size_t n = 0; n < counts.size(); n++) counts[n] *= inv;
+    float xfactor = 0.0f;
+    int Kc = g_alpha_kc;
+    for (int x = 0; x < Kc; x++) {
+        float acc[4] = {0.f, 0.f, 0.f, 0.f};
+        const float *rp = om.rf(x);
+        for (int q = 0; q < Q; q++)
+            for (int z = 0; z < 4; z++)
+                acc[z] = acc[z] + counts[(size_t)q * 4 + z] * rp[q * 4 + z];
+        float b0 = acc[0] + acc[1];
+        float b2 = acc[2] + acc[3];
+        null2[x] = (b0 + b2) + xfactor;
+    }
+    int ncodes = om.ncodes;
+    for (int c = Kc + 1; c < ncodes; c++) {
+        float s = 0.0f;
+        int n = 0;
+        for (int y = 0; y < Kc; y++)
+            if (g_alpha_expand[(size_t)c * Kc + y] > 0.0) {
+                s += null2[y];
+                n++;
+            }
+        null2[c] = s / (float)n;
+    }
+    null2[Kc] = 1.0f;
+}
+
+/* rescore_isolated_domain's scoring half, exact f32: unihit
+ * Forward/Backward/Decoding on the envelope, Null2_ByExpectation,
+ * n2sc fill with icc logf, domcorrection f32 sum.  Returns false on
+ * the binary's eslERANGE rejection. */
+static bool rescore_isolated_f32(const Model &mo, const int32_t *codes,
+                                 int Lseq, int i, int j,
+                                 std::vector<float> &n2sc,
+                                 float *envsc_out, float *domcorr_out) {
+    const stoch32::OProfile &om = *mo.oprof;
+    int Ld = j - i + 1;
+    stoch32::XF xfu;
+    stoch32::xf_set_unihit(&xfu, Lseq);
+    static thread_local stoch32::Fwd32 f, b, pp;
+    stoch32::forward_f32(om, xfu, codes + (i - 1), Ld, &f);
+    stoch32::backward_f32(om, xfu, codes + (i - 1), Ld, f, &b);
+    if (!stoch32::decoding_f32(om, xfu, f, b, &pp))
+        return false;
+    std::vector<float> null2(om.ncodes, 0.0f);
+    stoch32::null2_by_expectation_f32(om, xfu, &pp,
+                                      g_alpha_expand.data(), g_alpha_kc,
+                                      null2.data());
+    float domcorr = 0.0f;
+    for (int pos = i; pos <= j; pos++) {
+        float v = stoch32::x_logf(null2[codes[pos - 1]]);
+        n2sc[pos] = v;
+    }
+    for (int pos = i; pos <= j; pos++) domcorr += n2sc[pos];
+    *envsc_out = f.fwdsc;
+    *domcorr_out = domcorr;
+    return true;
+}
+
+/* Exact-f32 reported score for one (model, target) pair, single-
+ * envelope regions only (multidomain regions return false -> caller
+ * keeps the f64 path).  Mirrors p7_pipeline.c's post-domaindef score
+ * assembly: seqbias via the flogsum table, reconstruction-score
+ * substitution, all f32 with double divisions by eslCONST_LOG2. */
+struct Exact32Dbg {
+    float fwdsc = 0, nullsc = 0, seqbias = 0, sum_score = 0,
+          seqbias2 = 0;
+    std::vector<float> n2sc;
+    std::vector<float> envsc, domcorr;
+};
+static Exact32Dbg *g_x32_dbg = nullptr;
+
+static bool exact32_target(const Model &mo, const int32_t *codes, int L,
+                           double *seq_bits, double *pre_bits) {
+    if (!mo.oprof || g_alpha_kc == 0) return false;
+    const stoch32::OProfile &omf = *mo.oprof;
+    stoch32::XF xff;
+    stoch32::xf_set(&xff, L, omf.nj);
+    static thread_local stoch32::Fwd32 f32full, b32full;
+    stoch32::forward_f32(omf, xff, codes, L, &f32full);
+    stoch32::backward_f32(omf, xff, codes, L, f32full, &b32full);
+    std::vector<float> mocc32(L + 1), btot(L + 1), etot(L + 1);
+    if (!stoch32::domain_decoding_f32(xff, f32full, b32full,
+                                      mocc32.data(), btot.data(),
+                                      etot.data()))
+        return false;
+    /* region scan on the binary's own f32 posterior rows with its
+     * cumulative-difference test (f64 rows and fresh-posterior
+     * differences both flip knife-edge region boundaries) */
+    std::vector<Region> regions = find_regions_f32(
+        mocc32.data(), btot.data(), etot.data(), L);
+    if (regions.empty()) return false;
+    struct Dom { float envsc, domcorr; int ienv, jenv; };
+    std::vector<Dom> doms;
+    std::vector<float> n2sc(L + 1, 0.0f);
+    for (const Region &rg : regions) {
+        float best = 0.0f;
+        for (int z = rg.i; z <= rg.j; z++) {
+            float epre = etot[z] - etot[rg.i - 1];
+            float bpost = btot[rg.j] - btot[z - 1];
+            float v = epre < bpost ? epre : bpost;
+            if (v > best) best = v;
+        }
+        if (best < 0.20f) {
+            float envsc, domcorr;
+            if (!rescore_isolated_f32(mo, codes, L, rg.i, rg.j, n2sc,
+                                      &envsc, &domcorr))
+                return false;
+            doms.push_back({envsc, domcorr, rg.i, rg.j});
+            continue;
+        }
+        /* multidomain region: exact-f32 trace ensemble + ByTrace n2sc
+         * with the binary's interleaved 1.0 gap fill, then cluster
+         * envelopes rescored (null2 already done) */
+        int Ldr = rg.j - rg.i + 1;
+        const stoch32::OProfile &omr = *mo.oprof;
+        stoch32::XF xfm2;
+        stoch32::xf_set(&xfm2, L, omr.nj);
+        static thread_local stoch32::Fwd32 rf32;
+        stoch32::forward_f32(omr, xfm2, codes + (rg.i - 1), Ldr, &rf32);
+        EselRng rng(42);
+        std::vector<Seg> segs_all;
+        std::vector<Seg> tsegs;
+        std::vector<TraceStep> steps;
+        std::vector<float> null2v(omr.ncodes, 0.0f);
+        const int NS = 200;
+        for (int t = 0; t < NS; t++) {
+            tsegs.clear();
+            steps.clear();
+            stoch32::sample_trace_f32(rng, omr, xfm2, rf32, t, &tsegs,
+                                      &steps);
+            std::reverse(tsegs.begin(), tsegs.end());
+            int cursor = 1;
+            for (const Seg &sg : tsegs) {
+                /* the binary's gap fill (hmmsearch 0x44976d-0x4497b5)
+                 * runs [cursor .. sqfrom] INCLUSIVE of the segment's
+                 * first position; null2 covers only [sqfrom+1..sqto] */
+                if (cursor <= sg.i) {
+                    for (int pos = cursor; pos <= sg.i && pos <= Ldr;
+                         pos++)
+                        n2sc[rg.i - 1 + pos] += 1.0f;
+                    cursor = sg.i + 1;
+                }
+                null2_by_trace_f32(omr, steps, sg.i, sg.j,
+                                   null2v.data());
+                if (cursor <= sg.j) {
+                    for (int pos = cursor; pos <= sg.j; pos++)
+                        n2sc[rg.i - 1 + pos] +=
+                            null2v[codes[rg.i - 1 + pos - 1]];
+                    cursor = sg.j + 1;
+                }
+                segs_all.push_back(sg);
+            }
+            for (int pos = cursor; pos <= Ldr; pos++)
+                n2sc[rg.i - 1 + pos] += 1.0f;
+        }
+        for (int pos = rg.i; pos <= rg.j; pos++)
+            n2sc[pos] = stoch32::x_logf(n2sc[pos] / (float)NS);
+        std::vector<Cluster> cls = cluster_segments(segs_all, NS);
+        std::sort(cls.begin(), cls.end(),
+                  [](const Cluster &a, const Cluster &b) {
+                      return a.i < b.i;
+                  });
+        for (const Cluster &c : cls) {
+            int ie = rg.i + c.i - 1, je = rg.i + c.j - 1;
+            stoch32::XF xfu;
+            stoch32::xf_set_unihit(&xfu, L);
+            static thread_local stoch32::Fwd32 fe;
+            stoch32::forward_f32(omr, xfu, codes + (ie - 1),
+                                 je - ie + 1, &fe);
+            float domcorr = 0.0f;
+            for (int pos = ie; pos <= je; pos++) domcorr += n2sc[pos];
+            doms.push_back({fe.fwdsc, domcorr, ie, je});
+        }
+    }
+    /* full-sequence multihit parser score (from the pass above) */
+    float fwdsc = f32full.fwdsc;
+    float nullsc = stoch32::null1_f32(L);
+    const float log_omega = (float)0.0f;   /* unused; log kept double */
+    (void)log_omega;
+    double lomega = stoch32::x_log(1.0 / 256.0);
+    float seqbias = fsum_f32(n2sc.data(), L + 1);
+    seqbias = stoch32::p7_flogsum(0.0f, (float)(lomega + (double)seqbias));
+    float pre_score = (float)(((double)(fwdsc - nullsc)) /
+                              0.69314718055994529);
+    float seq_score = (float)(((double)(fwdsc - (nullsc + seqbias))) /
+                              0.69314718055994529);
+    float sum_score = 0.0f;
+    float seqbias2 = 0.0f;
+    int Ld = 0;
+    for (const Dom &d : doms) {
+        if (d.envsc - d.domcorr > 0.0f) {
+            sum_score += d.envsc;
+            Ld += d.jenv - d.ienv + 1;
+            seqbias2 += d.domcorr;
+        }
+    }
+    seqbias2 = stoch32::p7_flogsum(0.0f,
+                                   (float)(lomega + (double)seqbias2));
+    /* sum_score += (n - Ld) * log((float)n/(float)(n+3)): the += is a
+     * double add rounded once to f32 */
+    sum_score = (float)((double)sum_score +
+                        (double)(L - Ld) *
+                            stoch32::x_log((double)((float)L /
+                                                    (float)(L + 3))));
+    float pre2 = (float)(((double)(sum_score - nullsc)) /
+                         0.69314718055994529);
+    float sum2 = (float)(((double)(sum_score - (nullsc + seqbias2))) /
+                         0.69314718055994529);
+    if (g_x32_dbg) {
+        g_x32_dbg->fwdsc = fwdsc;
+        g_x32_dbg->nullsc = nullsc;
+        g_x32_dbg->seqbias = seqbias;
+        g_x32_dbg->sum_score = sum_score;
+        g_x32_dbg->seqbias2 = seqbias2;
+        g_x32_dbg->n2sc = n2sc;
+        for (const Dom &d : doms) {
+            g_x32_dbg->envsc.push_back(d.envsc);
+            g_x32_dbg->domcorr.push_back(d.domcorr);
+        }
+    }
+    if (Ld > 0 && sum2 > seq_score) { seq_score = sum2; pre_score = pre2; }
+    *seq_bits = (double)seq_score;
+    *pre_bits = (double)pre_score;
+    return true;
 }
 
 static void evaluate_target(const Model &mo_in, const int32_t *codes,
@@ -3330,6 +3632,124 @@ static PyObject *dbg_f32_forward(PyObject *, PyObject *args) {
     return Py_BuildValue("NN", adp, axm);
 }
 
+/* dbg_exact32(msc, t.., bm, codes i32): single-pair exact-f32 score
+ * component dump -> (ok, seq, pre, fwdsc, nullsc, seqbias, sum_score,
+ * seqbias2, n2sc f32[L+1], envsc f32[D], domcorr f32[D]) */
+static PyObject *dbg_exact32(PyObject *, PyObject *args) {
+    PyObject *omsc, *ot[8], *ocodes;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOO", &omsc,
+                          &ot[0], &ot[1], &ot[2], &ot[3], &ot[4], &ot[5],
+                          &ot[6], &ot[7], &ocodes))
+        return NULL;
+    PyObject *olist = PyList_New(1);
+    Py_INCREF(ocodes);
+    PyList_SET_ITEM(olist, 0, ocodes);
+    Model mo;
+    std::vector<const int32_t *> cptrv;
+    std::vector<int> clenv;
+    bool okp = parse_model_targets(omsc, ot, olist, &mo, &cptrv, &clenv);
+    Py_DECREF(olist);
+    if (!okp) return NULL;
+    const int32_t *codes = cptrv[0];
+    int L = clenv[0];
+    mo.prepare(100);
+    mo.build_oprof();
+    Exact32Dbg dbg;
+    g_x32_dbg = &dbg;
+    double sb = 0, pb = 0;
+    bool ok = exact32_target(mo, codes, L, &sb, &pb);
+    g_x32_dbg = nullptr;
+    npy_intp dn = L + 1;
+    PyArrayObject *an = (PyArrayObject *)PyArray_SimpleNew(1, &dn,
+                                                           NPY_FLOAT32);
+    std::memcpy(PyArray_DATA(an), dbg.n2sc.empty()
+                ? std::vector<float>(L + 1, 0.f).data()
+                : dbg.n2sc.data(), (L + 1) * sizeof(float));
+    npy_intp dd = (npy_intp)dbg.envsc.size();
+    PyArrayObject *ae = (PyArrayObject *)PyArray_SimpleNew(1, &dd,
+                                                           NPY_FLOAT32);
+    PyArrayObject *ad = (PyArrayObject *)PyArray_SimpleNew(1, &dd,
+                                                           NPY_FLOAT32);
+    if (dd) {
+        std::memcpy(PyArray_DATA(ae), dbg.envsc.data(),
+                    dd * sizeof(float));
+        std::memcpy(PyArray_DATA(ad), dbg.domcorr.data(),
+                    dd * sizeof(float));
+    }
+    return Py_BuildValue("iddfffffNNN", (int)ok, sb, pb,
+                         (double)dbg.fwdsc, (double)dbg.nullsc,
+                         (double)dbg.seqbias, (double)dbg.sum_score,
+                         (double)dbg.seqbias2, an, ae, ad);
+}
+
+/* exact_scores32(msc, t.., bm, codes_list) -> (ok u8[N], seq f64[N],
+ * pre f64[N]): the exact-f32 reported-score chain per pair
+ * (single-envelope regions only; ok=0 where the f64 path must be
+ * used).  Region inputs come from the f64 flank computation exactly
+ * like evaluate_target. */
+static PyObject *exact_scores32(PyObject *, PyObject *args) {
+    PyObject *omsc, *ot[8], *olist;
+    int nthreads;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOOi", &omsc,
+                          &ot[0], &ot[1], &ot[2], &ot[3], &ot[4], &ot[5],
+                          &ot[6], &ot[7], &olist, &nthreads))
+        return NULL;
+    Model mo;
+    std::vector<const int32_t *> cptrv;
+    std::vector<int> clenv;
+    if (!parse_model_targets(omsc, ot, olist, &mo, &cptrv, &clenv))
+        return NULL;
+    Py_ssize_t N = (Py_ssize_t)cptrv.size();
+    std::vector<uint8_t> okv(N, 0);
+    std::vector<double> seqv(N, 0.0), prev_(N, 0.0);
+    {
+        Py_BEGIN_ALLOW_THREADS
+        mo.prepare(100);
+        mo.build_oprof();
+        int nt = nthreads < 1 ? 1 : nthreads;
+        if (nt > 16) nt = 16;
+        std::vector<std::thread> threads;
+        std::atomic<Py_ssize_t> next(0);
+        auto work = [&]() {
+            for (;;) {
+                Py_ssize_t n = next.fetch_add(1);
+                if (n >= N) break;
+                const int32_t *codes = cptrv[n];
+                int L = clenv[n];
+                double sb, pb;
+                if (exact32_target(mo, codes, L, &sb, &pb)) {
+                    okv[n] = 1;
+                    seqv[n] = sb;
+                    prev_[n] = pb;
+                }
+            }
+        };
+        if (nt == 1) work();
+        else {
+            for (int t = 0; t < nt; t++) threads.emplace_back(work);
+            for (auto &th : threads) th.join();
+        }
+        Py_END_ALLOW_THREADS
+    }
+    npy_intp dim = N;
+    PyArrayObject *aok = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                            NPY_UINT8);
+    PyArrayObject *asq = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                            NPY_FLOAT64);
+    PyArrayObject *apr = (PyArrayObject *)PyArray_SimpleNew(1, &dim,
+                                                            NPY_FLOAT64);
+    if (!aok || !asq || !apr) {
+        Py_XDECREF(aok); Py_XDECREF(asq); Py_XDECREF(apr);
+        return NULL;
+    }
+    for (Py_ssize_t n = 0; n < N; n++) {
+        ((uint8_t *)PyArray_DATA(aok))[n] = okv[n];
+        ((double *)PyArray_DATA(asq))[n] = seqv[n];
+        ((double *)PyArray_DATA(apr))[n] = prev_[n];
+    }
+    return Py_BuildValue("NNN", aok, asq, apr);
+}
+
 /* dbg_f32_ensemble(msc, t.., bm, codes i32, Lseq, seed, nsamples):
  * run the exact-f32 region ensemble and dump every sampled segment as
  * (sample, i, j, k, m) i32 rows. */
@@ -3436,6 +3856,61 @@ static PyObject *dbg_f32_backward(PyObject *, PyObject *args) {
     std::memcpy(PyArray_DATA(axm), b.xmx.data(),
                 b.xmx.size() * sizeof(float));
     return Py_BuildValue("NN", adp, axm);
+}
+
+/* dbg_f32_decode_rows(msc, t.., bm, codes i32): exact-f32
+ * Forward+Backward+DomainDecoding -> (mocc, btot, etot) f32[L+1]. */
+static PyObject *dbg_f32_decode_rows(PyObject *, PyObject *args) {
+    PyObject *omsc, *ot[8], *ocodes;
+    if (!PyArg_ParseTuple(args, "OOOOOOOOOO", &omsc,
+                          &ot[0], &ot[1], &ot[2], &ot[3], &ot[4], &ot[5],
+                          &ot[6], &ot[7], &ocodes))
+        return NULL;
+    PyArrayObject *amsc = (PyArrayObject *)omsc;
+    Model mo;
+    mo.M = (int)PyArray_DIM(amsc, 0) - 1;
+    mo.K = (int)PyArray_DIM(amsc, 1);
+    mo.msc = (const double *)PyArray_DATA(amsc);
+    const double *tp[8];
+    npy_intp tn;
+    for (int i = 0; i < 8; i++) {
+        if (!get1d_f64(ot[i], &tp[i], &tn)) return NULL;
+    }
+    mo.t_mm = tp[0]; mo.t_mi = tp[1]; mo.t_md = tp[2]; mo.t_im = tp[3];
+    mo.t_ii = tp[4]; mo.t_dm = tp[5]; mo.t_dd = tp[6]; mo.bm = tp[7];
+    PyArrayObject *ac = (PyArrayObject *)ocodes;
+    const int32_t *codes = (const int32_t *)PyArray_DATA(ac);
+    int L = (int)PyArray_DIM(ac, 0);
+    mo.build_oprof();
+    if (!mo.oprof) {
+        PyErr_SetString(PyExc_RuntimeError, "alphabet not set");
+        return NULL;
+    }
+    stoch32::XF xf;
+    stoch32::xf_set(&xf, L, mo.oprof->nj);
+    stoch32::Fwd32 f, b;
+    stoch32::forward_f32(*mo.oprof, xf, codes, L, &f);
+    stoch32::backward_f32(*mo.oprof, xf, codes, L, f, &b);
+    npy_intp dn = L + 1;
+    PyArrayObject *am = (PyArrayObject *)PyArray_SimpleNew(1, &dn,
+                                                           NPY_FLOAT32);
+    PyArrayObject *ab = (PyArrayObject *)PyArray_SimpleNew(1, &dn,
+                                                           NPY_FLOAT32);
+    PyArrayObject *ae = (PyArrayObject *)PyArray_SimpleNew(1, &dn,
+                                                           NPY_FLOAT32);
+    if (!am || !ab || !ae) {
+        Py_XDECREF(am); Py_XDECREF(ab); Py_XDECREF(ae);
+        return NULL;
+    }
+    bool ok = stoch32::domain_decoding_f32(
+        xf, f, b, (float *)PyArray_DATA(am), (float *)PyArray_DATA(ab),
+        (float *)PyArray_DATA(ae));
+    if (!ok) {
+        Py_DECREF(am); Py_DECREF(ab); Py_DECREF(ae);
+        PyErr_SetString(PyExc_RuntimeError, "decoding failed");
+        return NULL;
+    }
+    return Py_BuildValue("NNN", am, ab, ae);
 }
 
 /* dbg_oprofile(msc, t.., bm, Lseq): dump the f32 striped profile this
@@ -3594,12 +4069,19 @@ static PyObject *set_alphabet(PyObject *, PyObject *args) {
 static PyMethodDef methods[] = {
     {"dbg_f32_score", dbg_f32_score, METH_VARARGS,
      "diagnostic: exact-f32 striped Forward score (nats)"},
+    {"dbg_exact32", dbg_exact32, METH_VARARGS,
+     "diagnostic: exact-f32 score components for one pair"},
+    {"exact_scores32", exact_scores32, METH_VARARGS,
+     "exact-f32 reported scores (single-envelope pairs) -> "
+     "(ok, seq_bits, pre_bits)"},
     {"dbg_f32_ensemble", dbg_f32_ensemble, METH_VARARGS,
      "diagnostic: exact-f32 region ensemble segment dump"},
     {"dbg_f32_backward", dbg_f32_backward, METH_VARARGS,
      "diagnostic: exact-f32 striped Backward matrix dump"},
     {"dbg_f32_forward", dbg_f32_forward, METH_VARARGS,
      "diagnostic: exact-f32 striped Forward matrix dump"},
+    {"dbg_f32_decode_rows", dbg_f32_decode_rows, METH_VARARGS,
+     "diagnostic: exact-f32 domain-decoding mocc/btot/etot rows"},
     {"dbg_oprofile", dbg_oprofile, METH_VARARGS,
      "diagnostic: dump the exact-f32 striped profile arrays"},
     {"format_nats_rows", format_nats_rows, METH_VARARGS,

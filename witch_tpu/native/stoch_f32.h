@@ -169,6 +169,20 @@ inline void xf_set(XF *xf, int L, float nj) {
     }
 }
 
+/* p7_oprofile_ReconfigUnihit(om, L): E move=1 loop=0, nj=0. */
+inline void xf_set_unihit(XF *xf, int L) {
+    float c2 = 2.0f;
+    float nj = 0.0f;
+    float denom = ((float)L + c2) + nj;
+    float pmove = (c2 + nj) / denom;
+    float ploop = 1.0f - pmove;
+    xf->move[XF_E] = 1.0f; xf->loop[XF_E] = 0.0f;
+    for (int s = XF_N; s <= XF_C; s++) {
+        xf->move[s] = pmove;
+        xf->loop[s] = ploop;
+    }
+}
+
 /* Build the striped f32 profile from the kernel's f64 log-space model
  * arrays.  expand[num_codes][Kc] > 0 marks degeneracy membership (our
  * alphabet's canonical order matches eslDNA/eslAMINO); bg64 are the
@@ -391,6 +405,13 @@ struct Fwd32 {
     std::vector<float> dp;
     /* specials [L+1][6]: E,N,J,B,C,SCALE */
     std::vector<float> xmx;
+    /* f32 cumulative log-scale ledger and final score, accumulated
+     * exactly as the binary does (totscale stored f32, updated
+     * totscale = f32((double)totscale + log(scale)); score =
+     * f32(log((double)xC * Cmove) + (double)totscale)) */
+    float totscale = 0.0f;
+    float fwdsc = 0.0f;
+    bool own_scales = false;   /* backward only: xB exceeded 1e16 */
 
     inline float *row(int i) { return &dp[(size_t)i * Q * 12]; }
     inline const float *row(int i) const {
@@ -417,6 +438,7 @@ inline void forward_f32(const OProfile &om, const XF &xf,
     f->L = L; f->Q = Q;
     f->dp.assign((size_t)(L + 1) * Q * 12, 0.0f);
     f->xmx.assign((size_t)(L + 1) * 6, 0.0f);
+    f->totscale = 0.0f;
     float *x0 = &f->xmx[0];
     x0[XMX_E] = 0.0f; x0[XMX_N] = 1.0f; x0[XMX_J] = 0.0f;
     x0[XMX_B] = xf.move[XF_N]; x0[XMX_C] = 0.0f; x0[XMX_SCALE] = 1.0f;
@@ -538,6 +560,7 @@ inline void forward_f32(const OProfile &om, const XF &xf,
             nJ = (float)((double)nJ / dxE);
             nB = (float)((double)nB / dxE);
             scale = xE;
+            f->totscale = (float)((double)f->totscale + x_log(dxE));
             xE = 1.0f;
         }
         float *xr = &f->xmx[(size_t)i * 6];
@@ -545,6 +568,8 @@ inline void forward_f32(const OProfile &om, const XF &xf,
         xr[XMX_B] = nB; xr[XMX_C] = nC; xr[XMX_SCALE] = scale;
         xN = nN; xJ = nJ; xB = nB; xC = nC;
     }
+    f->fwdsc = (float)(x_log((double)xC * (double)xf.move[XF_C])
+                       + (double)f->totscale);
 }
 
 /* ---------------- striped f32 Backward ------------------------------- */
@@ -803,6 +828,183 @@ inline void backward_f32(const OProfile &om, const XF &xf,
     /* totscale retained for callers via fwd-style recompute; the
      * backward score itself is log(xN(0)) + totscale (not stored) */
     (void)totscale;
+    b->own_scales = own_scales;
+}
+
+/* ---------------- DomainDecoding (p7_domaindef.c) -------------------- */
+
+/* p7_DomainDecoding, exact f32 (forward-shared scales only — returns
+ * false when the backward took its own scales): fills mocc/btot/etot
+ * rows 0..L. */
+inline bool domain_decoding_f32(const XF &xf, const Fwd32 &f,
+                                const Fwd32 &b, float *mocc,
+                                float *btot, float *etot) {
+    if (b.own_scales) return false;
+    int L = f.L;
+    float totr = 1.0f / b.xmx[0 * 6 + XMX_N];
+    mocc[0] = btot[0] = etot[0] = 0.0f;
+    for (int i = 1; i <= L; i++) {
+        const float *fx1 = &f.xmx[(size_t)(i - 1) * 6];
+        const float *fxi = &f.xmx[(size_t)i * 6];
+        const float *bx1 = &b.xmx[(size_t)(i - 1) * 6];
+        const float *bxi = &b.xmx[(size_t)i * 6];
+        /* B term uses row i-1's scale lane (p7_DomainDecoding
+         * 0x44d900-0x44d918: fwd ofs +0x14 = SCALE(i-1)); the E term
+         * below uses row i's (+0x2c). They only differ at sparse-
+         * rescale rows (xE > 1e4). */
+        float dB = fx1[XMX_B] * totr * bx1[XMX_B] * fx1[XMX_SCALE];
+        btot[i] = dB + btot[i - 1];
+        float dE = fxi[XMX_E] * bxi[XMX_E] * fxi[XMX_SCALE] * totr;
+        etot[i] = dE + etot[i - 1];
+        float tN = xf.loop[XF_N] * fx1[XMX_N] * bxi[XMX_N];
+        float tJ = xf.loop[XF_J] * fx1[XMX_J] * bxi[XMX_J];
+        float tC = xf.loop[XF_C] * fx1[XMX_C] * bxi[XMX_C];
+        float acc = 0.0f;
+        acc = acc - tN;
+        acc = acc - tJ;
+        acc = acc - tC;
+        mocc[i] = acc * totr + 1.0f;
+    }
+    return !std::isinf(totr);
+}
+
+/* ---------------- posterior decoding (impl_sse decoding.c) ----------- */
+
+/* p7_Decoding: pp = f*b / total, exact f32 stream.  pp reuses the
+ * Fwd32 layout (D plane zeroed, B/E specials zeroed).  Returns false
+ * on the binary's eslERANGE condition (totr overflows to inf). */
+inline bool decoding_f32(const OProfile &om, const XF &xf,
+                         const Fwd32 &f, const Fwd32 &b, Fwd32 *pp,
+                         bool bck_own_scales = false) {
+    int Q = om.Q;
+    int L = f.L;
+    pp->L = L; pp->Q = Q;
+    pp->dp.assign((size_t)(L + 1) * Q * 12, 0.0f);
+    pp->xmx.assign((size_t)(L + 1) * 6, 0.0f);
+    float totr = 1.0f / b.xmx[0 * 6 + XMX_N];
+    for (int i = 1; i <= L; i++) {
+        float cellf = totr * f.xmx[(size_t)i * 6 + XMX_SCALE];
+        const float *fr = &f.dp[(size_t)i * Q * 12];
+        const float *br = &b.dp[(size_t)i * Q * 12];
+        float *pr = &pp->dp[(size_t)i * Q * 12];
+        for (int q = 0; q < Q; q++) {
+            for (int z = 0; z < 4; z++) {
+                pr[q * 12 + z] = fr[q * 12 + z] * br[q * 12 + z] * cellf;
+                pr[q * 12 + 4 + z] = 0.0f;
+                pr[q * 12 + 8 + z] =
+                    fr[q * 12 + 8 + z] * br[q * 12 + 8 + z] * cellf;
+            }
+        }
+        const float *fx1 = &f.xmx[(size_t)(i - 1) * 6];
+        const float *bxi = &b.xmx[(size_t)i * 6];
+        float *px = &pp->xmx[(size_t)i * 6];
+        px[XMX_E] = 0.0f;
+        px[XMX_N] = xf.loop[XF_N] * fx1[XMX_N] * bxi[XMX_N] * totr;
+        px[XMX_J] = xf.loop[XF_J] * fx1[XMX_J] * bxi[XMX_J] * totr;
+        px[XMX_C] = xf.loop[XF_C] * fx1[XMX_C] * bxi[XMX_C] * totr;
+        px[XMX_B] = 0.0f;
+        if (bck_own_scales) {
+            float r = f.xmx[(size_t)i * 6 + XMX_SCALE]
+                      / b.xmx[(size_t)i * 6 + XMX_SCALE];
+            totr = totr * r;
+        }
+    }
+    return !std::isinf(totr);
+}
+
+/* ---------------- null2 (impl_sse null2.c) --------------------------- */
+
+/* p7_Null2_ByExpectation: null2[x] for canonical codes + degeneracy
+ * averages, exact f32 stream.  pp is MODIFIED (row 0 becomes the
+ * accumulator, matching the binary).  null2 has om.ncodes entries. */
+inline void null2_by_expectation_f32(const OProfile &om, const XF &xf,
+                                     Fwd32 *pp,
+                                     const double *expand, int Kc,
+                                     float *null2) {
+    (void)xf;
+    int Q = om.Q;
+    int Ld = pp->L;
+    float *row0 = &pp->dp[0];
+    const float *row1 = &pp->dp[(size_t)1 * Q * 12];
+    std::memcpy(row0, row1, (size_t)Q * 12 * sizeof(float));
+    float accN = pp->xmx[1 * 6 + XMX_N];
+    float accJ = pp->xmx[1 * 6 + XMX_J];
+    float accC = pp->xmx[1 * 6 + XMX_C];
+    for (int i = 2; i <= Ld; i++) {
+        const float *ri = &pp->dp[(size_t)i * Q * 12];
+        for (int q = 0; q < Q; q++) {
+            for (int z = 0; z < 4; z++) {
+                row0[q * 12 + z] += ri[q * 12 + z];
+                row0[q * 12 + 8 + z] += ri[q * 12 + 8 + z];
+            }
+        }
+        accN += pp->xmx[(size_t)i * 6 + XMX_N];
+        accJ += pp->xmx[(size_t)i * 6 + XMX_J];
+        accC += pp->xmx[(size_t)i * 6 + XMX_C];
+    }
+    float inv = 1.0f / (float)Ld;
+    for (int q = 0; q < Q; q++)
+        for (int z = 0; z < 4; z++) {
+            row0[q * 12 + z] *= inv;
+            row0[q * 12 + 8 + z] *= inv;
+        }
+    accN = accN * inv;
+    accC = accC * inv;
+    accJ = accJ * inv;
+    float xfactor = (accN + accC) + accJ;
+    for (int x = 0; x < Kc; x++) {
+        float acc[4] = {0.f, 0.f, 0.f, 0.f};
+        const float *rp = om.rf(x);
+        for (int q = 0; q < Q; q++) {
+            for (int z = 0; z < 4; z++) {
+                acc[z] = acc[z] + row0[q * 12 + z] * rp[q * 4 + z]
+                         + row0[q * 12 + 8 + z];
+            }
+        }
+        float b0 = acc[0] + acc[1];
+        float b2 = acc[2] + acc[3];
+        null2[x] = (b0 + b2) + xfactor;
+    }
+    /* esl_abc_FAvgScVec: degeneracies = unweighted f32 mean of their
+     * member values; gap/nonres/missing = 1.0 */
+    int ncodes = om.ncodes;
+    for (int c = Kc + 1; c < ncodes; c++) {
+        float s = 0.0f;
+        int n = 0;
+        for (int y = 0; y < Kc; y++)
+            if (expand[(size_t)c * Kc + y] > 0.0) {
+                s += null2[y];
+                n++;
+            }
+        null2[c] = s / (float)n;
+    }
+    null2[Kc] = 1.0f;                    /* gap */
+}
+
+/* ---------------- FLogsum + null1 (p7_logsum.c / p7_bg.c) ------------ */
+
+struct FLogsumTable {
+    float tbl[16000];
+    FLogsumTable() {
+        for (int i = 0; i < 16000; i++)
+            tbl[i] = (float)x_log(1.0 + std::exp((double)-i / 1000.0));
+    }
+};
+inline float p7_flogsum(float a, float b) {
+    static FLogsumTable T;
+    float mx = a > b ? a : b;
+    float mn = a > b ? b : a;
+    if (std::isinf(mn) && mn < 0) return mx;
+    if (mx - mn >= 15.7f) return mx;
+    return mx + T.tbl[(int)((mx - mn) * 1000.0f)];
+}
+
+/* p7_bg_NullOne with p1 from p7_bg_SetLength: f32 p1, double logs,
+ * one rounding. */
+inline float null1_f32(int L) {
+    float p1 = (float)L / (float)(L + 1);
+    return (float)((double)(float)L * x_log((double)p1)
+                   + x_log(1.0 - (double)p1));
 }
 
 /* ---------------- stochastic traceback (impl_sse/stotrace.c) --------- */
