@@ -1297,9 +1297,12 @@ static bool exact32_target(const Model &mo, const int32_t *codes, int L,
     const stoch32::OProfile &omf = *mo.oprof;
     stoch32::XF xff;
     stoch32::xf_set(&xff, L, omf.nj);
+    /* full-sequence F+B: only the xmx specials are consumed below
+     * (domain decoding + fwdsc), so stream with a 2-row dp window —
+     * identical value stream, ~50 MB less traffic per pair */
     static thread_local stoch32::Fwd32 f32full, b32full;
-    stoch32::forward_f32(omf, xff, codes, L, &f32full);
-    stoch32::backward_f32(omf, xff, codes, L, f32full, &b32full);
+    stoch32::forward_f32(omf, xff, codes, L, &f32full, true);
+    stoch32::backward_f32(omf, xff, codes, L, f32full, &b32full, true);
     std::vector<float> mocc32(L + 1), btot(L + 1), etot(L + 1);
     if (!stoch32::domain_decoding_f32(xff, f32full, b32full,
                                       mocc32.data(), btot.data(),
@@ -1387,8 +1390,9 @@ static bool exact32_target(const Model &mo, const int32_t *codes, int L,
             stoch32::XF xfu;
             stoch32::xf_set_unihit(&xfu, L);
             static thread_local stoch32::Fwd32 fe;
+            /* only fe.fwdsc is consumed: stream */
             stoch32::forward_f32(omr, xfu, codes + (ie - 1),
-                                 je - ie + 1, &fe);
+                                 je - ie + 1, &fe, true);
             float domcorr = 0.0f;
             for (int pos = ie; pos <= je; pos++) domcorr += n2sc[pos];
             doms.push_back({fe.fwdsc, domcorr, ie, je});

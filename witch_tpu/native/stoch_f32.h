@@ -401,7 +401,13 @@ enum { XMX_E = 0, XMX_N, XMX_J, XMX_B, XMX_C, XMX_SCALE };
 
 struct Fwd32 {
     int L = 0, Q = 0;
-    /* rows [L+1][Q][M,D,I][4] */
+    /* 1 = streaming mode: dp holds only a 2-row window (rows i and
+     * i-1/i+1, indexed modulo 2).  The f32 value stream is unchanged —
+     * only storage differs — so xmx/totscale/fwdsc stay exact; dp rows
+     * other than the window are NOT retained (decoding / trace
+     * sampling require keep == 0). */
+    int keep = 0;
+    /* rows [L+1][Q][M,D,I][4] (or [2][...] when keep) */
     std::vector<float> dp;
     /* specials [L+1][6]: E,N,J,B,C,SCALE */
     std::vector<float> xmx;
@@ -413,9 +419,11 @@ struct Fwd32 {
     float fwdsc = 0.0f;
     bool own_scales = false;   /* backward only: xB exceeded 1e16 */
 
-    inline float *row(int i) { return &dp[(size_t)i * Q * 12]; }
+    inline float *row(int i) {
+        return &dp[(size_t)(keep ? (i & 1) : i) * Q * 12];
+    }
     inline const float *row(int i) const {
-        return &dp[(size_t)i * Q * 12];
+        return &dp[(size_t)(keep ? (i & 1) : i) * Q * 12];
     }
     inline const float *vM(int i, int q) const { return row(i) + q * 12; }
     inline const float *vD(int i, int q) const {
@@ -431,12 +439,16 @@ inline void rshift(const float *src, float *dst) {
     dst[0] = 0.0f; dst[1] = src[0]; dst[2] = src[1]; dst[3] = src[2];
 }
 
-/* forward_engine (p7_Forward, full matrix), exact f32 stream */
+/* forward_engine (p7_Forward, full matrix), exact f32 stream.
+ * stream=true keeps only a 2-row dp window (callers that need just
+ * xmx/fwdsc); the value stream is identical. */
 inline void forward_f32(const OProfile &om, const XF &xf,
-                        const int32_t *codes, int L, Fwd32 *f) {
+                        const int32_t *codes, int L, Fwd32 *f,
+                        bool stream = false) {
     int Q = om.Q;
     f->L = L; f->Q = Q;
-    f->dp.assign((size_t)(L + 1) * Q * 12, 0.0f);
+    f->keep = stream ? 1 : 0;
+    f->dp.assign((size_t)(stream ? 2 : L + 1) * Q * 12, 0.0f);
     f->xmx.assign((size_t)(L + 1) * 6, 0.0f);
     f->totscale = 0.0f;
     float *x0 = &f->xmx[0];
@@ -582,10 +594,12 @@ inline void forward_f32(const OProfile &om, const XF &xf,
  * Layout identical to Fwd32 ([M,D,I] per stripe + xmx rows). */
 inline void backward_f32(const OProfile &om, const XF &xf,
                          const int32_t *codes, int L,
-                         const Fwd32 &fwd, Fwd32 *b) {
+                         const Fwd32 &fwd, Fwd32 *b,
+                         bool stream = false) {
     int Q = om.Q;
     b->L = L; b->Q = Q;
-    b->dp.assign((size_t)(L + 1) * Q * 12, 0.0f);
+    b->keep = stream ? 1 : 0;
+    b->dp.assign((size_t)(stream ? 2 : L + 1) * Q * 12, 0.0f);
     b->xmx.assign((size_t)(L + 1) * 6, 0.0f);
 
     double Nloop = (double)xf.loop[XF_N], Nmove = (double)xf.move[XF_N];
@@ -604,7 +618,7 @@ inline void backward_f32(const OProfile &om, const XF &xf,
     bool own_scales = false;
     double totscale = 0.0;
     {
-        float *row = &b->dp[(size_t)L * Q * 12];
+        float *row = b->row(L);
         for (int q = 0; q < Q; q++) {
             for (int z = 0; z < 4; z++) {
                 row[q * 12 + z] = xE;          /* M */
@@ -674,8 +688,8 @@ inline void backward_f32(const OProfile &om, const XF &xf,
 
     /* ---- rows L-1 .. 1 ---- */
     for (int i = L - 1; i >= 1; i--) {
-        const float *dpp = &b->dp[(size_t)(i + 1) * Q * 12];
-        float *dpc = &b->dp[(size_t)i * Q * 12];
+        const float *dpp = b->row(i + 1);
+        float *dpc = b->row(i);
         int x = codes[i];              /* dsq[i+1], 0-based codes[i] */
         const float *rp = om.rf(x);
 
@@ -803,7 +817,7 @@ inline void backward_f32(const OProfile &om, const XF &xf,
 
     /* ---- row 0 (specials only) ---- */
     {
-        const float *dpp = &b->dp[(size_t)1 * Q * 12];
+        const float *dpp = b->row(1);
         int x = codes[0];
         const float *rp = om.rf(x);
         float xBv[4] = {0.f, 0.f, 0.f, 0.f};
@@ -876,6 +890,7 @@ inline bool domain_decoding_f32(const XF &xf, const Fwd32 &f,
 inline bool decoding_f32(const OProfile &om, const XF &xf,
                          const Fwd32 &f, const Fwd32 &b, Fwd32 *pp,
                          bool bck_own_scales = false) {
+    if (f.keep || b.keep) return false;   /* needs full matrices */
     int Q = om.Q;
     int L = f.L;
     pp->L = L; pp->Q = Q;

@@ -354,6 +354,17 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
 
         _gate_profile = bool(os.environ.get("WITCH_TPU_GATE_PROFILE"))
 
+        # Exact-f32 reported-score overlay (native/stoch_f32.h): the
+        # binary's own f32 SSE accumulation, applied to print-boundary-
+        # adjacent pairs so the persisted/consumed 0.1-bit scores round
+        # exactly as hmmsearch prints them (the reference consumes the
+        # printed strings, algorithm.py:579-605). WITCH_TPU_EXACT_PRINTS:
+        # "0" disables, "full" overlays every evaluated pair.
+        from .hmm.gate_device import near_print_boundary as _near_print
+        _x32 = getattr(_domaindef, "exact_scores32", None)
+        _mode32 = os.environ.get("WITCH_TPU_EXACT_PRINTS", "")
+        band32: Dict[int, set] = {}
+
         def eval_model(item):
             j, qlist = item
             t_b = time.time() if _gate_profile else 0.0
@@ -431,6 +442,18 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
             reported[q, j] = seq
             gate_ok[q, j] = bool(nreg[t] > 0 and nenv[t] > 0)
             evaluated[q, j] = True
+            if _x32 is not None and _mode32 != "0":
+                # exact-f32 print overlay candidates: pairs whose f64
+                # score sits close enough to a 0.1-bit print boundary
+                # that the binary's f32 accumulation could round the
+                # other way. Measured |f32 - f64| over 1,440 grid pairs:
+                # p90 5.8e-4, p99 1.8e-3, max 5.5e-3 (the tail scales
+                # with target length / rescale count), sum-substituted
+                # pairs ~1e-5 — hence an L-scaled band.
+                band = max(2e-3, 4.5e-6 * Lq)
+                if _mode32 == "full" or eps == float("inf") \
+                        or _near_print(seq, band):
+                    band32.setdefault(j, set()).add(q)
             return seq, eps
 
         # Device gate: the per-envelope null2 expectations (the stage's
@@ -556,6 +579,35 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                         consume(j, qlist, out, t)
             Configs.runtime("  scoring: native domaindef %d pairs (s): %f"
                             % (n_pairs, time.time() - t0))
+        if band32:
+            t0x = time.time()
+
+            def x32_model(item):
+                j, qset = item
+                qlist = sorted(qset)
+                prof = _configure(ens.cores[int(indices[j])],
+                                  multihit=True)
+                xargs = [np.ascontiguousarray(prof.msc, np.float64)] + \
+                    [np.ascontiguousarray(getattr(prof, a), np.float64)
+                     for a in ("t_mm", "t_mi", "t_md", "t_im", "t_ii",
+                               "t_dm", "t_dd", "bm")]
+                cl = [np.ascontiguousarray(qcodes[q], np.int32)
+                      for q in qlist]
+                okx, seqx, _prex = _x32(*xargs, cl, 1)
+                return j, qlist, okx, seqx
+
+            n32 = ok32 = 0
+            with ThreadPoolExecutor(max_workers=nthreads) as ex:
+                for j, qlist, okx, seqx in ex.map(
+                        x32_model, sorted(band32.items())):
+                    for t, q in enumerate(qlist):
+                        n32 += 1
+                        if okx[t]:
+                            ok32 += 1
+                            reported[q, j] = float(seqx[t])
+            Configs.runtime(
+                "  scoring: exact-f32 print overlay %d/%d pairs (s): %f"
+                % (ok32, n32, time.time() - t0x))
         # walk each query's candidates in weight-rank order; drop gated
         # pairs until num_hmms survivors are found. With
         # --full-search-results every pair was evaluated, so valid IS
