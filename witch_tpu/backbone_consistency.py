@@ -180,8 +180,13 @@ def _coo(post, s, t, cache):
 
 
 def consistency_transform(post, n: int, cutoff: float = 0.01,
-                          workers: int = 8, lens=None):
-    """One round of P'_xz = (2 P_xz + sum_{y!=x,z} P_xy P_yz) / n.
+                          workers: int = 8, lens=None, sims=None):
+    """One round of P'_xz = (2 P_xz + sum_{y!=x,z} w_y P_xy P_yz) / W.
+
+    Unweighted (sims=None): w_y = 1, W = n — the classic ProbCons
+    transform.  With `sims` ([n, n] similarity, e.g. pairwise EA),
+    w_y = sims[x, y] * sims[y, z] and W = 2 + sum w_y — MSAProbs-style
+    weighted consistency that discounts diverged relay sequences.
 
     Uses the native threaded SpGEMM (pairhmm_kernel.cpp:transform);
     falls back to scipy when the extension is absent.
@@ -189,6 +194,8 @@ def consistency_transform(post, n: int, cutoff: float = 0.01,
     import scipy.sparse as sp
 
     keys = list(post.keys())
+    if sims is not None:
+        sims = np.ascontiguousarray(sims, np.float64)
     try:
         from .native import _pairhmm
         if lens is None:
@@ -208,7 +215,7 @@ def consistency_transform(post, n: int, cutoff: float = 0.01,
               for k in keys]
         res = _pairhmm.transform(n, ks, kt, ipl, ixl, vl,
                                  np.ascontiguousarray(lens, np.int32),
-                                 float(cutoff), int(workers))
+                                 float(cutoff), int(workers), sims)
         out = {}
         for k, (ip, ix, va) in zip(keys, res):
             out[k] = sp.csr_matrix((va, ix, ip), shape=post[k].shape)
@@ -219,13 +226,20 @@ def consistency_transform(post, n: int, cutoff: float = 0.01,
     def one(key):
         x, z = key
         acc = 2.0 * post[key]
+        denom = float(n) if sims is None else 2.0
         for y in range(n):
             if y == x or y == z:
                 continue
+            w = 1.0
+            if sims is not None:
+                w = float(sims[x, y] * sims[y, z])
+                denom += w
+                if w < 1e-3:
+                    continue
             a = _get(post, x, y)
             b = _get(post, y, z)
-            acc = acc + a @ b
-        acc = acc * (1.0 / n)
+            acc = acc + w * (a @ b)
+        acc = acc * (1.0 / denom)
         acc.data[acc.data < cutoff] = 0.0
         acc.eliminate_zeros()
         return key, acc.tocsr()
@@ -442,7 +456,8 @@ def consistency_align_core(codes: List[np.ndarray], alphabet: Alphabet,
                            eps: float = 0.75, rounds: int = 1,
                            refine_rounds: int = 50, cutoff: float = 0.01,
                            kappa: Optional[float] = None,
-                           seed: int = 0, workers: int = 8, log=None):
+                           seed: int = 0, workers: int = 8,
+                           weighted: bool = False, log=None):
     """ProbCons-style alignment core.
 
     match_p/delta default to adaptive estimation (estimate_params).
@@ -472,9 +487,19 @@ def consistency_align_core(codes: List[np.ndarray], alphabet: Alphabet,
     if log:
         log("consistency: %d pair posteriors, mean EA dist %.3f"
             % (len(post), float(D[np.triu_indices(n, 1)].mean())))
+    sims = None
+    if weighted:
+        sims = np.clip(1.0 - D, 0.0, 1.0)
+        if int(weighted) >= 2:
+            # relative weighting only: normalize so the mean relay
+            # weight is ~1 (raw EA products over-crush relays in the
+            # twilight zone, measured: SP 0.875/0.789 vs 0.877/0.792)
+            m = float(sims[np.triu_indices(n, 1)].mean())
+            if m > 0:
+                sims = sims / m
     for r in range(rounds):
         post = consistency_transform(post, n, cutoff=cutoff,
-                                     workers=workers)
+                                     workers=workers, sims=sims)
 
     merges = upgma_merges(D)
     node: Dict[int, Tuple[List[int], np.ndarray]] = {

@@ -855,10 +855,27 @@ static void transpose_csr(const CsrMat &a, CsrMat &out) {
 static PyObject *transform(PyObject *, PyObject *args) {
     int n, nthreads;
     PyObject *kso, *kto, *ipl, *ixl, *vl, *lenso;
+    PyObject *simso = NULL;
     double cutoff;
-    if (!PyArg_ParseTuple(args, "iOOOOOOdi", &n, &kso, &kto, &ipl, &ixl,
-                          &vl, &lenso, &cutoff, &nthreads))
+    if (!PyArg_ParseTuple(args, "iOOOOOOdi|O", &n, &kso, &kto, &ipl, &ixl,
+                          &vl, &lenso, &cutoff, &nthreads, &simso))
         return NULL;
+    /* optional [n, n] f64 similarity: relay y weighted by
+     * sim[x][y]*sim[y][z] (MSAProbs-style weighted consistency);
+     * absent/None = unit weights = the original unweighted mean */
+    const double *sims = NULL;
+    if (simso && simso != Py_None) {
+        PyArrayObject *sa = (PyArrayObject *)simso;
+        if (!PyArray_Check(simso) || PyArray_TYPE(sa) != NPY_FLOAT64 ||
+            PyArray_NDIM(sa) != 2 || PyArray_DIM(sa, 0) != n ||
+            PyArray_DIM(sa, 1) != n ||
+            !(PyArray_FLAGS(sa) & NPY_ARRAY_C_CONTIGUOUS)) {
+            PyErr_SetString(PyExc_TypeError,
+                            "sims must be C-contiguous f64 [n, n]");
+            return NULL;
+        }
+        sims = (const double *)PyArray_DATA(sa);
+    }
     const int32_t *ks, *kt, *lens;
     npy_intp P, nn;
     if (!as_i32(kso, &ks, &P) || !as_i32(kto, &kt, &nn)) return NULL;
@@ -916,6 +933,7 @@ static PyObject *transform(PyObject *, PyObject *args) {
         auto worker = [&]() {
             std::vector<double> acc;
             std::vector<int32_t> touched;
+            std::vector<double> wy;
             for (;;) {
                 npy_intp p = next.fetch_add(1);
                 if (p >= P) break;
@@ -928,7 +946,20 @@ static PyObject *transform(PyObject *, PyObject *args) {
                 out.indptr.assign((size_t)Lx + 1, 0);
                 acc.assign((size_t)Lz, 0.0);
                 touched.clear();
-                const double invn = 1.0 / (double)n;
+                /* relay weights + denominator for this (x, z) */
+                wy.assign((size_t)n, 1.0);
+                double denom = (double)n;
+                if (sims) {
+                    denom = 2.0;
+                    for (int y = 0; y < n; y++) {
+                        if (y == x || y == z) continue;
+                        double w = sims[(size_t)x * n + y] *
+                                   sims[(size_t)y * n + z];
+                        wy[(size_t)y] = w;
+                        denom += w;
+                    }
+                }
+                const double invn = 1.0 / denom;
                 for (npy_intp i = 0; i < Lx; i++) {
                     /* direct term (x2) */
                     for (int64_t k = pxz.indptr[(size_t)i];
@@ -940,13 +971,14 @@ static PyObject *transform(PyObject *, PyObject *args) {
                     /* sum over intermediates */
                     for (int y = 0; y < n; y++) {
                         if (y == x || y == z) continue;
+                        if (sims && wy[(size_t)y] < 1e-3) continue;
                         const CsrMat *pxy = table[(size_t)x * n + y];
                         const CsrMat *pyz = table[(size_t)y * n + z];
                         if (!pxy || !pyz) continue;
                         for (int64_t k = pxy->indptr[(size_t)i];
                              k < pxy->indptr[(size_t)i + 1]; k++) {
                             int32_t j = pxy->idx[(size_t)k];
-                            double v = pxy->val[(size_t)k];
+                            double v = wy[(size_t)y] * pxy->val[(size_t)k];
                             for (int64_t q = pyz->indptr[(size_t)j];
                                  q < pyz->indptr[(size_t)j + 1]; q++) {
                                 int32_t c = pyz->idx[(size_t)q];
