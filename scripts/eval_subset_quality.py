@@ -68,7 +68,7 @@ def main():
     clusters = [c for c in split if len(c)]
     order = np.argsort([-len(c) for c in clusters])
     if cids is None:
-        cids = [int(order[0]), int(order[2])]
+        cids = [int(order[i]) for i in (0, 2) if i < len(order)]
     for ci in cids:
         idx = clusters[ci]
         rows_g = [int(i) for i in idx]

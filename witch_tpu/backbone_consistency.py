@@ -213,9 +213,18 @@ def consistency_transform(post, n: int, cutoff: float = 0.01,
                for k in keys]
         vl = [np.ascontiguousarray(post[k].data, np.float32)
               for k in keys]
-        res = _pairhmm.transform(n, ks, kt, ipl, ixl, vl,
-                                 np.ascontiguousarray(lens, np.int32),
-                                 float(cutoff), int(workers), sims)
+        args9 = (n, ks, kt, ipl, ixl, vl,
+                 np.ascontiguousarray(lens, np.int32),
+                 float(cutoff), int(workers))
+        try:
+            res = _pairhmm.transform(*args9, sims)
+        except TypeError:
+            # Stale pre-sims _pairhmm.so (autobuild only fires when the
+            # .so is missing): retry the legacy 9-arg signature when the
+            # weighted path was not requested, else rebuild via scipy.
+            if sims is not None:
+                raise ImportError("stale _pairhmm.so lacks sims support")
+            res = _pairhmm.transform(*args9)
         out = {}
         for k, (ip, ix, va) in zip(keys, res):
             out[k] = sp.csr_matrix((va, ix, ip), shape=post[k].shape)

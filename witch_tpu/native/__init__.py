@@ -24,9 +24,26 @@ _MODULES = ("_oa", "_pairhmm", "_domaindef")
 
 def _have_all():
     import importlib.util
-    return all(
-        importlib.util.find_spec("witch_tpu.native." + m) is not None
-        for m in _MODULES)
+    if not all(
+            importlib.util.find_spec("witch_tpu.native." + m) is not None
+            for m in _MODULES):
+        return False
+    # staleness: rebuild when any kernel source is newer than the
+    # oldest .so (a stale ABI can otherwise raise TypeError at call
+    # sites far from the import)
+    try:
+        import glob
+        sos = glob.glob(os.path.join(_HERE, "*.so"))
+        srcs = (glob.glob(os.path.join(_HERE, "*.cpp"))
+                + glob.glob(os.path.join(_HERE, "*.h")))
+        if sos and srcs:
+            oldest_so = min(os.path.getmtime(p) for p in sos)
+            newest_src = max(os.path.getmtime(p) for p in srcs)
+            if newest_src > oldest_so:
+                return False
+    except OSError:
+        pass
+    return True
 
 
 def _build_inplace():

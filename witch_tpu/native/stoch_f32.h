@@ -37,6 +37,7 @@
 
 #include <immintrin.h>
 
+#include <cassert>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -937,6 +938,7 @@ inline void null2_by_expectation_f32(const OProfile &om, const XF &xf,
                                      const double *expand, int Kc,
                                      float *null2) {
     (void)xf;
+    assert(!pp->keep && "null2_by_expectation_f32 needs full pp rows");
     int Q = om.Q;
     int Ld = pp->L;
     float *row0 = &pp->dp[0];
@@ -1034,6 +1036,7 @@ inline void sample_trace_f32(Rng &rng, const OProfile &om, const XF &xf,
                              const Fwd32 &f, int t,
                              std::vector<SegT> *segs,
                              std::vector<StepT> *steps) {
+    assert(!f.keep && "sample_trace_f32 needs a full (non-streamed) matrix");
     int L = f.L, Q = f.Q, M = om.M;
     int i = L;
     char st = 'C';

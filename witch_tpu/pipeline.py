@@ -364,6 +364,7 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
         _x32 = getattr(_domaindef, "exact_scores32", None)
         _mode32 = os.environ.get("WITCH_TPU_EXACT_PRINTS", "")
         band32: Dict[int, set] = {}
+        band_of: Dict[tuple, float] = {}
 
         def eval_model(item):
             j, qlist = item
@@ -450,10 +451,20 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                 # p90 5.8e-4, p99 1.8e-3, max 5.5e-3 (the tail scales
                 # with target length / rescale count), sum-substituted
                 # pairs ~1e-5 — hence an L-scaled band.
+                # Residual-risk envelope: the band is EMPIRICAL, not a
+                # bound — for Lq < ~1200 the L-scaled term sits below
+                # the measured p100 (5.5e-3), so a boundary pair
+                # outside the band on new data would keep its f64
+                # print. The overlay loop below measures |f32-f64| on
+                # every re-evaluated pair and warns when the band no
+                # longer covers the observed deltas
+                # (WITCH_TPU_EXACT_PRINTS=full is the exhaustive
+                # escape hatch).
                 band = max(2e-3, 4.5e-6 * Lq)
                 if _mode32 == "full" or eps == float("inf") \
                         or _near_print(seq, band):
                     band32.setdefault(j, set()).add(q)
+                    band_of[(q, j)] = band
             return seq, eps
 
         # Device gate: the per-envelope null2 expectations (the stage's
@@ -597,6 +608,7 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                 return j, qlist, okx, seqx
 
             n32 = ok32 = 0
+            band_cover = 0.0       # max observed |f32-f64| / band
             with ThreadPoolExecutor(max_workers=nthreads) as ex:
                 for j, qlist, okx, seqx in ex.map(
                         x32_model, sorted(band32.items())):
@@ -604,10 +616,22 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                         n32 += 1
                         if okx[t]:
                             ok32 += 1
+                            b = band_of.get((q, j))
+                            if b:
+                                d = abs(float(seqx[t]) - reported[q, j])
+                                band_cover = max(band_cover, d / b)
                             reported[q, j] = float(seqx[t])
             Configs.runtime(
-                "  scoring: exact-f32 print overlay %d/%d pairs (s): %f"
-                % (ok32, n32, time.time() - t0x))
+                "  scoring: exact-f32 print overlay %d/%d pairs "
+                "(band cover %.2f) (s): %f"
+                % (ok32, n32, band_cover, time.time() - t0x))
+            if band_cover >= 1.0 and _mode32 != "full":
+                Configs.warning(
+                    "exact-f32 overlay: observed |f32-f64| delta "
+                    "(%.1fx band) exceeds the empirical candidate band "
+                    "on this data — out-of-band pairs may keep f64 "
+                    "prints; rerun with WITCH_TPU_EXACT_PRINTS=full "
+                    "for guaranteed print-exactness" % band_cover)
         # walk each query's candidates in weight-rank order; drop gated
         # pairs until num_hmms survivors are found. With
         # --full-search-results every pair was evaluated, so valid IS
