@@ -67,6 +67,14 @@ class PackedAlignment:
         for i, name in enumerate(self.names):
             yield name, rows[i].tobytes().decode("latin-1")
 
+    def to_bytes_matrix(self) -> np.ndarray:
+        """Decoded [n_rows, n_cols] uint8 ASCII matrix (no string
+        round-trip — the merge stage overlays bytes directly)."""
+        table = np.frombuffer(
+            "".join(self.alphabet.code_letters()).encode("latin-1"),
+            dtype=np.uint8)
+        return table[self.codes]
+
     def write(self, dest, zipout: bool = False):
         write_fasta(self.to_records(), dest, zipout=zipout)
 

@@ -163,11 +163,31 @@ def evaluate_gate_device(banks, bankloc_of_col, allargs, qcodes,
         raise dev_exc[0]
     t3 = time.time()
 
-    # ---- stage 4: assemble per-pair tuples ---------------------------
-    # per (j, p): seqbias, senv, sbsum, ld from device regions
+    # ---- stage 4: assemble per-pair tuples (vectorized over the
+    # whole entry batch: per-entry residue histograms via one bincount
+    # on a flattened key, then np.add.at scatter into per-pair sums) --
     per_pair: Dict[Tuple[int, int], List[int]] = {}
     for r, (j, p, ei, ej) in enumerate(entry_loc):
         per_pair.setdefault((j, p), []).append(r)
+
+    if n_e:
+        Ldr_a = np.array([len(entries[r][1]) for r in range(n_e)],
+                         np.float64)
+        flat_codes = np.concatenate([entries[r][1] for r in range(n_e)])
+        flat_r = np.repeat(np.arange(n_e), Ldr_a.astype(np.int64))
+        counts_m = np.bincount(flat_r * 128 + flat_codes,
+                               minlength=n_e * 128).reshape(n_e, 128)
+        xocc_a = np.maximum(Ldr_a - usetot, 0.0)
+        n2x_m = (n2dot + useI[:, None] + xocc_a[:, None]) / Ldr_a[:, None]
+        with np.errstate(divide="ignore"):
+            logs_m = np.log(np.maximum(n2x_m, 1e-30))
+        n2sum_a = np.einsum("ij,ij->i", counts_m.astype(np.float64),
+                            logs_m)
+        margin_a = envsc - n2sum_a
+        near_a = np.abs(margin_a) < GUARD_NATS
+        pos_a = margin_a > 0.0
+    else:
+        n2sum_a = near_a = pos_a = Ldr_a = np.zeros(0)
 
     results = {}
     guard: Dict[int, List[int]] = {}
@@ -185,30 +205,16 @@ def evaluate_gate_device(banks, bankloc_of_col, allargs, qcodes,
                 # host engine: no regions -> early return, seqbias
                 # stays 0 (evaluate_target_rows)
                 continue
-            rows = per_pair.get((j, p), [])
-            s_total = 0.0
-            near = False
-            for r in rows:
-                _, sub, _ = entries[r]
-                Ldr = len(sub)
-                xocc = max(Ldr - usetot[r], 0.0)
-                n2x = (n2dot[r] + useI[r] + xocc) / Ldr
-                counts = np.bincount(sub, minlength=128)
-                obs = np.flatnonzero(counts)
-                n2sum = float(
-                    (counts[obs]
-                     * np.log(np.maximum(n2x[obs], 1e-30))).sum())
-                s_total += n2sum
-                margin = envsc[r] - n2sum
-                if abs(margin) < GUARD_NATS:
-                    near = True
-                if margin > 0.0:
-                    senv[p] += envsc[r]
-                    sbsum[p] += n2sum
-                    ld[p] += Ldr
+            rows = np.asarray(per_pair.get((j, p), []), np.int64)
+            s_total = float(n2sum_a[rows].sum()) if len(rows) else 0.0
+            if len(rows):
+                if near_a[rows].any():
+                    guard.setdefault(j, []).append(p)
+                sel_r = rows[pos_a[rows]]
+                senv[p] = float(envsc[sel_r].sum())
+                sbsum[p] = float(n2sum_a[sel_r].sum())
+                ld[p] = int(Ldr_a[sel_r].sum())
             sbias[p] = _flogsum0(OMEGA_LOG + s_total)
-            if near:
-                guard.setdefault(j, []).append(p)
         out, sel = multi_out[j]
         if out is not None:
             mreg, menv, msbias, _mf, msenv, msbsum, mld = out

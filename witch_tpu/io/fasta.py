@@ -46,6 +46,23 @@ def read_fasta(src, remove_gaps: bool = False) -> Iterator[Tuple[str, str]]:
             fobj.close()
 
 
+def write_fasta_bytes(names, mat, dest):
+    """Write rows of a uint8 ASCII matrix as FASTA (no string
+    round-trip; the merge stage's output writer)."""
+    import numpy as np
+    if isinstance(dest, str) and dest.endswith(".gz"):
+        import gzip as _gz
+        with _gz.open(dest, "wb", compresslevel=6) as f:
+            for name, row in zip(names, np.asarray(mat)):
+                f.write(b">" + name.encode("latin-1") + b"\n"
+                        + row.tobytes() + b"\n")
+        return
+    with open(dest, "wb") as f:
+        for name, row in zip(names, np.asarray(mat)):
+            f.write(b">" + name.encode("latin-1") + b"\n"
+                    + row.tobytes() + b"\n")
+
+
 def write_fasta(records: Iterable[Tuple[str, str]], dest, zipout: bool = False):
     """Write (name, seq) records to a path or file object."""
     if isinstance(dest, str):

@@ -46,6 +46,78 @@ def parse_query_row(row: str, backbone_length: int):
     return match_chars, {g: "".join(v) for g, v in runs.items()}
 
 
+def _parse_row_vec(row: str, L: int):
+    """Vectorized parse_query_row: returns (match_bytes [L] uint8,
+    ins_positions, ins_boundary g per insertion char, ins_rank within
+    its run, ins_bytes)."""
+    a = np.frombuffer(row.encode("latin-1"), np.uint8)
+    low = (a >= 97) & (a <= 122)
+    up = ~low
+    mc = a[up]
+    if len(mc) != L:
+        raise ValueError(
+            "query row covers %d backbone columns, expected %d"
+            % (len(mc), L))
+    lows = np.flatnonzero(low)
+    if len(lows) == 0:
+        return mc, lows, lows, lows, a[lows]
+    cum = np.cumsum(up)
+    g = cum[lows]                      # boundary: #match chars before
+    # insertions at one boundary are consecutive -> rank = index - run
+    # start (runs delimited by changes in g)
+    starts = np.r_[0, np.flatnonzero(np.diff(g)) + 1]
+    counts = np.diff(np.r_[starts, len(g)])
+    rank = np.arange(len(g)) - np.repeat(starts, counts)
+    return mc, lows, g, rank, a[lows]
+
+
+def merge_rows_bytes(backbone_names: Sequence[str],
+                     backbone_mat: np.ndarray,
+                     query_rows: Sequence[Tuple[str, str]],
+                     collapse_singletons: bool = True):
+    """Matrix-form merge: returns (names, out_mat [n, total] uint8,
+    insertion_mask). The string-API merge_rows wraps this."""
+    n_bb, L = backbone_mat.shape
+    parsed = []
+    run_len = np.zeros(L + 1, dtype=np.int64)
+    qoff = []                      # per query: offset array aligned to g
+    for name, row in query_rows:
+        mc, lows, g, rank, ib = _parse_row_vec(row, L)
+        parsed.append((name, mc, g, rank, ib))
+        if len(g) == 0:
+            qoff.append(np.zeros(0, np.int64))
+            continue
+        if collapse_singletons:
+            counts = np.bincount(g, minlength=L + 1)
+            np.maximum(run_len, counts, out=run_len)
+            qoff.append(np.zeros(len(g), np.int64))
+        else:
+            off = run_len[g].copy()     # start before this query's runs
+            qoff.append(off)
+            np.add.at(run_len, g, 1)
+    # output layout: [runs@0][col0][runs@1][col1]...[colL-1][runs@L]
+    csum = np.cumsum(run_len)
+    total = int(L + csum[-1])
+    run_pos = np.r_[0, csum[:-1]] + np.arange(L + 1)   # start of runs@g
+    col_pos = run_pos[:L] + run_len[:L]                # backbone col g
+    ins_mask = np.ones(total, dtype=bool)
+    ins_mask[col_pos] = False
+    names = list(backbone_names)
+    out = np.full((n_bb + len(parsed), total), ord("-"), np.uint8)
+    out[:n_bb, col_pos] = backbone_mat
+    for qi, ((name, mc, g, rank, ib), off) in enumerate(zip(parsed,
+                                                            qoff)):
+        r = n_bb + qi
+        out[r, col_pos] = mc
+        if len(g):
+            if collapse_singletons:
+                out[r, run_pos[g] + rank] = ib
+            else:
+                out[r, run_pos[g] + off + rank] = ib
+        names.append(name)
+    return names, out, ins_mask
+
+
 def merge_rows(backbone_records: Sequence[Tuple[str, str]],
                query_rows: Sequence[Tuple[str, str]],
                collapse_singletons: bool = True):
@@ -63,50 +135,15 @@ def merge_rows(backbone_records: Sequence[Tuple[str, str]],
     """
     if not backbone_records:
         raise ValueError("empty backbone")
-    L = len(backbone_records[0][1])
-    parsed = []
-    run_len = np.zeros(L + 1, dtype=np.int64)
-    qrun_off = []                 # per query: boundary -> offset in run
-    for name, row in query_rows:
-        mc, runs = parse_query_row(row, L)
-        parsed.append((name, mc, runs))
-        if collapse_singletons:
-            for g, s in runs.items():
-                run_len[g] = max(run_len[g], len(s))
-            qrun_off.append({g: 0 for g in runs})
-        else:
-            off = {}
-            for g, s in runs.items():
-                off[g] = int(run_len[g])
-                run_len[g] += len(s)
-            qrun_off.append(off)
-
-    # output column layout: [runs@0][col0][runs@1][col1]...[colL-1][runs@L]
-    total = L + int(run_len.sum())
-    ins_mask = np.zeros(total, dtype=bool)
-    pos = 0
-    col_pos = np.zeros(L, dtype=np.int64)     # output index of backbone col
-    run_pos = np.zeros(L + 1, dtype=np.int64)  # output start of boundary g
-    for g in range(L + 1):
-        run_pos[g] = pos
-        ins_mask[pos:pos + run_len[g]] = True
-        pos += int(run_len[g])
-        if g < L:
-            col_pos[g] = pos
-            pos += 1
-
-    records = []
-    for name, row in backbone_records:
-        out = np.full(total, "-", dtype="U1")
-        out[col_pos] = list(row)
-        records.append((name, "".join(out)))
-    for (name, mc, runs), off in zip(parsed, qrun_off):
-        out = np.full(total, "-", dtype="U1")
-        out[col_pos] = mc
-        for g, s in runs.items():
-            start = run_pos[g] + off[g]
-            out[start:start + len(s)] = list(s)
-        records.append((name, "".join(out)))
+    bb_names = [n for n, _ in backbone_records]
+    bb_mat = np.vstack([
+        np.frombuffer(r.encode("latin-1"), np.uint8)
+        for _, r in backbone_records])
+    names, out, ins_mask = merge_rows_bytes(
+        bb_names, bb_mat, query_rows,
+        collapse_singletons=collapse_singletons)
+    records = [(n, out[i].tobytes().decode("latin-1"))
+               for i, n in enumerate(names)]
     return records, ins_mask
 
 

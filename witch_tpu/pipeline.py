@@ -127,6 +127,12 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                         n_buckets=n_buckets)
     Configs.runtime("  scoring: bank build/quantize (s): %f"
                     % (time.time() - t0))
+    # deferred artifact writer (main_alignment_process): bank
+    # quantization wants all host cores; release the writer now, into
+    # the device-scoring window where the host mostly waits
+    ev = getattr(Configs, "_art_gate_event", None)
+    if ev is not None:
+        ev.set()
     col_of = {idx: j for j, idx in enumerate(indices)}
 
     Q = len(qcodes)
@@ -505,16 +511,40 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                         np.ascontiguousarray(qcodes[q], np.int32)
                         for q in qlist]
                     _, mo, pb, pe = _flank_fn(*args, codes_list, 1)
-                    f64 = np.asarray(_domaindef.forward_targets_exact(
-                        *args, codes_list, 1))
-                    return j, args, (mo, pb, pe), f64
+                    return j, args, (mo, pb, pe), codes_list
 
+                codes_by = {}
                 with ThreadPoolExecutor(max_workers=nthreads) as ex:
-                    for j, args, rows3, f64 in ex.map(prep_model, items):
+                    for j, args, rows3, cl in ex.map(prep_model, items):
                         allargs[j] = args
                         flank_rows[j] = rows3
-                        fwd64_by[j] = f64
+                        codes_by[j] = cl
                 t_prep = time.time()
+
+                # The exact f64 Forward (the reported-score column) is
+                # only consumed AFTER the gate returns, so it overlaps
+                # the device-dispatch window (host mostly idles there
+                # waiting on the remote null2 program) instead of
+                # serializing inside prep.
+                import threading as _thr
+                f64_exc = []
+
+                def run_f64():
+                    try:
+                        def one(item):
+                            j, _ = item
+                            return j, np.asarray(
+                                _domaindef.forward_targets_exact(
+                                    *allargs[j], codes_by[j], 1))
+                        with ThreadPoolExecutor(
+                                max_workers=nthreads) as ex:
+                            for j, f64 in ex.map(one, items):
+                                fwd64_by[j] = f64
+                    except BaseException as e:   # noqa: BLE001
+                        f64_exc.append(e)
+
+                f64_thread = _thr.Thread(target=run_f64, daemon=True)
+                f64_thread.start()
                 bankloc_of_col = {}
                 for bi, b in enumerate(banks):
                     for r, idx in enumerate(b.hmm_indices):
@@ -523,6 +553,9 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                     banks, bankloc_of_col, allargs, qcodes, by_j,
                     flank_rows, interpret=(_dn2 == "interpret"),
                     nthreads=nthreads)
+                f64_thread.join()
+                if f64_exc:
+                    raise f64_exc[0]
                 return results, stats, fwd64_by, t_prep
 
             budget = float(os.environ.get("WITCH_TPU_SCORE_BUDGET",
@@ -807,6 +840,7 @@ def main_alignment_process(args=None):
     backbone_length = backbone.n_cols
 
     s = time.time()
+    art_thread = None
     have_dir = os.path.isdir(Configs.hmmdir) and any(
         d.startswith("A_0_") for d in os.listdir(Configs.hmmdir))
     if have_dir:
@@ -835,7 +869,24 @@ def main_alignment_process(args=None):
                              n_workers=min(Configs.num_cpus,
                                            Configs.max_concurrent_jobs))
         if Configs.keep_decomposition:
-            write_decomposition(ens, Configs.hmmdir)
+            # artifact writes (A_0_* dirs) overlap the scoring stage:
+            # nothing reads them back in this run (the resume ladder
+            # only consults a dir that existed at startup), and the
+            # device-bound bank upload/score window leaves the host
+            # mostly idle. Joined before hmmsearch-results persistence
+            # (same dirs) and before the pipeline returns.
+            import threading as _thr
+            Configs._art_gate_event = _thr.Event()
+
+            def _write_art():
+                # hold until bank quantization is done (compute_scores
+                # sets the event) so the writer rides the device-wait
+                # window instead of contending for cores here
+                Configs._art_gate_event.wait(timeout=60.0)
+                write_decomposition(ens, Configs.hmmdir)
+
+            art_thread = _thr.Thread(target=_write_art, daemon=True)
+            art_thread.start()
     Configs.runtime("Time to obtain eHMM ensemble (s): %f"
                     % (time.time() - s))
     Configs.log("Ensemble of %d HMMs" % len(ens.cores))
@@ -901,6 +952,9 @@ def main_alignment_process(args=None):
                 ens, qcodes, q_owned=q_owned)
             Configs.runtime("Time for all-vs-all Forward scoring (s): %f"
                             % (time.time() - s))
+            if art_thread is not None:
+                art_thread.join()
+                art_thread = None
             if Configs.keep_decomposition and os.path.isdir(Configs.hmmdir) \
                     and n_shards == 1:
                 s2 = time.time()
@@ -960,27 +1014,30 @@ def main_alignment_process(args=None):
         if gathered is None:
             Configs.log("Shard %d/%d: rows staged; merge owned by "
                         "another host" % (shard, n_shards))
+            if art_thread is not None:
+                art_thread.join()
             Configs.runtime("Total runtime (s): %f"
                             % (time.time() - t_start))
             return None
         rows, ignored = gathered
 
-    # merge + outputs
+    # merge + outputs (vectorized byte-matrix overlay; merger.py)
     s = time.time()
-    bb_records = list(backbone.to_records())
-    merged, ins_mask = merge_rows(
-        bb_records, rows,
+    from .io.fasta import write_fasta_bytes
+    from .merger import merge_rows_bytes
+    mnames, mmat, ins_mask = merge_rows_bytes(
+        backbone.names, backbone.to_bytes_matrix(), rows,
         collapse_singletons=Configs.collapse_singletons)
     back = {v: k for k, v in renamed.items()}
-    merged = [(back.get(n, n), r) for n, r in merged]
-    write_fasta(merged, Configs.output_path)
+    mnames = [back.get(n, n) for n in mnames]
+    write_fasta_bytes(mnames, mmat, Configs.output_path)
     suffix = Configs.output_path.split(".")[-1]
     if suffix in ("fa", "fasta"):
         masked_path = (".".join(Configs.output_path.split(".")[:-1])
                        + ".masked." + suffix)
     else:
         masked_path = Configs.output_path + ".masked.fasta"
-    write_fasta(remove_insertion_columns(merged, ins_mask), masked_path)
+    write_fasta_bytes(mnames, mmat[:, ~ins_mask], masked_path)
     Configs.runtime("Time to merge all outputs (s): %f" % (time.time() - s))
 
     if ignored:
@@ -992,6 +1049,8 @@ def main_alignment_process(args=None):
         Configs.log("Wrote %d ignored queries to %s"
                     % (len(ignored), ignored_path))
 
+    if art_thread is not None:
+        art_thread.join()
     clear_temp_files()
     Configs.runtime("Total runtime (s): %f" % (time.time() - t_start))
     Configs.log("WITCH-TPU finished; output: %s" % Configs.output_path)

@@ -31,9 +31,47 @@ import time
 import traceback
 
 
+# Modules safe to hot-reload between jobs (WITCH_TPU_SERVER_RELOAD=1):
+# orchestration/host code only. Never the jit-cached device modules
+# (hmm.forward, ops.*) — reloading those would discard the compiled
+# executables this daemon exists to keep warm — and never config/native
+# (other modules hold class/extension references across jobs).
+_RELOADABLE = ("witch_tpu.io.fasta", "witch_tpu.core.alignment",
+               "witch_tpu.ensemble", "witch_tpu.weighting",
+               "witch_tpu.merger", "witch_tpu.hmm.gate_device",
+               "witch_tpu.aligner", "witch_tpu.pipeline",
+               "witch_tpu.benchlib", "witch_tpu.cli")
+_reload_mtimes = {}
+
+
+def _maybe_reload():
+    if os.environ.get("WITCH_TPU_SERVER_RELOAD") != "1":
+        return
+    import importlib
+    changed = False
+    for name in _RELOADABLE:
+        mod = sys.modules.get(name)
+        if mod is None or not getattr(mod, "__file__", None):
+            continue
+        try:
+            mt = os.path.getmtime(mod.__file__)
+        except OSError:
+            continue
+        if _reload_mtimes.get(name, mt) != mt:
+            changed = True
+        _reload_mtimes[name] = mt
+    if changed:
+        for name in _RELOADABLE:   # leaf-to-root order
+            if name in sys.modules:
+                importlib.reload(sys.modules[name])
+        print("witch-tpu server: hot-reloaded orchestration modules",
+              flush=True)
+
+
 def _run_job(argv, cwd=None):
     if cwd:
         os.chdir(cwd)
+    _maybe_reload()
     from .cli import init_parser
     from .config import build_configs
     from .pipeline import main_alignment_process
