@@ -85,11 +85,16 @@ class DeviceAligner:
                               ) -> List[np.ndarray]:
         """pairs: (hmm_idx, query codes). Returns aligned columns list.
 
-        Prefers the native posterior engine (f64, threaded, no
-        device<->host transfers — the posterior stage is tunnel-bound on
-        remote-TPU hosts); falls back to the batched device path."""
+        On TPU with resident scoring banks the fused pallas
+        posterior+OA+traceback kernel (ops/pallas_oa.py) handles the
+        batch, with a margin guard re-aligning uncertain pairs on the
+        host engine; otherwise the native host engine (f64, threaded)
+        runs everything."""
         if not pairs:
             return []
+        out = self._aligned_columns_oa_device(pairs)
+        if out is not None:
+            return out
         try:
             from .native import _domaindef  # noqa: F401
             return self._aligned_columns_native(pairs)
@@ -97,8 +102,86 @@ class DeviceAligner:
             pass
         return self._aligned_columns_device(pairs)
 
-    def _aligned_columns_native(self, pairs: List[Tuple[int, np.ndarray]]
-                                ) -> List[np.ndarray]:
+    def _aligned_columns_oa_device(self, pairs):
+        """Fused device posterior+OA (ops/pallas_oa.py) with host
+        re-alignment of below-guard-margin pairs. Returns None when the
+        device path does not apply (no TPU, no resident banks, banks
+        with zero transitions, or WITCH_TPU_DEVICE_OA=0)."""
+        import os
+        import time as _time
+        from .config import Configs
+        # default OFF until the double-float DP lands (f32 ties flip
+        # ~7% of pairs vs the f64 host chain - measured round 5)
+        mode = os.environ.get("WITCH_TPU_DEVICE_OA", "0")
+        if mode not in ("1", "interpret"):
+            return None
+        dev_banks = getattr(self.ens, "_device_banks", None)
+        if dev_banks is None:
+            return None
+        try:
+            from .native import _domaindef  # noqa: F401
+        except ImportError:
+            return None   # guard re-evals need the host engine
+        from .ops.pallas_oa import bank_strictly_positive, \
+            oa_columns_device
+        banks, bank_row = dev_banks
+        if not all(bank_row.get(idx) is not None for idx, _ in pairs):
+            return None
+        ok_pos = getattr(self, "_banks_pos", None)
+        if ok_pos is None:
+            ok_pos = all(bank_strictly_positive(b) for b in banks)
+            self._banks_pos = ok_pos
+        if not ok_pos:
+            return None
+        guard = float(os.environ.get("WITCH_TPU_OA_GUARD", "2e-3"))
+        t0 = _time.time()
+        # canonical row count: program shape must not depend on which
+        # queries a run draws (same rule as the device gate)
+        Ldmax = max(64, -(-max(len(c) for _, c in pairs) // 64) * 64)
+        try:
+            cols, margins, oks = oa_columns_device(
+                banks, bank_row, pairs, Ldmax=Ldmax,
+                interpret=(mode == "interpret"))
+        except Exception as e:    # noqa: BLE001 - fall back whole
+            Configs.warning("device OA failed (%s); host path" % e)
+            return None
+        redo = [p for p in range(len(pairs))
+                if not oks[p] or margins[p] < guard]
+        t1 = _time.time()
+        if os.environ.get("WITCH_TPU_OA_VALIDATE"):
+            ref = self._aligned_columns_native(pairs)
+            bad = [p for p in range(len(pairs))
+                   if not np.array_equal(np.asarray(ref[p]),
+                                         np.asarray(cols[p]))]
+            badm = [float(margins[p]) for p in bad]
+            Configs.log(
+                "device-OA validate: %d/%d mismatch (margins %s); "
+                "guard %g would re-align %d"
+                % (len(bad), len(pairs),
+                   ["%.3g" % m for m in sorted(badm)[:10]], guard,
+                   len(redo)))
+            safe = [p for p in bad if p not in set(redo)]
+            if safe:
+                Configs.warning(
+                    "device-OA validate: %d mismatches ABOVE guard "
+                    "(min margin %.3g) - guard too narrow"
+                    % (len(safe),
+                       min(margins[p] for p in safe)))
+            return ref
+        if redo:
+            sub = [pairs[p] for p in redo]
+            fixed = self._aligned_columns_native(sub, quiet=True)
+            for p, v in zip(redo, fixed):
+                cols[p] = v
+        Configs.runtime(
+            "  align: %d pairs device posterior+OA "
+            "(%d below-guard host re-aligns) (s): %f"
+            % (len(pairs), len(redo), _time.time() - t0))
+        del t1
+        return cols
+
+    def _aligned_columns_native(self, pairs: List[Tuple[int, np.ndarray]],
+                                quiet: bool = False) -> List[np.ndarray]:
         """Per-pair f64 unihit posterior (native/_domaindef) + native OA
         traceback, threaded across pairs."""
         import time as _time
@@ -122,8 +205,9 @@ class DeviceAligner:
 
         for idx, _ in pairs:
             model_args(idx)
-        Configs.runtime("  align: unihit profile build (s): %f"
-                        % (_time.time() - t0))
+        if not quiet:
+            Configs.runtime("  align: unihit profile build (s): %f"
+                            % (_time.time() - t0))
 
         from .hmm.align_ref import _deltas_u8
         fused = getattr(_domaindef, "posterior_oa_pair", None)
@@ -154,8 +238,10 @@ class DeviceAligner:
         workers = max(1, min(8, getattr(_C, "num_cpus", 4)))
         with ThreadPoolExecutor(max_workers=workers) as ex:
             out = list(ex.map(one, pairs))
-        Configs.runtime("  align: %d pairs native posterior+OA (s): %f"
-                        % (len(pairs), _time.time() - t1))
+        if not quiet:
+            Configs.runtime(
+                "  align: %d pairs native posterior+OA (s): %f"
+                % (len(pairs), _time.time() - t1))
         return out
 
     def _aligned_columns_device(self, pairs: List[Tuple[int, np.ndarray]]

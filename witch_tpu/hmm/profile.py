@@ -77,7 +77,14 @@ def occupancy(core: CoreHMM) -> np.ndarray:
 
 def configure(core: CoreHMM, multihit: bool = True) -> Profile:
     """Local-mode profile (hmmsearch default 'fs' = multihit local;
-    unihit local 'sw' via multihit=False)."""
+    unihit local 'sw' via multihit=False).
+
+    Memoized per core object: the pipeline configures each ensemble
+    model from three sites per run (bank build, gate prep, exact-f32
+    overlay); the profile is immutable, so cache it on the core."""
+    cache = getattr(core, "_prof_cache", None)
+    if cache is not None and multihit in cache:
+        return cache[multihit]
     M, K = core.M, core.K
     alphabet = ALPHABETS[core.molecule]
     from .priors import get_background
@@ -123,6 +130,14 @@ def configure(core: CoreHMM, multihit: bool = True) -> Profile:
     t_im[M] = -np.inf
     t_ii[M] = -np.inf
 
-    return Profile(msc=msc, isc=isc, t_mm=t_mm, t_mi=t_mi, t_md=t_md,
+    prof = Profile(msc=msc, isc=isc, t_mm=t_mm, t_mi=t_mi, t_md=t_md,
                    t_im=t_im, t_ii=t_ii, t_dm=t_dm, t_dd=t_dd, bm=bm,
                    multihit=multihit, M=M, molecule=core.molecule)
+    if cache is None:
+        try:
+            core._prof_cache = cache = {}
+        except AttributeError:       # frozen/slotted core
+            cache = None
+    if cache is not None:
+        cache[multihit] = prof
+    return prof

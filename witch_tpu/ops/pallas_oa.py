@@ -1,0 +1,623 @@
+"""Pallas TPU kernel: fused per-pair posterior decoding + optimal
+accuracy alignment + in-kernel traceback.
+
+The per-query alignment prologue (reference hmmalign call per
+(query, HMM) pair, witch_msa/gcmm/aligner.py:88-142) is the last
+host-dominated hot loop of the pipeline: ~3 s of f64 posterior + OA
+DP per scenario-D run on 4 AVX-512 cores. This kernel moves the whole
+stage onto the TPU:
+
+  pass A  unihit Backward over the full query, scaled odds domain,
+          checkpointing the (bM, bI, specials) state every B rows;
+          reaching row 0 yields the total score Z.
+  pass B  Forward sweep; per checkpoint block the Backward rows are
+          recomputed into VMEM (descending), so posterior rows
+          ppM/ppI/ppN/ppC materialize IN FORWARD ORDER and the
+          optimal-accuracy DP (hmm/align_ref.py:oa_fill semantics)
+          fuses directly: per row only 4-bit traceback pointers and a
+          few per-row scalars are kept, all resident in VMEM.
+  pass C  in-kernel traceback (hmm/align_ref.py:oa_trace first-max-
+          wins order) walks the pointer tile per pair and emits
+          aligned columns [Ld] i32 — the only data shipped to host
+          (plus margins), so the 17 MB/s device->host tunnel cost is
+          negligible.
+
+Numeric parity: the host/native chain (native/oa_kernel.cpp) is f64;
+this kernel is f32. Every argmax in fill+trace uses the host's
+first-max-wins precedence, and the kernel tracks the minimum decision
+margin over all cells; pairs whose margin falls below a guard (or
+whose traceback fails) are re-aligned on the host engine, so output
+rows are invariant (aligner.DeviceAligner). Exact ties (margin == 0)
+take the same precedence branch in both precisions and are trusted.
+
+Restriction: all core transitions within 1..M must be > 0 (true for
+any prior-smoothed HMM; hmm/build.py output always is), so the host
+spec's FLT_MIN deltas reduce to lane masks. The host path covers
+anything else (aligner checks `bank_strictly_positive`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SCALE_FLOOR = 1e-30
+NEG = float(np.float32(-np.finfo(np.float32).max))
+
+
+def _oa_kernel(model_of, ms_arr, codes_ref, pmove_ref, lds_ref,
+               emT_hi_ref, emT_lo_ref, trans_ref,
+               cols_ref, stat_ref,
+               fM, fI, fD, fS, bM, bI, bS, ckM, ckI, ckS,
+               blM, blI, blS, oaM, oaI, oaD, oaS, ptr, rowi,
+               *, Ld, Mp, QT, B):
+    """One grid step = QT (query, model) pairs of one model.
+
+    codes_ref [1, Ld, QT] i32; pmove_ref/lds_ref [QT, 1];
+    emT_* [1, 128, Mp] bf16 hi/lo; trans [1, 8, Mp] f32
+    (mm mi md im ii dm dd bm probability-domain rows).
+    cols_ref [1, Ld, QT] i32 out: aligned column per residue (-1 =
+    insert/flank). stat_ref [1, QT, 8] f32 out:
+    0 min margin, 1 trace_ok, 2 Zlog, 3 n steps.
+    """
+    t = pl.program_id(0)
+    M_model = ms_arr[t]
+    NB = Ld // B
+    t_mm = trans_ref[0, 0:1, :]
+    t_mi = trans_ref[0, 1:2, :]
+    t_md = trans_ref[0, 2:3, :]
+    t_im = trans_ref[0, 3:4, :]
+    t_ii = trans_ref[0, 4:5, :]
+    t_dm = trans_ref[0, 5:6, :]
+    t_dd = trans_ref[0, 6:7, :]
+    bm = trans_ref[0, 7:8, :]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    kmask = jnp.logical_and(lane >= 1, lane <= M_model)      # M lanes
+    imask = jnp.logical_and(lane >= 1, lane <= M_model - 1)  # I lanes
+    dmask = jnp.logical_and(lane >= 2, lane <= M_model)      # D lanes
+
+    def shift1(v):          # odds-domain [*, k] <- [*, k-1], zero fill
+        return pltpu.roll(v, 1, axis=1) * (lane >= 1).astype(jnp.float32)
+
+    def rolll(v, s):
+        return pltpu.roll(v, Mp - s, axis=1)
+
+    def shiftl(v):
+        return rolll(v, 1) * (lane < Mp - 1).astype(jnp.float32)
+
+    def shift1_neg(v):      # accuracy-domain shift, NEG fill
+        return jnp.where(lane >= 1, pltpu.roll(v, 1, axis=1), NEG)
+
+    def emis(x_row):
+        onehotT = (jax.lax.broadcasted_iota(
+            jnp.int32, (128, QT), 0) == x_row).astype(jnp.bfloat16)
+        dn = (((0,), (0,)), ((), ()))
+        return (jax.lax.dot_general(
+                    onehotT, emT_hi_ref[0], dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    onehotT, emT_lo_ref[0], dimension_numbers=dn,
+                    preferred_element_type=jnp.float32))
+
+    n_dbl = max(1, int(np.ceil(np.log2(max(2, Mp)))))
+    a1 = shift1(jnp.broadcast_to(t_dd, (1, Mp)))
+    As_f = [a1]
+    for d in range(1, n_dbl):
+        s = 1 << (d - 1)
+        prev = As_f[-1]
+        sh = pltpu.roll(prev, s, axis=1) * (lane >= s).astype(jnp.float32)
+        As_f.append(prev * sh)
+    Ab = [jnp.broadcast_to(t_dd, (1, Mp))]
+    for d in range(1, n_dbl):
+        s = 1 << (d - 1)
+        prev = Ab[-1]
+        sh = rolll(prev, s) * (lane < Mp - s).astype(jnp.float32)
+        Ab.append(prev * sh)
+
+    def dchain_fwd(Mrow):
+        D = shift1(Mrow * t_md)
+        for d in range(n_dbl):
+            s = 1 << d
+            D = D + pltpu.roll(D, s, axis=1) * As_f[d]
+        return D
+
+    def dchain_bck(c):
+        D = c
+        for d in range(n_dbl):
+            s = 1 << d
+            D = D + rolll(D, s) * Ab[d]
+        return D
+
+    def cummax_neg(v):
+        # accuracy-domain prefix max over lanes (delete chain: interior
+        # deltas are exactly 1 given the >0-transition restriction)
+        D = v
+        for d in range(n_dbl):
+            s = 1 << d
+            D = jnp.maximum(
+                D, jnp.where(lane >= s, pltpu.roll(D, s, axis=1), NEG))
+        return D
+
+    pmove = pmove_ref[...]
+    ploop = 1.0 - pmove
+    lds = lds_ref[...].astype(jnp.int32)
+
+    # ---------------- pass A: backward Ld -> 1, checkpoints -----------
+    bE_t = pmove
+    DkT = dchain_bck(jnp.broadcast_to(bE_t, (QT, Mp)))
+    bMT = bE_t + shiftl(DkT) * t_md
+    bM[...] = bMT
+    bI[...] = jnp.zeros((QT, Mp), jnp.float32)
+    # bS cols: 0=bN 1=bC 2=bled
+    bS[...] = jnp.concatenate(
+        [jnp.zeros((QT, 1), jnp.float32), pmove,
+         jnp.zeros((QT, 6), jnp.float32)], axis=1)
+
+    def bstep(i_row):
+        """Backward step row i_row+1 -> i_row (consume residue
+        i_row+1); pairs with i_row >= lds stay terminal."""
+        at_term = (i_row >= lds)
+        Mn = bM[...]
+        In = bI[...]
+        Sb = bS[...]
+        bN, bC, bled = Sb[:, 0:1], Sb[:, 1:2], Sb[:, 2:3]
+        x_row = codes_ref[0, pl.ds(jnp.minimum(i_row, Ld - 1), 1), :]
+        ex = emis(x_row)
+        mne = Mn * ex
+        Bv = jnp.sum(bm * mne, axis=1, keepdims=True)
+        bNn = bN * ploop + Bv * pmove
+        bCn = bC * ploop
+        bEn = bCn
+        c = shiftl(mne) * t_dm + bEn
+        Dk = dchain_bck(c)
+        Mi = bEn + shiftl(mne) * t_mm + In * t_mi + shiftl(Dk) * t_md
+        Ii = shiftl(mne) * t_im + In * t_ii
+        scale = jnp.maximum(
+            jnp.max(Mi, axis=1, keepdims=True),
+            jnp.maximum(bNn, jnp.maximum(bCn, SCALE_FLOOR)))
+        inv = 1.0 / scale
+        bM[...] = jnp.where(at_term, bMT, Mi * inv)
+        bI[...] = jnp.where(at_term, 0.0, Ii * inv)
+        bS[...] = jnp.concatenate(
+            [jnp.where(at_term, 0.0, bNn * inv),
+             jnp.where(at_term, pmove, bCn * inv),
+             jnp.where(at_term, 0.0, bled + jnp.log(scale)),
+             jnp.zeros((QT, 5), jnp.float32)], axis=1)
+
+    def apass_block(bb, _):
+        b = NB - 1 - bb
+        # checkpoint = state AT row (b+1)*B (top row of block b)
+        ckM[b] = bM[...]
+        ckI[b] = bI[...]
+        ckS[b] = bS[...]
+
+        def sub(rr, _):
+            i_row = (b + 1) * B - 1 - rr
+            bstep(i_row)
+            return ()
+        jax.lax.fori_loop(0, B, sub, (), unroll=False)
+        return ()
+
+    jax.lax.fori_loop(0, NB, apass_block, (), unroll=False)
+    S0 = bS[...]
+    Zlog = (jnp.log(jnp.maximum(S0[:, 0:1], SCALE_FLOOR))
+            + S0[:, 2:3])                                  # [QT, 1]
+
+    # ---------------- pass B: forward + fused OA fill -----------------
+    fM[...] = jnp.zeros((QT, Mp), jnp.float32)
+    fI[...] = jnp.zeros((QT, Mp), jnp.float32)
+    fD[...] = jnp.zeros((QT, Mp), jnp.float32)
+    # fS cols: 0=N 1=B 2=C 3=fled
+    fS[...] = jnp.concatenate(
+        [jnp.ones((QT, 1), jnp.float32), pmove,
+         jnp.zeros((QT, 6), jnp.float32)], axis=1)
+    oaM[...] = jnp.full((QT, Mp), NEG, jnp.float32)
+    oaI[...] = jnp.full((QT, Mp), NEG, jnp.float32)
+    oaD[...] = jnp.full((QT, Mp), NEG, jnp.float32)
+    # oaS cols: 0=N 1=C 2=minmargin
+    oaS[...] = jnp.concatenate(
+        [jnp.zeros((QT, 1), jnp.float32),
+         jnp.full((QT, 1), NEG, jnp.float32),
+         jnp.full((QT, 1), jnp.inf, jnp.float32),
+         jnp.zeros((QT, 5), jnp.float32)], axis=1)
+
+    def pair_margin(best, others, mask2d):
+        """Min over masked cells of (best - second); exact ties and
+        single-candidate cells contribute +inf (trusted)."""
+        second = jnp.full_like(best, NEG)
+        any_tie = jnp.zeros(best.shape, jnp.bool_)
+        for o in others:
+            second = jnp.maximum(second, jnp.where(o < best, o, NEG))
+            any_tie = jnp.logical_or(any_tie, o == best)
+        m = jnp.where(jnp.logical_or(any_tie, second == NEG),
+                      jnp.inf, best - second)
+        return jnp.min(jnp.where(mask2d, m, jnp.inf), axis=1,
+                       keepdims=True)
+
+    def bpass_block(b, _):
+        # recompute backward rows of block b into bl slots:
+        # slot r holds the backward state AT row b*B + r + 1
+        bM[...] = ckM[b]
+        bI[...] = ckI[b]
+        bS[...] = ckS[b]
+        blM[B - 1] = bM[...]
+        blI[B - 1] = bI[...]
+        blS[B - 1] = bS[...]
+
+        def resub(rr, _):
+            i_row = (b + 1) * B - 1 - rr
+            bstep(i_row)
+            blM[B - 2 - rr] = bM[...]
+            blI[B - 2 - rr] = bI[...]
+            blS[B - 2 - rr] = bS[...]
+            return ()
+        jax.lax.fori_loop(0, B - 1, resub, (), unroll=False)
+
+        def fsub(r, _):
+            i_row = b * B + r + 1                        # 1-based
+            live = (i_row <= lds)
+            Mv, Iv, Dv = fM[...], fI[...], fD[...]
+            S = fS[...]
+            fN0, fB0, fC0, fled0 = (S[:, 0:1], S[:, 1:2],
+                                    S[:, 2:3], S[:, 3:4])
+            x_row = codes_ref[0, pl.ds(i_row - 1, 1), :]
+            e = emis(x_row)
+            src = shift1(Mv * t_mm + Iv * t_im + Dv * t_dm) + fB0 * bm
+            Mrow = src * e
+            Irow = Mv * t_mi + Iv * t_ii
+            Drow = dchain_fwd(Mrow)
+            E = (jnp.sum(Mrow, axis=1, keepdims=True)
+                 + jnp.sum(Drow, axis=1, keepdims=True))
+            Cn = fC0 * ploop + E
+            Nn = fN0 * ploop
+            Bn = Nn * pmove
+            scale = jnp.maximum(
+                jnp.max(Mrow, axis=1, keepdims=True),
+                jnp.maximum(Cn, jnp.maximum(Nn, SCALE_FLOOR)))
+            inv = 1.0 / scale
+            fM[...] = jnp.where(live, Mrow * inv, Mv)
+            fI[...] = jnp.where(live, Irow * inv, Iv)
+            fD[...] = jnp.where(live, Drow * inv, Dv)
+            fled1 = fled0 + jnp.log(scale)
+            fS[...] = jnp.where(
+                live,
+                jnp.concatenate(
+                    [Nn * inv, Bn * inv, Cn * inv, fled1,
+                     jnp.zeros((QT, 4), jnp.float32)], axis=1),
+                S)
+
+            # posterior rows for row i_row (backward side from slot r)
+            bMr_ = blM[r]
+            bIr_ = blI[r]
+            bSr_ = blS[r]
+            bN_i, bC_i, bled_i = (bSr_[:, 0:1], bSr_[:, 1:2],
+                                  bSr_[:, 2:3])
+            sc = jnp.exp(fled1 + bled_i - Zlog)
+            ppM = jnp.where(kmask, fM[...] * bMr_ * sc, 0.0)
+            ppI = jnp.where(imask, fI[...] * bIr_ * sc, 0.0)
+            scN = jnp.exp(fled0 + bled_i - Zlog)
+            ppN = fN0 * ploop * bN_i * scN
+            ppC = fC0 * ploop * bC_i * scN
+
+            # ---- OA fill row i_row (align_ref.oa_fill semantics) ----
+            pM0, pI0, pD0 = oaM[...], oaI[...], oaD[...]
+            oS = oaS[...]
+            oN0, oC0, mm0 = oS[:, 0:1], oS[:, 1:2], oS[:, 2:3]
+            c_mm = shift1_neg(pM0)
+            c_im = shift1_neg(pI0)
+            c_dm = shift1_neg(pD0)
+            c_b = jnp.broadcast_to(oN0, (QT, Mp))    # B[i-1] = N[i-1]
+            cand = jnp.maximum(jnp.maximum(c_mm, c_im),
+                               jnp.maximum(c_dm, c_b))
+            Mx = jnp.where(kmask, ppM + cand, NEG)
+            pm = jnp.where(
+                c_mm == cand, 0,
+                jnp.where(c_im == cand, 1,
+                          jnp.where(c_dm == cand, 2, 3))).astype(
+                              jnp.int32)
+            m_M = pair_margin(cand, [c_mm, c_im, c_dm, c_b], kmask)
+            ci = jnp.maximum(pM0, pI0)
+            Ix = jnp.where(imask, ppI + ci, NEG)
+            pi_ = (pM0 < pI0).astype(jnp.int32)       # 0 = from M (>=)
+            m_I = pair_margin(ci, [pM0, pI0], imask)
+            Dx = jnp.where(dmask, cummax_neg(shift1_neg(Mx)), NEG)
+            sM1 = shift1_neg(Mx)
+            sD1 = shift1_neg(Dx)
+            pd = (sM1 < sD1).astype(jnp.int32)        # 0 = from M (>=)
+            m_D = pair_margin(jnp.maximum(sM1, sD1), [sM1, sD1], dmask)
+            # E: first max over k of (M then D)
+            candE = jnp.where(kmask, jnp.maximum(Mx, Dx), NEG)
+            Erow = jnp.max(candE, axis=1, keepdims=True)
+            isbest = candE == Erow
+            kE = jnp.min(jnp.where(isbest, lane, Mp + 1), axis=1,
+                         keepdims=True)
+            secondE = jnp.max(jnp.where(candE < Erow, candE, NEG),
+                              axis=1, keepdims=True)
+            nbest = jnp.sum(isbest.astype(jnp.int32), axis=1,
+                            keepdims=True)
+            m_E = jnp.where(jnp.logical_or(nbest > 1, secondE == NEG),
+                            jnp.inf, Erow - secondE)
+            MxAtkE = jnp.max(jnp.where(lane == kE, Mx, NEG), axis=1,
+                             keepdims=True)
+            eIsD = (MxAtkE < Erow).astype(jnp.float32)
+            m_ED = jnp.where(MxAtkE == Erow, jnp.inf, Erow - MxAtkE)
+            cloop = oC0 + ppC
+            Cn_ = jnp.maximum(cloop, Erow)
+            cbit = (cloop >= Erow).astype(jnp.float32)
+            m_C = jnp.where(cloop == Erow, jnp.inf,
+                            jnp.abs(cloop - Erow))
+            Nn_ = oN0 + ppN
+            newmm = jnp.minimum(
+                jnp.minimum(jnp.minimum(mm0, m_M), jnp.minimum(m_I,
+                                                               m_D)),
+                jnp.minimum(jnp.minimum(m_E, m_C), m_ED))
+            oaM[...] = jnp.where(live, Mx, pM0)
+            oaI[...] = jnp.where(live, Ix, pI0)
+            oaD[...] = jnp.where(live, Dx, pD0)
+            oaS[...] = jnp.where(
+                live,
+                jnp.concatenate(
+                    [Nn_, Cn_, newmm,
+                     jnp.zeros((QT, 5), jnp.float32)], axis=1),
+                oS)
+            # pointer byte: bits0-1 pm, bit2 pi, bit3 pd
+            pbyte = (pm + pi_ * 4 + pd * 8).astype(jnp.int8)
+            ptr[pl.ds(i_row - 1, 1)] = pbyte.reshape(1, QT, Mp)
+            rowi[pl.ds(i_row - 1, 1)] = jnp.concatenate(
+                [kE.astype(jnp.float32), eIsD, cbit,
+                 jnp.zeros((QT, 5), jnp.float32)],
+                axis=1).reshape(1, QT, 8)
+            return ()
+        jax.lax.fori_loop(0, B, fsub, (), unroll=False)
+        return ()
+
+    jax.lax.fori_loop(0, NB, bpass_block, (), unroll=False)
+
+    # ---------------- pass C: traceback per pair ----------------------
+    # Mosaic has no dynamic-lane gather/scatter, so: the pair loop is a
+    # STATIC python unroll (s fixed per copy), pointer bytes are read as
+    # [1, Mp] rows with one-hot lane extraction, and cols is laid out
+    # [Ld, QT] so the dynamic row index sits on the sublane dim.
+    cols_ref[0] = jnp.full((Ld, QT), -1, jnp.int32)
+    oSf = oaS[...]
+    stat_ref[0] = jnp.concatenate(
+        [oSf[:, 2:3], jnp.zeros((QT, 1), jnp.float32), Zlog,
+         jnp.zeros((QT, 5), jnp.float32)], axis=1)
+
+    for s in range(QT):
+        ld_s = lds[s, 0]
+
+        # states: 0=C 1=E 2=M 3=I 4=D 5=N
+        def cond(c):
+            i, k, st, steps, dead = c
+            return jnp.logical_and(
+                jnp.logical_not(jnp.logical_and(st == 5, i == 0)),
+                jnp.logical_and(steps < 2 * Ld + Mp + 16, dead == 0))
+
+        def step(c):
+            i, k, st, steps, dead = c
+            row = jnp.maximum(i, 1) - 1
+            ri = rowi[pl.ds(row, 1), s]                   # [1, 8]
+            kE = ri[0, 0].astype(jnp.int32)
+            eisd = ri[0, 1]
+            cbit = ri[0, 2]
+            prow = ptr[pl.ds(row, 1), s].astype(jnp.int32)  # [1, Mp]
+            pbk = jnp.sum(jnp.where(lane == k, prow, 0))
+            pm = jax.lax.rem(pbk, 4)
+            pi_ = jax.lax.rem(pbk // 4, 2)
+            pd = jax.lax.rem(pbk // 8, 2)
+
+            ni, nk, nst = i, k, st
+            rec = jnp.int32(-2)
+            is_c = st == 0
+            c_loop = jnp.logical_and(is_c,
+                                     jnp.logical_and(i > 0, cbit > 0.5))
+            nst = jnp.where(is_c, jnp.where(c_loop, 0, 1), nst)
+            ni = jnp.where(c_loop, i - 1, ni)
+            is_e = st == 1
+            nst = jnp.where(is_e, jnp.where(eisd > 0.5, 4, 2), nst)
+            nk = jnp.where(is_e, kE, nk)
+            is_m = st == 2
+            rec = jnp.where(jnp.logical_and(is_m, i > 0), k - 1, rec)
+            mst = jnp.where(pm == 0, 2,
+                            jnp.where(pm == 1, 3,
+                                      jnp.where(pm == 2, 4, 5)))
+            nst = jnp.where(is_m, mst, nst)
+            nk = jnp.where(is_m, jnp.where(pm == 3, 0, k - 1), nk)
+            ni = jnp.where(is_m, i - 1, ni)
+            is_i = st == 3
+            nst = jnp.where(is_i, jnp.where(pi_ == 0, 2, 3), nst)
+            ni = jnp.where(is_i, i - 1, ni)
+            is_d = st == 4
+            nst = jnp.where(is_d, jnp.where(pd == 0, 2, 4), nst)
+            nk = jnp.where(is_d, k - 1, nk)
+            is_n = st == 5
+            ni = jnp.where(is_n, i - 1, ni)
+            dead = jnp.where(jnp.logical_or(ni < 0, nk < 0), 1, dead)
+
+            @pl.when(rec > jnp.int32(-2))
+            def _():
+                cols_ref[0, pl.ds(row, 1), s:s + 1] = rec.reshape(1, 1)
+            return (ni, nk, nst, steps + 1, dead)
+
+        dead0 = jnp.where(ld_s > 0, jnp.int32(0), jnp.int32(1))
+        fi, fk, fst, fsteps, fdead = jax.lax.while_loop(
+            cond, step, (ld_s, jnp.int32(0), jnp.int32(0),
+                         jnp.int32(0), dead0))
+        ok = jnp.logical_and(jnp.logical_and(fst == 5, fi == 0),
+                             fdead == 0)
+        stat_ref[0, s:s + 1, 1:2] = ok.astype(jnp.float32).reshape(1, 1)
+        stat_ref[0, s:s + 1, 3:4] = fsteps.astype(
+            jnp.float32).reshape(1, 1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("QT", "B", "interpret"))
+def pallas_oa(model_of, ms_arr, emT, trans, codesT, pmove, lds,
+              QT=16, B=32, interpret=False):
+    """Batched fused posterior+OA+traceback.
+
+    model_of [T] i32 (scalar prefetch: bank row per tile); ms_arr [T]
+    i32 (M per tile); emT [H, 128, Mp] f32; trans [H, 8, Mp] f32;
+    codesT [T, Ld, QT] i32; pmove/lds [T*QT, 1].
+    Returns (cols [T, Ld, QT] i32, stat [T, QT, 8] f32).
+    """
+    emT_hi = emT.astype(jnp.bfloat16)
+    emT_lo = (emT - emT_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    H, _, Mp = emT.shape
+    T, Ld, _ = codesT.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, Ld, QT), lambda t, m, ms: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QT, 1), lambda t, m, ms: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QT, 1), lambda t, m, ms: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128, Mp), lambda t, m, ms: (m[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128, Mp), lambda t, m, ms: (m[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, Mp), lambda t, m, ms: (m[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Ld, QT), lambda t, m, ms: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QT, 8), lambda t, m, ms: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((QT, Mp), jnp.float32),          # fM
+            pltpu.VMEM((QT, Mp), jnp.float32),          # fI
+            pltpu.VMEM((QT, Mp), jnp.float32),          # fD
+            pltpu.VMEM((QT, 8), jnp.float32),           # fS
+            pltpu.VMEM((QT, Mp), jnp.float32),          # bM
+            pltpu.VMEM((QT, Mp), jnp.float32),          # bI
+            pltpu.VMEM((QT, 8), jnp.float32),           # bS
+            pltpu.VMEM((Ld // B, QT, Mp), jnp.float32),  # ckM
+            pltpu.VMEM((Ld // B, QT, Mp), jnp.float32),  # ckI
+            pltpu.VMEM((Ld // B, QT, 8), jnp.float32),   # ckS
+            pltpu.VMEM((B, QT, Mp), jnp.float32),        # blM
+            pltpu.VMEM((B, QT, Mp), jnp.float32),        # blI
+            pltpu.VMEM((B, QT, 8), jnp.float32),         # blS
+            pltpu.VMEM((QT, Mp), jnp.float32),           # oaM
+            pltpu.VMEM((QT, Mp), jnp.float32),           # oaI
+            pltpu.VMEM((QT, Mp), jnp.float32),           # oaD
+            pltpu.VMEM((QT, 8), jnp.float32),            # oaS
+            pltpu.VMEM((Ld, QT, Mp), jnp.int8),          # ptr
+            pltpu.VMEM((Ld, QT, 8), jnp.float32),        # rowi
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_oa_kernel, Ld=Ld, Mp=Mp, QT=QT, B=B),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((T, Ld, QT), jnp.int32),
+                   jax.ShapeDtypeStruct((T, QT, 8), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(model_of, ms_arr, codesT, pmove, lds, emT_hi, emT_lo, trans)
+
+
+def bank_strictly_positive(bank) -> bool:
+    """True when every in-range core transition is > 0, i.e. the
+    FLT_MIN deltas of the host OA spec reduce to lane masks (always
+    the case for prior-smoothed hmm/build.py output)."""
+    ok = True
+    for h in range(bank.H):
+        M = int(bank.M[h])
+        ok = ok and bool(
+            (bank.t_mm[h, 1:M] > 0).all()
+            and (bank.t_im[h, 1:M] > 0).all()
+            and (bank.t_dm[h, 1:M] > 0).all()
+            and (bank.t_mi[h, 1:M] > 0).all()
+            and (bank.t_ii[h, 1:M] > 0).all()
+            and (bank.t_md[h, 1:M] > 0).all()
+            and (bank.t_dd[h, 1:M] > 0).all()
+            and (bank.bm[h, 1:M + 1] > 0).all())
+        if not ok:
+            break
+    return ok
+
+
+def oa_columns_device(banks, bank_row, pairs: Sequence[Tuple[int,
+                                                             np.ndarray]],
+                      QT: int = 16, B: int = 32, Ldmax: int = None,
+                      interpret: bool = False):
+    """Device fused posterior+OA for (hmm_idx, codes) pairs.
+
+    banks: list of unihit ProfileBanks; bank_row: {hmm_idx: (bi, row)}.
+    Returns (cols list [len(codes)] i32 or None-for-pad, margins [n],
+    ok [n] bool) in input order. Caller re-aligns pairs with
+    ok=False or margin < guard on the host engine.
+    """
+    from .pallas_forward import device_bank_arrays
+    n = len(pairs)
+    if n == 0:
+        return [], np.zeros(0), np.zeros(0, bool)
+    if Ldmax is None:
+        Ldmax = max(len(c) for _, c in pairs)
+    Ldmax = max(B, 64, -(-Ldmax // 64) * 64)
+    assert Ldmax % B == 0
+
+    cols_out: list = [None] * n
+    margins = np.zeros(n)
+    oks = np.zeros(n, bool)
+
+    # group pairs by bank, then by model row (tiles of <= QT pairs)
+    by_bank = {}
+    for p, (idx, codes) in enumerate(pairs):
+        bi, row = bank_row[idx]
+        by_bank.setdefault(bi, []).append((row, p))
+    for bi, plist in sorted(by_bank.items()):
+        bank = banks[bi]
+        emTj, transj, _ = device_bank_arrays(bank)
+        plist.sort(key=lambda rp: rp[0])
+        tiles = []
+        for row, p in plist:
+            if tiles and tiles[-1][0] == row and len(tiles[-1][1]) < QT:
+                tiles[-1][1].append(p)
+            else:
+                tiles.append((row, [p]))
+        T = len(tiles)
+        TB = T if interpret else 128
+        gaps = np.where(np.abs(bank.em_odds).sum(axis=(0, 1)) == 0)[0]
+        pad_code = int(gaps[0]) if len(gaps) else 4
+        for c0 in range(0, T, TB):
+            chunk = tiles[c0:c0 + TB]
+            codesT = np.full((TB, Ldmax, QT), pad_code, np.int32)
+            pmove = np.full((TB * QT, 1), 0.5, np.float32)
+            lds = np.zeros((TB * QT, 1), np.int32)
+            model_of = np.zeros(TB, np.int32)
+            ms_arr = np.ones(TB, np.int32)
+            for t, (row, ps) in enumerate(chunk):
+                model_of[t] = row
+                ms_arr[t] = int(bank.M[row])
+                for s, p in enumerate(ps):
+                    c = pairs[p][1]
+                    codesT[t, :len(c), s] = c
+                    lds[t * QT + s, 0] = len(c)
+                    pmove[t * QT + s, 0] = 2.0 / (float(len(c)) + 2.0)
+            cols, stat = pallas_oa(
+                jnp.asarray(model_of), jnp.asarray(ms_arr), emTj,
+                transj, jnp.asarray(codesT), jnp.asarray(pmove),
+                jnp.asarray(lds), QT=QT, B=B, interpret=interpret)
+            cols = np.asarray(cols)
+            stat = np.asarray(stat)
+            for t, (row, ps) in enumerate(chunk):
+                for s, p in enumerate(ps):
+                    L = len(pairs[p][1])
+                    cols_out[p] = cols[t, :L, s].astype(np.int64)
+                    margins[p] = stat[t, s, 0]
+                    oks[p] = stat[t, s, 1] > 0.5
+    return cols_out, margins, oks

@@ -51,6 +51,22 @@ def _encode_queries(path: str, alphabet):
     return names, seqs, codes, renamed
 
 
+def _native_args(prof):
+    """f64 contiguous (msc + transitions + bm) tuple for the native
+    engine, cached on the profile (three call sites per model/run)."""
+    a = getattr(prof, "_nat_args", None)
+    if a is None:
+        a = [np.ascontiguousarray(prof.msc, np.float64)] + \
+            [np.ascontiguousarray(getattr(prof, x), np.float64)
+             for x in ("t_mm", "t_mi", "t_md", "t_im", "t_ii",
+                       "t_dm", "t_dd", "bm")]
+        try:
+            prof._nat_args = a
+        except AttributeError:
+            pass
+    return a
+
+
 def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                    q_chunk: int = 256, q_owned=None):
     """Forward-score every query against every ensemble HMM.
@@ -133,6 +149,14 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
     ev = getattr(Configs, "_art_gate_event", None)
     if ev is not None:
         ev.set()
+    # resident device banks for the fused device posterior+OA aligner
+    # (ops/pallas_oa.py): the align stage reuses the scoring banks —
+    # emissions/transitions/bm are mode-independent; unihit specials
+    # are applied inside the kernel — so no second upload happens
+    ens._device_banks = (
+        banks,
+        {int(idx): (bi, r) for bi, b in enumerate(banks)
+         for r, idx in enumerate(b.hmm_indices)})
     col_of = {idx: j for j, idx in enumerate(indices)}
 
     Q = len(qcodes)
@@ -376,10 +400,7 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
             j, qlist = item
             t_b = time.time() if _gate_profile else 0.0
             prof = _configure(ens.cores[int(indices[j])], multihit=True)
-            args = [np.ascontiguousarray(prof.msc, np.float64)] + \
-                [np.ascontiguousarray(getattr(prof, a), np.float64)
-                 for a in ("t_mm", "t_mi", "t_md", "t_im", "t_ii",
-                           "t_dm", "t_dd", "bm")]
+            args = _native_args(prof)
             codes_list = [np.ascontiguousarray(qcodes[q], np.int32)
                           for q in qlist]
             if rows_dev is not None:
@@ -502,11 +523,7 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                     j, qlist = item
                     prof = _configure(ens.cores[int(indices[j])],
                                       multihit=True)
-                    args = [np.ascontiguousarray(prof.msc, np.float64)] \
-                        + [np.ascontiguousarray(
-                            getattr(prof, a), np.float64)
-                           for a in ("t_mm", "t_mi", "t_md", "t_im",
-                                     "t_ii", "t_dm", "t_dd", "bm")]
+                    args = _native_args(prof)
                     codes_list = [
                         np.ascontiguousarray(qcodes[q], np.int32)
                         for q in qlist]
@@ -631,10 +648,7 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                 qlist = sorted(qset)
                 prof = _configure(ens.cores[int(indices[j])],
                                   multihit=True)
-                xargs = [np.ascontiguousarray(prof.msc, np.float64)] + \
-                    [np.ascontiguousarray(getattr(prof, a), np.float64)
-                     for a in ("t_mm", "t_mi", "t_md", "t_im", "t_ii",
-                               "t_dm", "t_dd", "bm")]
+                xargs = _native_args(prof)
                 cl = [np.ascontiguousarray(qcodes[q], np.int32)
                       for q in qlist]
                 okx, seqx, _prex = _x32(*xargs, cl, 1)

@@ -68,15 +68,30 @@ def _maybe_reload():
               flush=True)
 
 
-def _run_job(argv, cwd=None):
+def _run_job(argv, cwd=None, env=None):
     if cwd:
         os.chdir(cwd)
     _maybe_reload()
-    from .cli import init_parser
-    from .config import build_configs
-    from .pipeline import main_alignment_process
-    build_configs(init_parser(), argv)
-    return main_alignment_process()
+    saved = {}
+    if env:
+        for k, v in env.items():
+            if k in ("WITCH_TPU_IN_SERVER", "WITCH_TPU_DAEMON_DIR",
+                     "WITCH_TPU_SERVER_RELOAD"):
+                continue
+            saved[k] = os.environ.get(k)
+            os.environ[k] = str(v)
+    try:
+        from .cli import init_parser
+        from .config import build_configs
+        from .pipeline import main_alignment_process
+        build_configs(init_parser(), argv)
+        return main_alignment_process()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 def _run_bench_job(spec):
@@ -133,6 +148,21 @@ def _prewarm():
             null2_envelopes_device(b, entries, Ldmax=Ldmax)
         print("witch-tpu server: prewarmed %d null2 program(s) in %.1fs"
               % (len(banks), time.time() - t1), flush=True)
+        # the fused posterior+OA align program (one per bank shape)
+        t2 = time.time()
+        from .ops.pallas_oa import oa_columns_device
+        bank_row = {int(idx): (bi, r)
+                    for bi, b in enumerate(banks)
+                    for r, idx in enumerate(b.hmm_indices)}
+        opairs = []
+        for b in banks:
+            for i in range(2):
+                q = i % len(lens)
+                opairs.append((int(b.hmm_indices[0]),
+                               codes[q][:int(lens[q])].astype(np.int32)))
+        oa_columns_device(banks, bank_row, opairs, Ldmax=Ldmax)
+        print("witch-tpu server: prewarmed %d align program(s) in %.1fs"
+              % (len(banks), time.time() - t2), flush=True)
     except Exception as e:   # noqa: BLE001
         print("witch-tpu server: prewarm skipped (%s)" % e, flush=True)
 
@@ -226,7 +256,8 @@ def serve(jobs_dir: str, poll_s: float = 0.5,
             else:
                 print("witch-tpu server: job %s %s"
                       % (picked, spec["argv"]), flush=True)
-                result["output"] = _run_job(spec["argv"], spec.get("cwd"))
+                result["output"] = _run_job(spec["argv"], spec.get("cwd"),
+                                            spec.get("env"))
             result["ok"] = True
         except SystemExit as e:
             result["error"] = "exit: %s" % e
@@ -254,6 +285,14 @@ def submit(jobs_dir: str, argv, timeout_s: float = 0.0,
     name = "job-%d-%d" % (os.getpid(), int(time.time() * 1000))
     tmp = os.path.join(jobs_dir, name + ".job.tmp")
     spec = {"argv": list(argv), "cwd": cwd}
+    # forward the submitter's WITCH_TPU_* knobs (the daemon applies
+    # them for the job's duration, then restores its own environment)
+    fwd = {k: v for k, v in os.environ.items()
+           if k.startswith("WITCH_TPU_")
+           and k not in ("WITCH_TPU_IN_SERVER", "WITCH_TPU_DAEMON_DIR",
+                         "WITCH_TPU_SERVER_RELOAD")}
+    if fwd:
+        spec["env"] = fwd
     if extra:
         spec.update(extra)
     with open(tmp, "w") as f:

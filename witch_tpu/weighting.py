@@ -33,10 +33,14 @@ def calculate_weights(indexes: Sequence[int], bitscores: Sequence[float],
     s = np.asarray(sizes, dtype=np.float64)
     if b.size == 0:
         return tuple()
-    weights = {}
-    for i in range(len(b)):
-        exponents = (b - b[i]) + np.log2(s / s[i])
-        weights[indexes[i]] = 1.0 / np.power(2.0, exponents).sum()
+    # vectorized over i with the reference's exact per-i expression:
+    # exponents[i, j] = (b[j] - b[i]) + log2(s[j] / s[i]); each row sums
+    # in j order (n < 128 keeps numpy's sum sequential), so every float
+    # op and its order match the scalar loop bit-for-bit
+    exponents = (b[None, :] - b[:, None]) + np.log2(s[None, :]
+                                                    / s[:, None])
+    wv = 1.0 / np.power(2.0, exponents).sum(axis=1)
+    weights = {indexes[i]: wv[i] for i in range(len(b))}
     num_to_retain = min(num_hmms, len(weights))
     ranked = sorted(weights.items(), key=lambda x: x[1], reverse=True)
     return tuple((int(i), float(w)) for i, w in ranked[:num_to_retain])
