@@ -153,13 +153,17 @@ class DeviceAligner:
             bad = [p for p in range(len(pairs))
                    if not np.array_equal(np.asarray(ref[p]),
                                          np.asarray(cols[p]))]
-            badm = [float(margins[p]) for p in bad]
+            badm = sorted(float(margins[p]) for p in bad)
             Configs.log(
-                "device-OA validate: %d/%d mismatch (margins %s); "
-                "guard %g would re-align %d"
+                "device-OA validate: %d/%d mismatch (margins "
+                "min %s p50 %s max %s all>guard %s); guard %g would "
+                "re-align %d"
                 % (len(bad), len(pairs),
-                   ["%.3g" % m for m in sorted(badm)[:10]], guard,
-                   len(redo)))
+                   "%.3g" % badm[0] if badm else "-",
+                   "%.3g" % badm[len(badm) // 2] if badm else "-",
+                   "%.3g" % badm[-1] if badm else "-",
+                   ["%.3g" % m for m in badm if m >= guard][:12],
+                   guard, len(redo)))
             safe = [p for p in bad if p not in set(redo)]
             if safe:
                 Configs.warning(

@@ -49,14 +49,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 SCALE_FLOOR = 1e-30
 NEG = float(np.float32(-np.finfo(np.float32).max))
+LN2 = float(np.float32(np.log(2.0)))
 
 
 def _oa_kernel(model_of, ms_arr, codes_ref, pmove_ref, lds_ref,
-               emT_hi_ref, emT_lo_ref, trans_ref,
-               cols_ref, stat_ref,
-               fM, fI, fD, fS, bM, bI, bS, ckM, ckI, ckS,
-               blM, blI, blS, oaM, oaI, oaD, oaS, ptr, rowi,
-               *, Ld, Mp, QT, B):
+               emT_ref, trans_ref,
+               cols_ref, stat_ref, *rest,
+               Ld, Mp, QT, B, debug_ptr=False):
+    if debug_ptr:
+        dptr_ref, drow_ref, dck_ref, dckM_ref = rest[:4]
+        rest = rest[4:]
+    (fM, fI, fD, fS, bM, bI, bS, ckM, ckI, ckS,
+     blM, blI, blS, oaM, oaI, oaD, oaMl, oaIl, oaDl,
+     oaS, ptr, rowi) = rest
     """One grid step = QT (query, model) pairs of one model.
 
     codes_ref [1, Ld, QT] i32; pmove_ref/lds_ref [QT, 1];
@@ -83,6 +88,19 @@ def _oa_kernel(model_of, ms_arr, codes_ref, pmove_ref, lds_ref,
     imask = jnp.logical_and(lane >= 1, lane <= M_model - 1)  # I lanes
     dmask = jnp.logical_and(lane >= 2, lane <= M_model)      # D lanes
 
+    def po2_scale(scale):
+        """Exact power-of-two row normalization: 2^floor(log2 s).
+        TPU divisions/reciprocals are approximate (~2^-12), which
+        accumulated ~1%% Forward-score drift per 100 rows; a
+        power-of-two inverse multiplies exactly and the ledger
+        becomes an integer exponent count."""
+        sb = pltpu.bitcast(scale, jnp.int32)
+        eb = jnp.bitwise_and(sb, jnp.int32(0x7F800000))
+        scale2 = pltpu.bitcast(eb, jnp.float32)
+        inv = pltpu.bitcast(jnp.int32(254 << 23) - eb, jnp.float32)
+        k = (jnp.right_shift(eb, 23) - 127).astype(jnp.float32)
+        return scale2, inv, k
+
     def shift1(v):          # odds-domain [*, k] <- [*, k-1], zero fill
         return pltpu.roll(v, 1, axis=1) * (lane >= 1).astype(jnp.float32)
 
@@ -96,15 +114,16 @@ def _oa_kernel(model_of, ms_arr, codes_ref, pmove_ref, lds_ref,
         return jnp.where(lane >= 1, pltpu.roll(v, 1, axis=1), NEG)
 
     def emis(x_row):
+        # single f32 one-hot matmul: a bf16 hi+lo pair here measured
+        # a 1-2%% systematic Forward-score error on TPU (the two dots
+        # appear to get algebraically merged, dropping the lo part);
+        # the one-hot selection makes the f32 dot exact by construction
         onehotT = (jax.lax.broadcasted_iota(
-            jnp.int32, (128, QT), 0) == x_row).astype(jnp.bfloat16)
+            jnp.int32, (128, QT), 0) == x_row).astype(jnp.float32)
         dn = (((0,), (0,)), ((), ()))
-        return (jax.lax.dot_general(
-                    onehotT, emT_hi_ref[0], dimension_numbers=dn,
-                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(
-                    onehotT, emT_lo_ref[0], dimension_numbers=dn,
-                    preferred_element_type=jnp.float32))
+        return jax.lax.dot_general(
+            onehotT, emT_ref[0], dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
 
     n_dbl = max(1, int(np.ceil(np.log2(max(2, Mp)))))
     a1 = shift1(jnp.broadcast_to(t_dd, (1, Mp)))
@@ -182,13 +201,14 @@ def _oa_kernel(model_of, ms_arr, codes_ref, pmove_ref, lds_ref,
         scale = jnp.maximum(
             jnp.max(Mi, axis=1, keepdims=True),
             jnp.maximum(bNn, jnp.maximum(bCn, SCALE_FLOOR)))
-        inv = 1.0 / scale
+        _, inv, kexp = po2_scale(scale)
+        # bled ledger holds the INTEGER exponent sum (exact in f32)
         bM[...] = jnp.where(at_term, bMT, Mi * inv)
         bI[...] = jnp.where(at_term, 0.0, Ii * inv)
         bS[...] = jnp.concatenate(
             [jnp.where(at_term, 0.0, bNn * inv),
              jnp.where(at_term, pmove, bCn * inv),
-             jnp.where(at_term, 0.0, bled + jnp.log(scale)),
+             jnp.where(at_term, 0.0, bled + kexp),
              jnp.zeros((QT, 5), jnp.float32)], axis=1)
 
     def apass_block(bb, _):
@@ -208,7 +228,7 @@ def _oa_kernel(model_of, ms_arr, codes_ref, pmove_ref, lds_ref,
     jax.lax.fori_loop(0, NB, apass_block, (), unroll=False)
     S0 = bS[...]
     Zlog = (jnp.log(jnp.maximum(S0[:, 0:1], SCALE_FLOOR))
-            + S0[:, 2:3])                                  # [QT, 1]
+            + S0[:, 2:3] * LN2)                            # [QT, 1]
 
     # ---------------- pass B: forward + fused OA fill -----------------
     fM[...] = jnp.zeros((QT, Mp), jnp.float32)
@@ -218,26 +238,79 @@ def _oa_kernel(model_of, ms_arr, codes_ref, pmove_ref, lds_ref,
     fS[...] = jnp.concatenate(
         [jnp.ones((QT, 1), jnp.float32), pmove,
          jnp.zeros((QT, 6), jnp.float32)], axis=1)
+    # The OA DP runs in DOUBLE-FLOAT (hi+lo compensated f32, ~2^-48
+    # resolution): plain f32 collapses distinct f64 path sums into
+    # exact ties that the host breaks by comparison, flipping ~7% of
+    # pairs (measured). In double-float an exact tie is (near-
+    # certainly) a structural tie - identical sums propagated along
+    # exact-zero paths - which both precisions break by the same
+    # first-max precedence, so ties are trusted and only genuinely
+    # small margins defer to the host.
     oaM[...] = jnp.full((QT, Mp), NEG, jnp.float32)
     oaI[...] = jnp.full((QT, Mp), NEG, jnp.float32)
     oaD[...] = jnp.full((QT, Mp), NEG, jnp.float32)
-    # oaS cols: 0=N 1=C 2=minmargin
+    oaMl[...] = jnp.zeros((QT, Mp), jnp.float32)
+    oaIl[...] = jnp.zeros((QT, Mp), jnp.float32)
+    oaDl[...] = jnp.zeros((QT, Mp), jnp.float32)
+    # oaS cols: 0=N_hi 1=C_hi 2=minmargin 3=N_lo 4=C_lo
     oaS[...] = jnp.concatenate(
         [jnp.zeros((QT, 1), jnp.float32),
          jnp.full((QT, 1), NEG, jnp.float32),
          jnp.full((QT, 1), jnp.inf, jnp.float32),
          jnp.zeros((QT, 5), jnp.float32)], axis=1)
 
+    def df_ge(h1, l1, h2, l2):
+        return jnp.logical_or(h1 > h2,
+                              jnp.logical_and(h1 == h2, l1 >= l2))
+
+    def df_gt(h1, l1, h2, l2):
+        return jnp.logical_or(h1 > h2,
+                              jnp.logical_and(h1 == h2, l1 > l2))
+
+    def df_eq(h1, l1, h2, l2):
+        return jnp.logical_and(h1 == h2, l1 == l2)
+
+    def df_max(h1, l1, h2, l2):
+        m = df_ge(h1, l1, h2, l2)
+        return jnp.where(m, h1, h2), jnp.where(m, l1, l2)
+
+    def df_add_f32(h, l, b):
+        """(h, l) + b via two-sum, renormalized."""
+        s_ = h + b
+        z = s_ - h
+        e = (h - (s_ - z)) + (b - z)
+        lo = l + e
+        hi2 = s_ + lo
+        lo2 = lo - (hi2 - s_)
+        return hi2, lo2
+
+    def df_shift1(h, l):
+        return (jnp.where(lane >= 1, pltpu.roll(h, 1, axis=1), NEG),
+                jnp.where(lane >= 1, pltpu.roll(l, 1, axis=1), 0.0))
+
+    def df_cummax(h, l):
+        for d in range(n_dbl):
+            s_ = 1 << d
+            rh = jnp.where(lane >= s_, pltpu.roll(h, s_, axis=1), NEG)
+            rl = jnp.where(lane >= s_, pltpu.roll(l, s_, axis=1), 0.0)
+            h, l = df_max(h, l, rh, rl)
+        return h, l
+
     def pair_margin(best, others, mask2d):
-        """Min over masked cells of (best - second); exact ties and
-        single-candidate cells contribute +inf (trusted)."""
-        second = jnp.full_like(best, NEG)
-        any_tie = jnp.zeros(best.shape, jnp.bool_)
-        for o in others:
-            second = jnp.maximum(second, jnp.where(o < best, o, NEG))
-            any_tie = jnp.logical_or(any_tie, o == best)
-        m = jnp.where(jnp.logical_or(any_tie, second == NEG),
-                      jnp.inf, best - second)
+        """Min over masked cells of (best - second) in double-float;
+        exact ties and single-candidate cells contribute +inf."""
+        bh, bl = best
+        sh = jnp.full(bh.shape, NEG, jnp.float32)
+        sl = jnp.zeros(bh.shape, jnp.float32)
+        any_tie = jnp.zeros(bh.shape, jnp.bool_)
+        for oh, ol in others:
+            below = df_gt(bh, bl, oh, ol)
+            any_tie = jnp.logical_or(any_tie, df_eq(oh, ol, bh, bl))
+            ch = jnp.where(below, oh, NEG)
+            cl = jnp.where(below, ol, 0.0)
+            sh, sl = df_max(sh, sl, ch, cl)
+        m = jnp.where(jnp.logical_or(any_tie, sh == NEG),
+                      jnp.inf, (bh - sh) + (bl - sl))
         return jnp.min(jnp.where(mask2d, m, jnp.inf), axis=1,
                        keepdims=True)
 
@@ -281,11 +354,11 @@ def _oa_kernel(model_of, ms_arr, codes_ref, pmove_ref, lds_ref,
             scale = jnp.maximum(
                 jnp.max(Mrow, axis=1, keepdims=True),
                 jnp.maximum(Cn, jnp.maximum(Nn, SCALE_FLOOR)))
-            inv = 1.0 / scale
+            _, inv, kexp = po2_scale(scale)
             fM[...] = jnp.where(live, Mrow * inv, Mv)
             fI[...] = jnp.where(live, Irow * inv, Iv)
             fD[...] = jnp.where(live, Drow * inv, Dv)
-            fled1 = fled0 + jnp.log(scale)
+            fled1 = fled0 + kexp
             fS[...] = jnp.where(
                 live,
                 jnp.concatenate(
@@ -299,73 +372,108 @@ def _oa_kernel(model_of, ms_arr, codes_ref, pmove_ref, lds_ref,
             bSr_ = blS[r]
             bN_i, bC_i, bled_i = (bSr_[:, 0:1], bSr_[:, 1:2],
                                   bSr_[:, 2:3])
-            sc = jnp.exp(fled1 + bled_i - Zlog)
+            sc = jnp.exp((fled1 + bled_i) * LN2 - Zlog)
             ppM = jnp.where(kmask, fM[...] * bMr_ * sc, 0.0)
             ppI = jnp.where(imask, fI[...] * bIr_ * sc, 0.0)
-            scN = jnp.exp(fled0 + bled_i - Zlog)
+            scN = jnp.exp((fled0 + bled_i) * LN2 - Zlog)
             ppN = fN0 * ploop * bN_i * scN
             ppC = fC0 * ploop * bC_i * scN
 
-            # ---- OA fill row i_row (align_ref.oa_fill semantics) ----
-            pM0, pI0, pD0 = oaM[...], oaI[...], oaD[...]
+            # ---- OA fill row i_row (align_ref.oa_fill semantics,
+            # double-float accumulation) ----
+            pM0h, pI0h, pD0h = oaM[...], oaI[...], oaD[...]
+            pM0l, pI0l, pD0l = oaMl[...], oaIl[...], oaDl[...]
             oS = oaS[...]
             oN0, oC0, mm0 = oS[:, 0:1], oS[:, 1:2], oS[:, 2:3]
-            c_mm = shift1_neg(pM0)
-            c_im = shift1_neg(pI0)
-            c_dm = shift1_neg(pD0)
-            c_b = jnp.broadcast_to(oN0, (QT, Mp))    # B[i-1] = N[i-1]
-            cand = jnp.maximum(jnp.maximum(c_mm, c_im),
-                               jnp.maximum(c_dm, c_b))
-            Mx = jnp.where(kmask, ppM + cand, NEG)
+            oN0l, oC0l = oS[:, 3:4], oS[:, 4:5]
+            c_mmh, c_mml = df_shift1(pM0h, pM0l)
+            c_imh, c_iml = df_shift1(pI0h, pI0l)
+            c_dmh, c_dml = df_shift1(pD0h, pD0l)
+            c_bh = jnp.broadcast_to(oN0, (QT, Mp))   # B[i-1] = N[i-1]
+            c_bl = jnp.broadcast_to(oN0l, (QT, Mp))
+            ch, cl = df_max(c_mmh, c_mml, c_imh, c_iml)
+            ch, cl = df_max(ch, cl, c_dmh, c_dml)
+            ch, cl = df_max(ch, cl, c_bh, c_bl)
+            Mxh, Mxl = df_add_f32(ch, cl, ppM)
+            Mxh = jnp.where(kmask, Mxh, NEG)
+            Mxl = jnp.where(kmask, Mxl, 0.0)
             pm = jnp.where(
-                c_mm == cand, 0,
-                jnp.where(c_im == cand, 1,
-                          jnp.where(c_dm == cand, 2, 3))).astype(
-                              jnp.int32)
-            m_M = pair_margin(cand, [c_mm, c_im, c_dm, c_b], kmask)
-            ci = jnp.maximum(pM0, pI0)
-            Ix = jnp.where(imask, ppI + ci, NEG)
-            pi_ = (pM0 < pI0).astype(jnp.int32)       # 0 = from M (>=)
-            m_I = pair_margin(ci, [pM0, pI0], imask)
-            Dx = jnp.where(dmask, cummax_neg(shift1_neg(Mx)), NEG)
-            sM1 = shift1_neg(Mx)
-            sD1 = shift1_neg(Dx)
-            pd = (sM1 < sD1).astype(jnp.int32)        # 0 = from M (>=)
-            m_D = pair_margin(jnp.maximum(sM1, sD1), [sM1, sD1], dmask)
-            # E: first max over k of (M then D)
-            candE = jnp.where(kmask, jnp.maximum(Mx, Dx), NEG)
-            Erow = jnp.max(candE, axis=1, keepdims=True)
-            isbest = candE == Erow
+                df_eq(c_mmh, c_mml, ch, cl), 0,
+                jnp.where(df_eq(c_imh, c_iml, ch, cl), 1,
+                          jnp.where(df_eq(c_dmh, c_dml, ch, cl), 2,
+                                    3))).astype(jnp.int32)
+            m_M = pair_margin(
+                (ch, cl), [(c_mmh, c_mml), (c_imh, c_iml),
+                           (c_dmh, c_dml), (c_bh, c_bl)], kmask)
+            cih, cil = df_max(pM0h, pM0l, pI0h, pI0l)
+            Ixh, Ixl = df_add_f32(cih, cil, ppI)
+            Ixh = jnp.where(imask, Ixh, NEG)
+            Ixl = jnp.where(imask, Ixl, 0.0)
+            pi_ = jnp.where(df_ge(pM0h, pM0l, pI0h, pI0l), 0,
+                            1).astype(jnp.int32)      # 0 = from M
+            m_I = pair_margin((cih, cil),
+                              [(pM0h, pM0l), (pI0h, pI0l)], imask)
+            sM1h, sM1l = df_shift1(Mxh, Mxl)
+            Dxh, Dxl = df_cummax(sM1h, sM1l)
+            Dxh = jnp.where(dmask, Dxh, NEG)
+            Dxl = jnp.where(dmask, Dxl, 0.0)
+            sD1h, sD1l = df_shift1(Dxh, Dxl)
+            pd = jnp.where(df_ge(sM1h, sM1l, sD1h, sD1l), 0,
+                           1).astype(jnp.int32)       # 0 = from M
+            dbh, dbl = df_max(sM1h, sM1l, sD1h, sD1l)
+            m_D = pair_margin((dbh, dbl),
+                              [(sM1h, sM1l), (sD1h, sD1l)], dmask)
+            # E: first max over k of (M then D), lexicographic
+            cEh, cEl = df_max(Mxh, Mxl, Dxh, Dxl)
+            cEh = jnp.where(kmask, cEh, NEG)
+            cEl = jnp.where(kmask, cEl, 0.0)
+            rh = jnp.max(cEh, axis=1, keepdims=True)
+            at_h = cEh == rh
+            rl = jnp.max(jnp.where(at_h, cEl, NEG), axis=1,
+                         keepdims=True)
+            isbest = jnp.logical_and(at_h, cEl == rl)
             kE = jnp.min(jnp.where(isbest, lane, Mp + 1), axis=1,
                          keepdims=True)
-            secondE = jnp.max(jnp.where(candE < Erow, candE, NEG),
-                              axis=1, keepdims=True)
             nbest = jnp.sum(isbest.astype(jnp.int32), axis=1,
                             keepdims=True)
-            m_E = jnp.where(jnp.logical_or(nbest > 1, secondE == NEG),
-                            jnp.inf, Erow - secondE)
-            MxAtkE = jnp.max(jnp.where(lane == kE, Mx, NEG), axis=1,
-                             keepdims=True)
-            eIsD = (MxAtkE < Erow).astype(jnp.float32)
-            m_ED = jnp.where(MxAtkE == Erow, jnp.inf, Erow - MxAtkE)
-            cloop = oC0 + ppC
-            Cn_ = jnp.maximum(cloop, Erow)
-            cbit = (cloop >= Erow).astype(jnp.float32)
-            m_C = jnp.where(cloop == Erow, jnp.inf,
-                            jnp.abs(cloop - Erow))
-            Nn_ = oN0 + ppN
+            blw = df_gt(rh, rl, cEh, cEl)
+            s2h = jnp.max(jnp.where(blw, cEh, NEG), axis=1,
+                          keepdims=True)
+            s2l = jnp.max(
+                jnp.where(jnp.logical_and(blw, cEh == s2h), cEl, NEG),
+                axis=1, keepdims=True)
+            m_E = jnp.where(jnp.logical_or(nbest > 1, s2h == NEG),
+                            jnp.inf, (rh - s2h) + (rl - s2l))
+            MxkEh = jnp.max(jnp.where(lane == kE, Mxh, NEG), axis=1,
+                            keepdims=True)
+            MxkEl = jnp.max(jnp.where(lane == kE, Mxl, NEG), axis=1,
+                            keepdims=True)
+            eIsD = df_gt(rh, rl, MxkEh, MxkEl).astype(jnp.float32)
+            m_ED = jnp.where(df_eq(MxkEh, MxkEl, rh, rl), jnp.inf,
+                             (rh - MxkEh) + (rl - MxkEl))
+            clh, cll = df_add_f32(oC0, oC0l, ppC)
+            cge = df_ge(clh, cll, rh, rl)
+            Cnh = jnp.where(cge, clh, rh)
+            Cnl = jnp.where(cge, cll, rl)
+            cbit = cge.astype(jnp.float32)
+            m_C = jnp.where(df_eq(clh, cll, rh, rl), jnp.inf,
+                            jnp.abs((clh - rh) + (cll - rl)))
+            Nnh, Nnl = df_add_f32(oN0, oN0l, ppN)
             newmm = jnp.minimum(
                 jnp.minimum(jnp.minimum(mm0, m_M), jnp.minimum(m_I,
                                                                m_D)),
                 jnp.minimum(jnp.minimum(m_E, m_C), m_ED))
-            oaM[...] = jnp.where(live, Mx, pM0)
-            oaI[...] = jnp.where(live, Ix, pI0)
-            oaD[...] = jnp.where(live, Dx, pD0)
+            oaM[...] = jnp.where(live, Mxh, pM0h)
+            oaI[...] = jnp.where(live, Ixh, pI0h)
+            oaD[...] = jnp.where(live, Dxh, pD0h)
+            oaMl[...] = jnp.where(live, Mxl, pM0l)
+            oaIl[...] = jnp.where(live, Ixl, pI0l)
+            oaDl[...] = jnp.where(live, Dxl, pD0l)
             oaS[...] = jnp.where(
                 live,
                 jnp.concatenate(
-                    [Nn_, Cn_, newmm,
-                     jnp.zeros((QT, 5), jnp.float32)], axis=1),
+                    [Nnh, Cnh, newmm, Nnl, Cnl,
+                     jnp.zeros((QT, 3), jnp.float32)], axis=1),
                 oS)
             # pointer byte: bits0-1 pm, bit2 pi, bit3 pd
             pbyte = (pm + pi_ * 4 + pd * 8).astype(jnp.int8)
@@ -379,6 +487,11 @@ def _oa_kernel(model_of, ms_arr, codes_ref, pmove_ref, lds_ref,
         return ()
 
     jax.lax.fori_loop(0, NB, bpass_block, (), unroll=False)
+    if debug_ptr:
+        dptr_ref[0] = ptr[...]
+        drow_ref[0] = rowi[...]
+        dck_ref[0] = ckS[...]
+        dckM_ref[0] = ckM[...]
 
     # ---------------- pass C: traceback per pair ----------------------
     # Mosaic has no dynamic-lane gather/scatter, so: the pair loop is a
@@ -459,9 +572,10 @@ def _oa_kernel(model_of, ms_arr, codes_ref, pmove_ref, lds_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("QT", "B", "interpret"))
+                   static_argnames=("QT", "B", "interpret",
+                                    "debug_ptr"))
 def pallas_oa(model_of, ms_arr, emT, trans, codesT, pmove, lds,
-              QT=16, B=32, interpret=False):
+              QT=16, B=32, interpret=False, debug_ptr=False):
     """Batched fused posterior+OA+traceback.
 
     model_of [T] i32 (scalar prefetch: bank row per tile); ms_arr [T]
@@ -469,8 +583,6 @@ def pallas_oa(model_of, ms_arr, emT, trans, codesT, pmove, lds,
     codesT [T, Ld, QT] i32; pmove/lds [T*QT, 1].
     Returns (cols [T, Ld, QT] i32, stat [T, QT, 8] f32).
     """
-    emT_hi = emT.astype(jnp.bfloat16)
-    emT_lo = (emT - emT_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     H, _, Mp = emT.shape
     T, Ld, _ = codesT.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -485,8 +597,6 @@ def pallas_oa(model_of, ms_arr, emT, trans, codesT, pmove, lds,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128, Mp), lambda t, m, ms: (m[t], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128, Mp), lambda t, m, ms: (m[t], 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, Mp), lambda t, m, ms: (m[t], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -495,7 +605,18 @@ def pallas_oa(model_of, ms_arr, emT, trans, codesT, pmove, lds,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, QT, 8), lambda t, m, ms: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + ([
+            pl.BlockSpec((1, Ld, QT, Mp), lambda t, m, ms: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ld, QT, 8), lambda t, m, ms: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ld // B, QT, 8),
+                         lambda t, m, ms: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ld // B, QT, Mp),
+                         lambda t, m, ms: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] if debug_ptr else []),
         scratch_shapes=[
             pltpu.VMEM((QT, Mp), jnp.float32),          # fM
             pltpu.VMEM((QT, Mp), jnp.float32),          # fI
@@ -513,20 +634,29 @@ def pallas_oa(model_of, ms_arr, emT, trans, codesT, pmove, lds,
             pltpu.VMEM((QT, Mp), jnp.float32),           # oaM
             pltpu.VMEM((QT, Mp), jnp.float32),           # oaI
             pltpu.VMEM((QT, Mp), jnp.float32),           # oaD
+            pltpu.VMEM((QT, Mp), jnp.float32),           # oaMl
+            pltpu.VMEM((QT, Mp), jnp.float32),           # oaIl
+            pltpu.VMEM((QT, Mp), jnp.float32),           # oaDl
             pltpu.VMEM((QT, 8), jnp.float32),            # oaS
             pltpu.VMEM((Ld, QT, Mp), jnp.int8),          # ptr
             pltpu.VMEM((Ld, QT, 8), jnp.float32),        # rowi
         ],
     )
     return pl.pallas_call(
-        functools.partial(_oa_kernel, Ld=Ld, Mp=Mp, QT=QT, B=B),
+        functools.partial(_oa_kernel, Ld=Ld, Mp=Mp, QT=QT, B=B,
+                          debug_ptr=debug_ptr),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((T, Ld, QT), jnp.int32),
-                   jax.ShapeDtypeStruct((T, QT, 8), jnp.float32)],
+                   jax.ShapeDtypeStruct((T, QT, 8), jnp.float32)]
+        + ([jax.ShapeDtypeStruct((T, Ld, QT, Mp), jnp.int8),
+            jax.ShapeDtypeStruct((T, Ld, QT, 8), jnp.float32),
+            jax.ShapeDtypeStruct((T, Ld // B, QT, 8), jnp.float32),
+            jax.ShapeDtypeStruct((T, Ld // B, QT, Mp), jnp.float32)]
+           if debug_ptr else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(model_of, ms_arr, codesT, pmove, lds, emT_hi, emT_lo, trans)
+    )(model_of, ms_arr, codesT, pmove, lds, emT, trans)
 
 
 def bank_strictly_positive(bank) -> bool:
