@@ -60,13 +60,10 @@ def test_amino500_golden(tmp_path):
     """Production-scale amino golden: 100-seq backbone, 500 fragmentary
     queries (5 clades, substitutions + deletions, query insertions).
     Oracle = reference WITCH resumed from reference-native HMMER
-    artifacts (scripts/make_amino_golden.py). Grid membership is
-    9500/9500 and 9315/9500 scores print-exact (144 of the 185
-    residuals are single 0.1-bit print roundings; the tail is the
-    seeded trace-ensemble's sensitivity to the <=5e-6 model
-    quantization difference). Exactly one masked row (q432) sits on a
-    0.1-bit weight boundary, so the floor is 599; 598 guards a flake
-    margin on that single boundary row."""
+    artifacts (scripts/make_amino_golden.py). Round 5 (exact Blocks9
+    mixture + exact insert prior read from the bundled hmmbuild):
+    grid membership 9500/9500, scores 9500/9500 AND bias 9500/9500
+    print-exact; all 600 masked rows bit-identical."""
     from witch_tpu.cli import init_parser
     from witch_tpu.config import build_configs
     from witch_tpu.pipeline import main_alignment_process
@@ -85,5 +82,4 @@ def test_amino500_golden(tmp_path):
         oracle = _read_fasta_dict(f)
     bad = [n for n in oracle if mine.get(n) != oracle[n]]
     assert len(oracle) == 600
-    assert len(bad) <= 2, "%d/600 amino rows diverge: %s" % (
-        len(bad), bad[:8])
+    assert not bad, "%d/600 amino rows diverge: %s" % (len(bad), bad[:8])

@@ -149,9 +149,9 @@ def test_amino_parity(hmmbuild_bin, tmp_path):
         rows.append("".join(s))
     fasta = tmp_path / "aa.fasta"
     _write(fasta, rows)
-    # emissions limited by the fitted Blocks9 accuracy (~5e-5)
+    # exact Blocks9 prior (read from the bundled hmmbuild .rodata)
     _assert_parity_mol(fasta, hmmbuild_bin, tmp_path, "amino", "--amino",
-                       1e-4)
+                       1e-5)
 
 
 def test_rna_parity(hmmbuild_bin, tmp_path):

@@ -72,59 +72,94 @@ AMINO_TRANSITION_PRIOR = TransitionPrior(
     td=np.array([0.9002, 0.5630]),
 )
 
-# Amino acid match-emission prior: 9-component mixture Dirichlet
-# (Blocks9). Recovered empirically by fitting the posterior-predictive of
-# 2400 probe columns built with the bundled hmmbuild (--enone --wnone);
-# matches its printed emissions to max |p err| 5.2e-5. The recovered
-# mixture weights coincide with the published Blocks9 weights.
+# Amino acid match-emission prior: the 9-component Blocks9 mixture
+# Dirichlet, EXACT f64 values read from the bundled hmmbuild binary's
+# .rodata (round 5; previously an empirical fit accurate to ~5e-5 in
+# emission probability, which left 185/9500 amino grid scores off by
+# one 0.1-bit print rounding). Component order matches the binary's
+# (esl_mixdchlet order), so posterior sums round identically.
 AMINO_EMISSION_PRIOR = MixtureDirichlet(
-    q=np.array([0.234579, 0.178099, 0.114468, 0.096019, 0.090411, 0.083497, 0.078123,
-             0.068213, 0.056591]),
-    alpha=np.array(
-        [[0.005193, 0.004039, 0.006722, 0.006121, 0.003468, 0.016931,
-          0.003647, 0.002184, 0.005019, 0.005990, 0.001473, 0.004158,
-          0.009055, 0.003630, 0.006583, 0.003172, 0.003690, 0.002967,
-          0.002772, 0.002686],
-         [0.270650, 0.039848, 0.017576, 0.016415, 0.014269, 0.131951,
-          0.012391, 0.022599, 0.020358, 0.030727, 0.015315, 0.048299,
-          0.053803, 0.020663, 0.023612, 0.216137, 0.147221, 0.065438,
-          0.003758, 0.009621],
-         [0.093461, 0.004737, 0.387257, 0.347843, 0.010822, 0.105890,
-          0.049777, 0.014963, 0.094271, 0.027762, 0.010040, 0.187872,
-          0.050019, 0.110051, 0.038668, 0.119472, 0.065801, 0.025431,
-          0.003215, 0.018743],
-         [0.561448, 0.045449, 0.438378, 0.763638, 0.087395, 0.259341,
-          0.214948, 0.145873, 0.761914, 0.247323, 0.118665, 0.441576,
-          0.174827, 0.531196, 0.465528, 0.583395, 0.445591, 0.227061,
-          0.029510, 0.121094],
-         [0.115607, 0.037381, 0.012414, 0.018179, 0.051780, 0.017255,
-          0.004911, 0.796889, 0.017074, 0.285859, 0.075811, 0.014548,
-          0.015092, 0.011382, 0.012696, 0.027535, 0.088326, 0.944347,
-          0.004373, 0.016741],
-         [0.041103, 0.014794, 0.005610, 0.010216, 0.153608, 0.007797,
-          0.007175, 0.299634, 0.010849, 0.999445, 0.210190, 0.006127,
-          0.013021, 0.019798, 0.014509, 0.012049, 0.035799, 0.180086,
-          0.012744, 0.026466],
-         [0.070144, 0.011140, 0.019480, 0.094652, 0.013163, 0.048042,
-          0.077001, 0.032939, 0.576641, 0.072294, 0.028241, 0.080375,
-          0.037662, 0.185044, 0.506789, 0.073734, 0.071589, 0.042533,
-          0.011254, 0.028724],
-         [0.452150, 0.114614, 0.062462, 0.115689, 0.284349, 0.140246,
-          0.100358, 0.549970, 0.143992, 0.700637, 0.276584, 0.118570,
-          0.097472, 0.126702, 0.143636, 0.278978, 0.358479, 0.661749,
-          0.061533, 0.199371],
-         [0.021465, 0.010300, 0.011741, 0.010883, 0.385652, 0.016416,
-          0.076196, 0.035328, 0.013921, 0.093517, 0.022034, 0.028593,
-          0.013086, 0.023011, 0.018866, 0.029156, 0.018153, 0.036100,
-          0.071770, 0.419639]]),
-)
+    q=np.array([0.178091, 0.056591, 0.0960191,
+                0.0781233, 0.0834977, 0.0904123,
+                0.114468, 0.0682132, 0.234585]),
+    alpha=np.array([
+        [0.270671, 0.039848, 0.017576,
+         0.016415, 0.014268, 0.131916,
+         0.012391, 0.022599, 0.020358,
+         0.030727, 0.015315, 0.048298,
+         0.053803, 0.020662, 0.023612,
+         0.216147, 0.147226, 0.065438,
+         0.003758, 0.009621],
+        [0.021465, 0.0103, 0.011741,
+         0.010883, 0.385651, 0.016416,
+         0.076196, 0.035329, 0.013921,
+         0.093517, 0.022034, 0.028593,
+         0.013086, 0.023011, 0.018866,
+         0.029156, 0.018153, 0.0361,
+         0.07177, 0.419641],
+        [0.561459, 0.045448, 0.438366,
+         0.764167, 0.087364, 0.259114,
+         0.21494, 0.145928, 0.762204,
+         0.24732, 0.118662, 0.441564,
+         0.174822, 0.53084, 0.465529,
+         0.583402, 0.445586, 0.22705,
+         0.02951, 0.12109],
+        [0.070143, 0.01114, 0.019479,
+         0.094657, 0.013162, 0.048038,
+         0.077, 0.032939, 0.576639,
+         0.072293, 0.02824, 0.080372,
+         0.037661, 0.185037, 0.506783,
+         0.073732, 0.071587, 0.042532,
+         0.011254, 0.028723],
+        [0.041103, 0.014794, 0.00561,
+         0.010216, 0.153602, 0.007797,
+         0.007175, 0.299635, 0.010849,
+         0.999446, 0.210189, 0.006127,
+         0.013021, 0.019798, 0.014509,
+         0.012049, 0.035799, 0.180085,
+         0.012744, 0.026466],
+        [0.115607, 0.037381, 0.012414,
+         0.018179, 0.051778, 0.017255,
+         0.004911, 0.796882, 0.017074,
+         0.285858, 0.075811, 0.014548,
+         0.015092, 0.011382, 0.012696,
+         0.027535, 0.088333, 0.94434,
+         0.004373, 0.016741],
+        [0.093461, 0.004737, 0.387252,
+         0.347841, 0.010822, 0.105877,
+         0.049776, 0.014963, 0.094276,
+         0.027761, 0.01004, 0.187869,
+         0.050018, 0.110039, 0.038668,
+         0.119471, 0.065802, 0.02543,
+         0.003215, 0.018742],
+        [0.452171, 0.114613, 0.06246,
+         0.115702, 0.284246, 0.140204,
+         0.100358, 0.55023, 0.143995,
+         0.700649, 0.27658, 0.118569,
+         0.09747, 0.126673, 0.143634,
+         0.278983, 0.358482, 0.66175,
+         0.061533, 0.199373],
+        [0.005193, 0.004039, 0.006722,
+         0.006121, 0.003468, 0.016931,
+         0.003647, 0.002184, 0.005019,
+         0.00599, 0.001473, 0.004158,
+         0.009055, 0.00363, 0.006583,
+         0.003172, 0.00369, 0.002967,
+         0.002772, 0.002686],
+    ]))
 
-# Amino insert-emission prior mean (extracted from hmmbuild's insert
-# emission rows; for amino this is NOT the scoring background).
+# Amino insert-emission distribution: EXACT per-residue values whose
+# -log matches the bundled hmmbuild's printed insert rows verbatim
+# (WITCH always builds with --symfrac 0.0 on gap-cleaned alignments,
+# so insert states carry zero counts and every insert row is this
+# constant prior-mean distribution; round 5, replaces an empirical
+# extraction that flipped ~half the printed 5-decimal fields).
 AMINO_INSERT_EMISSIONS = np.array([
-    0.06814, 0.01201, 0.06234, 0.06514, 0.03132, 0.09025, 0.02411,
-    0.03712, 0.06874, 0.06764, 0.01431, 0.05483, 0.06474, 0.04152,
-    0.05513, 0.09266, 0.06234, 0.05053, 0.01021, 0.02692])
+    0.06814074046432166, 0.012007185700900223, 0.06233763141443918, 0.0651391192567462,
+    0.03131869736125058, 0.09025376185806538, 0.02411454725624692, 0.03712220391932464,
+    0.06874096288644911, 0.06764038926605698, 0.014308521644640306, 0.05483262036452619,
+    0.06473909561985355, 0.04152498436512532, 0.055132825285351635, 0.09265521877410929,
+    0.06233763141443918, 0.050530407257186674, 0.010206096920109882, 0.026916117721584094])
 
 # Amino scoring/entropy background (p7_AminoFrequencies) — verified: the
 # entropy-weighting bisection reproduces hmmbuild's printed EFFN exactly

@@ -123,6 +123,7 @@ def _oa_kernel(model_of, ms_arr, codes_ref, pmove_ref, lds_ref,
         dn = (((0,), (0,)), ((), ()))
         return jax.lax.dot_general(
             onehotT, emT_ref[0], dimension_numbers=dn,
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
 
     n_dbl = max(1, int(np.ceil(np.log2(max(2, Mp)))))
