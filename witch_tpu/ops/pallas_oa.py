@@ -701,6 +701,10 @@ def oa_columns_device(banks, bank_row, pairs: Sequence[Tuple[int,
     Ldmax = max(B, 64, -(-Ldmax // 64) * 64)
     assert Ldmax % B == 0
 
+    import os
+    import time as _time
+    prof = bool(os.environ.get("WITCH_TPU_OA_PROFILE"))
+    t_pack = t_disp = t_unpack = 0.0
     cols_out: list = [None] * n
     margins = np.zeros(n)
     oks = np.zeros(n, bool)
@@ -725,6 +729,7 @@ def oa_columns_device(banks, bank_row, pairs: Sequence[Tuple[int,
         gaps = np.where(np.abs(bank.em_odds).sum(axis=(0, 1)) == 0)[0]
         pad_code = int(gaps[0]) if len(gaps) else 4
         for c0 in range(0, T, TB):
+            t0_ = _time.time()
             chunk = tiles[c0:c0 + TB]
             codesT = np.full((TB, Ldmax, QT), pad_code, np.int32)
             pmove = np.full((TB * QT, 1), 0.5, np.float32)
@@ -739,16 +744,25 @@ def oa_columns_device(banks, bank_row, pairs: Sequence[Tuple[int,
                     codesT[t, :len(c), s] = c
                     lds[t * QT + s, 0] = len(c)
                     pmove[t * QT + s, 0] = 2.0 / (float(len(c)) + 2.0)
+            t1_ = _time.time()
             cols, stat = pallas_oa(
                 jnp.asarray(model_of), jnp.asarray(ms_arr), emTj,
                 transj, jnp.asarray(codesT), jnp.asarray(pmove),
                 jnp.asarray(lds), QT=QT, B=B, interpret=interpret)
             cols = np.asarray(cols)
             stat = np.asarray(stat)
+            t2_ = _time.time()
+            t_pack += t1_ - t0_
+            t_disp += t2_ - t1_
             for t, (row, ps) in enumerate(chunk):
                 for s, p in enumerate(ps):
                     L = len(pairs[p][1])
                     cols_out[p] = cols[t, :L, s].astype(np.int64)
                     margins[p] = stat[t, s, 0]
                     oks[p] = stat[t, s, 1] > 0.5
+            t_unpack += _time.time() - t2_
+    if prof:
+        print("oa_columns_device: pack %.2fs dispatch %.2fs unpack "
+              "%.2fs (%d pairs)" % (t_pack, t_disp, t_unpack, n),
+              flush=True)
     return cols_out, margins, oks

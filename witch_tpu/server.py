@@ -57,7 +57,9 @@ def _maybe_reload():
             mt = os.path.getmtime(mod.__file__)
         except OSError:
             continue
-        if _reload_mtimes.get(name, mt) != mt:
+        # a module first seen here may already be stale (imported by a
+        # previous job, edited since): reload on first sighting too
+        if name not in _reload_mtimes or _reload_mtimes[name] != mt:
             changed = True
         _reload_mtimes[name] = mt
     if changed:
