@@ -112,6 +112,37 @@ def choose_bucket_edges(sizes, n_buckets: int = 2, align: int = 128):
     return best[0] or [top]
 
 
+def build_banks_ladder(cores: List[CoreHMM],
+                       indices: Sequence[int] = None,
+                       multihit: bool = True,
+                       rungs=(256, 512, 1024, 2048, 4096)
+                       ) -> List[ProfileBank]:
+    """Banks bucketed on a FIXED power-of-two lane ladder: each model
+    lands in the smallest rung with M < rung. Unlike the data-derived
+    choose_bucket_edges, the resulting kernel shapes are canonical
+    across runs/datasets — one compiled program per rung, ever. Used
+    by the fused align kernel (ops/pallas_oa.py), whose per-tile cost
+    is proportional to the padded lane count."""
+    if indices is None:
+        indices = list(range(len(cores)))
+    buckets = {}
+    for idx, core in zip(indices, cores):
+        for r in rungs:
+            if core.M < r:
+                buckets.setdefault(r, []).append((idx, core))
+                break
+        else:
+            raise ValueError("model M=%d exceeds ladder" % core.M)
+    out = []
+    for rung in sorted(buckets):
+        group = buckets[rung]
+        profiles = [configure(c, multihit=multihit) for _, c in group]
+        out.append(bank_from_profiles(
+            profiles, [c.nseq for _, c in group],
+            [i for i, _ in group], rung - 1))
+    return out
+
+
 def build_banks(cores: List[CoreHMM], indices: Sequence[int] = None,
                 multihit: bool = True, min_bucket: int = 64,
                 uniform: bool = False, n_buckets: int = 1

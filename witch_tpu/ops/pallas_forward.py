@@ -299,7 +299,7 @@ def device_bank_arrays(bank):
         emT, trans = bank_to_pallas_arrays(bank)
         hit = (jnp.asarray(emT), jnp.asarray(trans),
                effective_n_dbl(trans))
-        while len(_DEVICE_BANK_CACHE) >= 2:        # bound device HBM
+        while len(_DEVICE_BANK_CACHE) >= 8:        # bound device HBM
             _DEVICE_BANK_CACHE.pop(next(iter(_DEVICE_BANK_CACHE)))
         _DEVICE_BANK_CACHE[key] = hit
     return hit

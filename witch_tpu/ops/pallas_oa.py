@@ -61,7 +61,8 @@ def _oa_kernel(model_of, ms_arr, codes_ref, pmove_ref, lds_ref,
         rest = rest[4:]
     (fM, fI, fD, fS, bM, bI, bS, ckM, ckI, ckS,
      blM, blI, blS, oaM, oaI, oaD, oaMl, oaIl, oaDl,
-     oaS, ptr, rowi) = rest
+     oaS, ptr, rowi) = rest[:22]
+    eR = rest[22] if len(rest) > 22 else None
     """One grid step = QT (query, model) pairs of one model.
 
     codes_ref [1, Ld, QT] i32; pmove_ref/lds_ref [QT, 1];
@@ -180,7 +181,21 @@ def _oa_kernel(model_of, ms_arr, codes_ref, pmove_ref, lds_ref,
         [jnp.zeros((QT, 1), jnp.float32), pmove,
          jnp.zeros((QT, 6), jnp.float32)], axis=1)
 
-    def bstep(i_row):
+    def emis_row(i_row, store=False):
+        """Emission odds for (1-based) residue row i_row. With the
+        eR cache, pass A computes+stores each row's HIGHEST-precision
+        matmul once and the two pass-B sweeps read it back (the f32
+        matmul is 6 MXU passes at [128, QT] - the dominant per-row
+        cost at production Mp)."""
+        r = jnp.minimum(i_row, Ld) - 1
+        if eR is not None and not store:
+            return eR[pl.ds(r, 1)][0]
+        ex = emis(codes_ref[0, pl.ds(r, 1), :])
+        if eR is not None:
+            eR[pl.ds(r, 1)] = ex.reshape(1, QT, Mp)
+        return ex
+
+    def bstep(i_row, store_emis=False):
         """Backward step row i_row+1 -> i_row (consume residue
         i_row+1); pairs with i_row >= lds stay terminal."""
         at_term = (i_row >= lds)
@@ -188,8 +203,7 @@ def _oa_kernel(model_of, ms_arr, codes_ref, pmove_ref, lds_ref,
         In = bI[...]
         Sb = bS[...]
         bN, bC, bled = Sb[:, 0:1], Sb[:, 1:2], Sb[:, 2:3]
-        x_row = codes_ref[0, pl.ds(jnp.minimum(i_row, Ld - 1), 1), :]
-        ex = emis(x_row)
+        ex = emis_row(jnp.minimum(i_row + 1, Ld), store=store_emis)
         mne = Mn * ex
         Bv = jnp.sum(bm * mne, axis=1, keepdims=True)
         bNn = bN * ploop + Bv * pmove
@@ -221,7 +235,7 @@ def _oa_kernel(model_of, ms_arr, codes_ref, pmove_ref, lds_ref,
 
         def sub(rr, _):
             i_row = (b + 1) * B - 1 - rr
-            bstep(i_row)
+            bstep(i_row, store_emis=True)
             return ()
         jax.lax.fori_loop(0, B, sub, (), unroll=False)
         return ()
@@ -341,8 +355,7 @@ def _oa_kernel(model_of, ms_arr, codes_ref, pmove_ref, lds_ref,
             S = fS[...]
             fN0, fB0, fC0, fled0 = (S[:, 0:1], S[:, 1:2],
                                     S[:, 2:3], S[:, 3:4])
-            x_row = codes_ref[0, pl.ds(i_row - 1, 1), :]
-            e = emis(x_row)
+            e = emis_row(i_row)
             src = shift1(Mv * t_mm + Iv * t_im + Dv * t_dm) + fB0 * bm
             Mrow = src * e
             Irow = Mv * t_mi + Iv * t_ii
@@ -586,6 +599,9 @@ def pallas_oa(model_of, ms_arr, emT, trans, codesT, pmove, lds,
     """
     H, _, Mp = emT.shape
     T, Ld, _ = codesT.shape
+    # emission-row cache: one HIGHEST-precision matmul per row instead
+    # of three; skipped when the cache alone would crowd VMEM
+    cache_emis = Ld * QT * Mp * 4 <= 40 * 1024 * 1024
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -641,7 +657,8 @@ def pallas_oa(model_of, ms_arr, emT, trans, codesT, pmove, lds,
             pltpu.VMEM((QT, 8), jnp.float32),            # oaS
             pltpu.VMEM((Ld, QT, Mp), jnp.int8),          # ptr
             pltpu.VMEM((Ld, QT, 8), jnp.float32),        # rowi
-        ],
+        ] + ([pltpu.VMEM((Ld, QT, Mp), jnp.float32)]      # eR cache
+             if cache_emis else []),
     )
     return pl.pallas_call(
         functools.partial(_oa_kernel, Ld=Ld, Mp=Mp, QT=QT, B=B,

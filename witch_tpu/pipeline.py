@@ -34,6 +34,10 @@ from .merger import merge_rows, remove_insertion_columns
 from .weighting import calculate_weights, read_weights, write_weights
 
 BIAS_FLOOR_BITS = float(np.log2(1.0 + OMEGA))
+# every observed binary gate-drop sits below -1.7 bits, so pairs at
+# >= GATE_SAFE bits are accepted without evaluation (see the note in
+# compute_scores)
+GATE_SAFE = 0.0
 
 
 def _encode_queries(path: str, alphabet):
@@ -65,6 +69,28 @@ def _native_args(prof):
         except AttributeError:
             pass
     return a
+
+
+def _candidate_walk(reported, valid, pre, evaluated, gate_ok,
+                    size_arr, owned, TOPT):
+    """Walk each query's candidates in weight-rank order, dropping
+    gated pairs until num_hmms survivors are found (reference rank
+    behavior). Pure function of its inputs; returns the updated copy
+    of `valid`."""
+    out = valid.copy()
+    adj_rep = reported + np.log2(size_arr)[None, :]
+    for q in owned:
+        top = np.argsort(-adj_rep[q], kind="stable")[:TOPT]
+        accepted = 0
+        for j in top:
+            if pre[q, j] >= GATE_SAFE or not evaluated[q, j] \
+                    or gate_ok[q, j]:
+                accepted += 1
+            else:
+                out[q, j] = False
+            if accepted >= Configs.num_hmms:
+                break
+    return out
 
 
 def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
@@ -318,8 +344,8 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
     # contribute softmax-denominator mass, where the drop/keep
     # distinction is numerically immaterial (validated on the example
     # oracle), and every observed binary drop sits below -1.7 bits, so
-    # pairs at >= GATE_SAFE bits are accepted without evaluation.
-    GATE_SAFE = 0.0
+    # pairs at >= GATE_SAFE bits are accepted without evaluation
+    # (module constant; _candidate_walk shares it).
     valid = np.ones((Q, H), bool)
     reported = pre - BIAS_FLOOR_BITS
     size_arr = np.array([ens.cores[i].nseq for i in indices], np.float64)
@@ -640,6 +666,36 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                         consume(j, qlist, out, t)
             Configs.runtime("  scoring: native domaindef %d pairs (s): %f"
                             % (n_pairs, time.time() - t0))
+        # Speculative device alignment: the align stage's device OA
+        # dispatch is device-bound while the exact-f32 print overlay
+        # below is host-bound — launch the dispatch NOW from the
+        # pre-overlay selection so the two run concurrently. The
+        # overlay moves scores by <= ~6e-3 bits, so the final
+        # (post-overlay) selection almost always matches; drifted
+        # pairs are re-aligned on the host at join time (aligner.py).
+        if use_dev_gate and "v" in dev_done                 and os.environ.get("WITCH_TPU_SPEC_OA", "") != "0"                 and getattr(ens, "_device_banks", None) is not None:
+            try:
+                from .aligner import speculative_oa_start
+                from .weighting import adaptive_top_hmms
+                rep_spec = np.round(reported, 1)
+                valid_spec = _candidate_walk(
+                    rep_spec, valid, pre, evaluated, gate_ok, size_arr,
+                    owned, TOPT)
+                w_spec = rank_and_weight(
+                    rep_spec, valid_spec, indices, ens.sizes(),
+                    list(range(Q)))
+                spec_pairs = []
+                for q in owned:
+                    w = w_spec.get(int(q), ())
+                    for idx, _wv in adaptive_top_hmms(
+                            w, use_weight=Configs.use_weight):
+                        spec_pairs.append(
+                            (int(idx), np.ascontiguousarray(
+                                qcodes[q], np.int32)))
+                if spec_pairs:
+                    speculative_oa_start(ens, spec_pairs)
+            except Exception as e:   # noqa: BLE001 - speculative
+                Configs.debug("speculative OA launch skipped: %s" % e)
         if band32:
             t0x = time.time()
 
@@ -690,18 +746,8 @@ def compute_scores(ens: Ensemble, qcodes: List[np.ndarray],
                 valid[drop] = False
             reported = np.round(reported, 1)
             return reported, valid, indices, tau
-        adj_rep = reported + np.log2(size_arr)[None, :]
-        for q in owned:
-            top = np.argsort(-adj_rep[q], kind="stable")[:TOPT]
-            accepted = 0
-            for j in top:
-                if pre[q, j] >= GATE_SAFE or not evaluated[q, j] \
-                        or gate_ok[q, j]:
-                    accepted += 1
-                else:
-                    valid[q, j] = False
-                if accepted >= Configs.num_hmms:
-                    break
+        valid = _candidate_walk(reported, valid, pre, evaluated,
+                                gate_ok, size_arr, owned, TOPT)
     except Exception as e:
         Configs.warning("native domaindef unavailable (%s); "
                         "using device null2 approximation" % e)
