@@ -372,16 +372,60 @@ def pallas_forward_bits(bank, codes: np.ndarray, qlens: np.ndarray,
     Q, L = codes.shape
 
     if single_shape:
+        import os as _os
         Qpad, Lpad = canonical_pad(Q, int(qlens.max(initial=1)), QT)
-        cp = np.full((Qpad, Lpad), pad_code, np.int32)
-        for qi in range(Q):
-            cp[qi, :qlens[qi]] = codes[qi, :qlens[qi]]
-        lp = np.ones(Qpad, np.int32)
-        lp[:Q] = qlens
-        nats = np.asarray(pallas_forward_nats(
-            emTj, transj, jnp.asarray(cp), jnp.asarray(lp),
-            QT=QT, interpret=interpret, n_dbl=ndbl))[:Q]
-        return _bits_from_nats(nats, qlens, Lpad)
+        # Scale tiling: one giant dispatch faulted the TPU worker at
+        # the 10k-query x 2.8k-HMM workload. Bound every dispatch to
+        # <= HS models x <= QB padded queries (the example workload
+        # stays a single dispatch; a big grid becomes a loop of
+        # identically-shaped programs, so the one-time program load is
+        # still amortized across all slices).
+        HS = int(_os.environ.get("WITCH_TPU_H_SLICE", "512"))
+        QB = int(_os.environ.get("WITCH_TPU_Q_BLOCK", "4096"))
+        QB = max(QT, (QB // QT) * QT)
+        H = bank.H
+        if H <= HS and Qpad <= QB:
+            cp = np.full((Qpad, Lpad), pad_code, np.int32)
+            for qi in range(Q):
+                cp[qi, :qlens[qi]] = codes[qi, :qlens[qi]]
+            lp = np.ones(Qpad, np.int32)
+            lp[:Q] = qlens
+            nats = np.asarray(pallas_forward_nats(
+                emTj, transj, jnp.asarray(cp), jnp.asarray(lp),
+                QT=QT, interpret=interpret, n_dbl=ndbl))[:Q]
+            return _bits_from_nats(nats, qlens, Lpad)
+        n_h = -(-H // HS)
+        out = np.empty((Q, H), np.float64)
+        for s0 in range(0, Qpad, QB):
+            q0 = min(s0, Q)
+            q1 = min(s0 + QB, Q)
+            cp = np.full((QB, Lpad), pad_code, np.int32)
+            for t, qi in enumerate(range(q0, q1)):
+                cp[t, :qlens[qi]] = codes[qi, :qlens[qi]]
+            lp = np.ones(QB, np.int32)
+            lp[:q1 - q0] = qlens[q0:q1]
+            cpj, lpj = jnp.asarray(cp), jnp.asarray(lp)
+            for h0 in range(0, H, HS):
+                h1 = min(h0 + HS, H)
+                eslice = emTj[h0:h0 + HS]
+                tslice = transj[h0:h0 + HS]
+                if h1 - h0 < HS:   # pad the last model slice
+                    eslice = jnp.concatenate(
+                        [eslice, jnp.zeros((HS - (h1 - h0),) +
+                                           eslice.shape[1:],
+                                           eslice.dtype)], axis=0)
+                    tslice = jnp.concatenate(
+                        [tslice, jnp.zeros((HS - (h1 - h0),) +
+                                           tslice.shape[1:],
+                                           tslice.dtype)], axis=0)
+                nats = np.asarray(pallas_forward_nats(
+                    eslice, tslice, cpj, lpj,
+                    QT=QT, interpret=interpret,
+                    n_dbl=ndbl))[:q1 - q0, :h1 - h0]
+                if q1 > q0:
+                    out[q0:q1, h0:h1] = _bits_from_nats(
+                        nats, qlens[q0:q1], Lpad)
+        return out
 
     if group_by_length and Q > QT:
         order = np.argsort(qlens, kind="stable")
